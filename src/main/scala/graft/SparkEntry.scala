@@ -1,13 +1,682 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops._
+import graft.merge.{RevisionHistory, SmartUpdate}
+import graft.api.Panel
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in `queries` exercises one operator family from SURVEY.md §2
+  * (or an LLM-pipeline extension) against the driver's synthetic parquet
+  * tables; `oracleSql` carries the DuckDB-equivalent ANSI SQL for the
+  * correctness harness. Column names and ordering are aligned pairwise.
+  *
+  * Determinism rules used throughout (so value hashes match across engines):
+  *   - double sums go through DECIMAL casts (exact, associative arithmetic);
+  *     integer-valued doubles (l_quantity) may be summed directly;
+  *   - every result has a total ORDER BY;
+  *   - no wall-clock anywhere (fixed revision timestamps).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default; read it as raw nanos (legacy conf, runtime-settable)
+    * and convert to a micros TimestampType column. The testdata's nanos are
+    * micro-exact (verified), and nanos/1000 < 2^53 so the arithmetic stays
+    * exact. */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  private val RevTs = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's signature analytical read: the date-aligned panel (J2)
+    * over three independent series. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    panelQuery(spark, "/root/testdata/sf0.001")
+
+  // ----------------------------------------------------------------- panel
+
+  private def panelQuery(s: SparkSession, dir: String): DataFrame = {
+    val orders = t(s, dir, "orders")
+      .groupBy(to_date(col("o_orderdate")).as("date"))
+      .agg(count(lit(1)).as("n_orders"))
+    val ship = t(s, dir, "lineitem")
+      .groupBy(to_date(col("l_shipdate")).as("date"))
+      .agg(count(lit(1)).as("n_ship"))
+    val events = SparkEntry.events(s, dir)
+      .groupBy(to_date(col("ts")).as("date"))
+      .agg(count(lit(1)).as("n_events"))
+    Panel.panel(Seq(orders, ship, events), "date")
+  }
+
+  // -------------------------------------------------- smart_update golden
+
+  /** The reference's own golden sequence
+    * (/root/reference/tests/test_azure_connector.py:196-247): insert
+    * {100,200,300} -> new=3; re-run {110,200,310} -> updated=2, revisions=2. */
+  private def smartUpdateCounts(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val b1 = Seq(("2025-01-01", 100.0), ("2025-02-01", 200.0),
+      ("2025-03-01", 300.0)).toDF("date", "value")
+    val b2 = Seq(("2025-01-01", 110.0), ("2025-02-01", 200.0),
+      ("2025-03-01", 310.0)).toDF("date", "value")
+    val empty = Seq.empty[(String, Double)].toDF("date", "value")
+    val (m1, _, c1) = SmartUpdate.merge(b1, empty, "date", Seq("value"), "testds", RevTs)
+    val (_, _, c2) = SmartUpdate.merge(b2, m1, "date", Seq("value"), "testds", RevTs)
+    Seq((c1.newRows, c1.updated, c1.revisions, c2.newRows, c2.updated, c2.revisions))
+      .toDF("p1_new", "p1_updated", "p1_revisions", "p2_new", "p2_updated", "p2_revisions")
+  }
+
+  // ---------------------------------------------- diff-merge over testdata
+
+  private def incBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_linenumber") <= 3)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).cast("double").as("nline"))
+
+  private def exBatch(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").filter(col("l_linenumber") >= 2)
+      .groupBy("l_orderkey")
+      .agg(sum("l_quantity").as("qty"), count(lit(1)).cast("double").as("nline"))
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S5/T3/A: scan -> groupBy aggregate (TPC-H Q1 shape; pushdown + partial agg)
+    "q01_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+          sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast("decimal(18,6)")).cast("double").as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1-P3/T3: filter + projection (predicate/column pushdown to parquet)
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45 && col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), to_date(col("l_shipdate")).as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(500)
+    }),
+
+    // J: equi-join with broadcast dimension + aggregate
+    "q03_join_broadcast" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .join(broadcast(t(s, dir, "customer")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // O3: global top-K (TakeOrderedAndProject, no full sort)
+    "q04_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+    }),
+
+    // T2: unpivot / melt — the reference's signature reshape
+    "q05_melt" -> ((s, dir) => {
+      val casted = t(s, dir, "part").select(col("p_partkey"),
+        col("p_size").cast("double").as("p_size"),
+        col("p_retailprice").cast("double").as("p_retailprice"))
+      Reshape.melt(casted, Seq("p_partkey"), Seq("p_size", "p_retailprice"))
+        .orderBy("p_partkey", "variable")
+    }),
+
+    // F1: fiscal->calendar monthly date algebra (month-name mapping included)
+    "q06_fiscal_monthly" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(date_format(col("o_orderdate"), "MMMM").as("mname"),
+          year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("m"))
+        .withColumn("fy", when(col("m") >= 7, col("yr") + 1).otherwise(col("yr")))
+        .select(FiscalDates.fiscalMonthlyDate(col("mname"), col("fy")).as("month_start"))
+        .groupBy("month_start").agg(count(lit(1)).as("n"))
+        .orderBy("month_start")
+    }),
+
+    // F2: fiscal->calendar quarterly (quarter-label mapping, Q4 rollover)
+    "q07_fiscal_quarterly" -> ((s, dir) => {
+      val q = quarter(col("o_orderdate"))
+      val label = when(q === 1, "Jan-Mar").when(q === 2, "Apr-Jun")
+        .when(q === 3, "Jul-Sep").otherwise("Oct-Dec")
+      val fy = when(q >= 3, year(col("o_orderdate")) + 1)
+        .otherwise(year(col("o_orderdate")))
+      t(s, dir, "orders")
+        .select(FiscalDates.fiscalQuarterlyDate(label, fy).as("quarter_date"))
+        .groupBy("quarter_date").agg(count(lit(1)).as("n"))
+        .orderBy("quarter_date")
+    }),
+
+    // F3: FRED quarter-end shift (one-expression equivalent of the 4-way case)
+    "q08_quarter_shift" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(FiscalDates.quarterEndShift(col("o_orderdate")).as("next_q"))
+        .groupBy("next_q").agg(count(lit(1)).as("n"))
+        .orderBy("next_q")
+    }),
+
+    // F4/F5/F6: null-on-error coercion, missing sentinel, HALF_EVEN rounding
+    "q09_coerce" -> ((s, dir) => {
+      val str = when(col("l_linenumber") === 1, lit("."))
+        .when(col("l_linenumber") === 2,
+          concat(lit("x"), col("l_quantity").cast("string")))
+        .otherwise(col("l_quantity").cast("string"))
+      t(s, dir, "lineitem")
+        .select(Coerce.fredValue(str).as("value"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null"),
+          sum(Coerce.roundToLong(col("value") * 1.5)).as("sum_rounded"))
+    }),
+
+    // F7: percent normalization with the reference's 0.2 heuristic
+    "q10_percent" -> ((s, dir) => {
+      val cell = when(pmod(col("l_linenumber"), lit(3)) === 0,
+          concat(round(col("l_discount") * 100, 2).cast("string"), lit("%")))
+        .when(pmod(col("l_linenumber"), lit(3)) === 1,
+          col("l_quantity").cast("string"))
+        .otherwise(col("l_discount").cast("string"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), Percent.normalize(cell).as("pct"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("pct").cast("decimal(18,9)")).cast("double").as("sum_pct"))
+        .orderBy("l_returnflag")
+    }),
+
+    // J1/§2.10: diff-merge classification via full-outer key join
+    "q11_diff_classify" -> ((s, dir) => {
+      SmartUpdate.classify(incBatch(s, dir), exBatch(s, dir),
+          "l_orderkey", Seq("qty", "nline"))
+        .groupBy("status").agg(count(lit(1)).as("cnt"))
+        .orderBy("status")
+    }),
+
+    // §2.10: per-changed-field revision fan-out (CDC audit trail)
+    "q12_revisions" -> ((s, dir) => {
+      SmartUpdate.revisions(incBatch(s, dir), exBatch(s, dir),
+          "l_orderkey", Seq("qty", "nline"), "lineitem", RevTs)
+        .select("data_date", "value_field", "old_value", "new_value")
+        .orderBy("data_date", "value_field")
+    }),
+
+    // §2.11 + P3/O2/O3: revision-history read path (filter/sort/limit chain)
+    "q13_revision_history" -> ((s, dir) => {
+      val revs = SmartUpdate.revisions(incBatch(s, dir), exBatch(s, dir),
+        "l_orderkey", Seq("qty", "nline"), "lineitem", RevTs)
+      RevisionHistory.query(revs, dataset = Some("lineitem"),
+        field = Some("qty"), limit = Some(100))
+    }),
+
+    // J2: the flagship panel export — multi-way full-outer date alignment
+    "q14_panel" -> ((s, dir) => panelQuery(s, dir)),
+
+    // A1: in-engine monthly resample (replaces FRED server-side frequency='m')
+    "q15_resample_month" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(FiscalDates.monthStart(col("ts")).as("month"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("value").cast("decimal(25,10)")).cast("double") /
+            count(col("value"))).as("avg_value"))
+        .orderBy("month")
+    }),
+
+    // A1: quarterly resample (FRED frequency='q')
+    "q16_resample_quarter" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .groupBy(FiscalDates.quarterStart(col("o_orderdate")).as("quarter"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy("quarter")
+    }),
+
+    // W: lag window — MoM change per series (SURVEY §7.6 analytics extension)
+    "q17_window_lag" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.periodChange(daily, Seq.empty, "date", "cnt")
+        .select("date", "cnt", "prev_value", "change")
+        .orderBy("date")
+    }),
+
+    // W: rolling mean over trailing 7 rows
+    "q18_rolling_mean" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.rollingMean(daily, Seq.empty, "date", "cnt", 7)
+        .select("date", "cnt", "rolling_mean_7")
+        .orderBy("date")
+    }),
+
+    // U1: union of status frames (run-summary concat analog)
+    "q19_union" -> ((s, dir) => {
+      val a = events(s, dir).groupBy(col("event_type").as("name"))
+        .agg(count(lit(1)).as("n"))
+      val b = t(s, dir, "orders").groupBy(col("o_orderstatus").as("name"))
+        .agg(count(lit(1)).as("n"))
+      a.unionByName(b).orderBy("name", "n")
+    }),
+
+    // O3: top-K newest (FRED sort_order=desc & limit=1000 shape)
+    "q20_topk_events" -> ((s, dir) => {
+      events(s, dir)
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(1000)
+        .select("event_id", "ts", "event_type")
+    }),
+
+    // golden contract: reference's smart_update 3-new/2-updated/2-revisions
+    "smart_update_counts" -> ((s, _) => smartUpdateCounts(s)),
+
+    // LLM dedup #1: exact content dedup via fingerprint hash-groupBy
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactSurvivors(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // LLM dedup: n-gram Jaccard on adjacent-id pairs (verify kernel)
+    "dedup_ngram" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
+      d.as("a").join(d.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("idA"), col("b.doc_id").as("idB"),
+          round(Dedup.jaccard(col("a.sh"), col("b.sh")), 6).as("jaccard"))
+        .orderBy("idA")
+    }),
+
+    // LLM dedup: MinHash-LSH near-dup pairs (banded; no oracle — rows check)
+    "dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("idA", "idB")
+    }),
+
+    // LLM dedup: SimHash near-dup pairs (quartered fingerprint blocking)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 6)
+        .orderBy("idA", "idB")
+    }),
+
+    // LLM similarity #2: exact brute-force cosine top-k (baseline)
+    "ann_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 5),
+          "vec_id", "embedding", k = 10)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LLM similarity: LSH-bucketed approximate top-k (the 100 TB path)
+    "ann_lsh" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10, numPlanes = 6)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LLM similarity: IVF-style cell-partitioned top-k
+    "ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10, nCells = 32)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // LLM text #4: token/char/punct counting per doc
+    "text_stats" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.charCount(col("text")).as("n_chars_m"),
+          TextAnalysis.punctCount(col("text")).as("n_punct"),
+          TextAnalysis.subwordCountEstimate(col("text")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM text: heuristic language ID vs labeled lang
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.langIdHeuristic(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // LLM text: quality gates (length / punct ratio / word-length sanity)
+    "text_quality" -> ((s, dir) => {
+      val txt = col("text")
+      val pass = length(txt).between(20, 20000) &&
+        TextAnalysis.punctRatio(txt) < 0.2 &&
+        TextAnalysis.meanWordLength(txt).between(2.0, 14.0) &&
+        TextAnalysis.stopwordRatio(txt) >= 0.0
+      t(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_pass"))
+        .orderBy("source")
+    }),
+
+    // LLM text: content fingerprint cardinality per language
+    "text_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("lang"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .groupBy("lang").agg(countDistinct(col("fp")).as("n_fp"))
+        .orderBy("lang")
+    }),
+
+    // LLM multimodal #3: opaque binary payload + typed metadata + frame count
+    "mm_meta" -> ((s, dir) => {
+      val payload = Multimodal.asPayload(col("text"))
+      t(s, dir, "documents").select(col("doc_id"),
+          octet_length(payload).as("byte_len"),
+          md5(payload).as("content_md5"),
+          size(Multimodal.frameSample(payload, 8)).as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM multimodal: partition-parallel decode stub (mapPartitions shape)
+    "mm_features" -> ((s, dir) => {
+      Multimodal.prepare(t(s, dir, "documents"), "doc_id", "text", dims = 8)
+        .select(col("id"), col("byteLen"),
+          round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+        .orderBy("id")
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for the approximate / mapPartitions
+    * operators (dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
+    * mm_features) -> driver records a rows-only check; their exactness is
+    * covered by ScalaTest self-consistency suites instead. */
+  def oracleSql: Map[String, String] = Map(
+
+    "q01_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount,
+        |  CAST(l_shipdate AS DATE) AS ship_date
+        |FROM lineitem WHERE l_quantity >= 45 AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber LIMIT 500""".stripMargin,
+
+    "q03_join_broadcast" ->
+      """SELECT c_mktsegment, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q04_topk_orders" ->
+      """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q05_melt" ->
+      """SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice', CAST(p_retailprice AS DOUBLE) FROM part
+        |ORDER BY p_partkey, variable""".stripMargin,
+
+    "q06_fiscal_monthly" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q07_fiscal_quarterly" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS DATE) AS quarter_date,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q08_quarter_shift" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) + INTERVAL 3 MONTH AS DATE) AS next_q,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_coerce" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN l_linenumber = 1 THEN '.'
+        |              WHEN l_linenumber = 2 THEN 'x' || CAST(l_quantity AS VARCHAR)
+        |              ELSE CAST(l_quantity AS VARCHAR) END AS str
+        |  FROM lineitem),
+        |v AS (SELECT TRY_CAST(NULLIF(NULLIF(TRIM(str), '.'), '') AS DOUBLE) AS value FROM s)
+        |SELECT COUNT(*) AS n,
+        |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+        |  SUM(CAST(round_even(value * 1.5, 0) AS BIGINT)) AS sum_rounded
+        |FROM v""".stripMargin,
+
+    "q10_percent" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_linenumber % 3 = 0 THEN CAST(round(l_discount*100, 2) AS VARCHAR) || '%'
+        |         WHEN l_linenumber % 3 = 1 THEN CAST(l_quantity AS VARCHAR)
+        |         ELSE CAST(l_discount AS VARCHAR) END AS cell
+        |  FROM lineitem),
+        |n AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN contains(cell, '%') THEN TRY_CAST(replace(cell, '%', '') AS DOUBLE) / 100
+        |         WHEN TRY_CAST(cell AS DOUBLE) > 0.2 THEN TRY_CAST(cell AS DOUBLE) / 100
+        |         ELSE TRY_CAST(cell AS DOUBLE) END AS pct
+        |  FROM c)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(pct AS DECIMAL(18,9))) AS DOUBLE) AS sum_pct
+        |FROM n GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_diff_classify" ->
+      """WITH inc AS (SELECT l_orderkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS DOUBLE) AS nline
+        |             FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+        |ex AS (SELECT l_orderkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS DOUBLE) AS nline
+        |       FROM lineitem WHERE l_linenumber >= 2 GROUP BY 1),
+        |j AS (SELECT i.l_orderkey AS ik, e.l_orderkey AS ek,
+        |             i.qty AS iq, e.qty AS eq, i.nline AS inl, e.nline AS enl
+        |      FROM inc i FULL OUTER JOIN ex e ON i.l_orderkey = e.l_orderkey)
+        |SELECT status, COUNT(*) AS cnt FROM (
+        |  SELECT CASE WHEN ek IS NULL THEN 'new'
+        |              WHEN ik IS NULL THEN 'existing_only'
+        |              WHEN abs(iq - eq) > 0.001 OR abs(inl - enl) > 0.001 THEN 'updated'
+        |              ELSE 'unchanged' END AS status
+        |  FROM j)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q12_revisions" ->
+      """WITH inc AS (SELECT l_orderkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS DOUBLE) AS nline
+        |             FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+        |ex AS (SELECT l_orderkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS DOUBLE) AS nline
+        |       FROM lineitem WHERE l_linenumber >= 2 GROUP BY 1),
+        |j AS (SELECT i.l_orderkey AS data_date, i.qty AS iq, e.qty AS eq,
+        |             i.nline AS inl, e.nline AS enl
+        |      FROM inc i JOIN ex e ON i.l_orderkey = e.l_orderkey)
+        |SELECT data_date, value_field, old_value, new_value FROM (
+        |  SELECT data_date, 'qty' AS value_field, eq AS old_value, iq AS new_value,
+        |         abs(iq - eq) > 0.001 AS changed FROM j
+        |  UNION ALL
+        |  SELECT data_date, 'nline', enl, inl, abs(inl - enl) > 0.001 FROM j)
+        |WHERE changed ORDER BY data_date, value_field""".stripMargin,
+
+    "q13_revision_history" ->
+      """WITH inc AS (SELECT l_orderkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS DOUBLE) AS nline
+        |             FROM lineitem WHERE l_linenumber <= 3 GROUP BY 1),
+        |ex AS (SELECT l_orderkey, SUM(l_quantity) AS qty, CAST(COUNT(*) AS DOUBLE) AS nline
+        |       FROM lineitem WHERE l_linenumber >= 2 GROUP BY 1),
+        |j AS (SELECT i.l_orderkey AS data_date, i.qty AS iq, e.qty AS eq
+        |      FROM inc i JOIN ex e ON i.l_orderkey = e.l_orderkey)
+        |SELECT 'lineitem' AS dataset, data_date, 'qty' AS value_field,
+        |       eq AS old_value, iq AS new_value,
+        |       TIMESTAMP '2025-06-01 00:00:00' AS revision_date
+        |FROM j WHERE abs(iq - eq) > 0.001
+        |ORDER BY data_date DESC, value_field LIMIT 100""".stripMargin,
+
+    "q14_panel" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |l AS (SELECT CAST(l_shipdate AS DATE) AS date, COUNT(*) AS n_ship
+        |      FROM lineitem GROUP BY 1),
+        |e AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT date, n_orders, n_ship, n_events
+        |FROM o FULL JOIN l USING (date) FULL JOIN e USING (date)
+        |ORDER BY date""".stripMargin,
+
+    "q15_resample_month" ->
+      """SELECT CAST(date_trunc('month', ts) AS DATE) AS month, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(25,10))) AS DOUBLE) / COUNT(value) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q16_resample_quarter" ->
+      """SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS quarter,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q17_window_lag" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1)
+        |SELECT date, cnt,
+        |  lag(cnt, 1) OVER (ORDER BY date) AS prev_value,
+        |  cnt - lag(cnt, 1) OVER (ORDER BY date) AS change
+        |FROM d ORDER BY date""".stripMargin,
+
+    "q18_rolling_mean" ->
+      """WITH d AS (SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1)
+        |SELECT date, cnt,
+        |  AVG(cnt) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |    AS rolling_mean_7
+        |FROM d ORDER BY date""".stripMargin,
+
+    "q19_union" ->
+      """SELECT name, n FROM (
+        |  SELECT event_type AS name, COUNT(*) AS n FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT o_orderstatus, COUNT(*) FROM orders GROUP BY 1)
+        |ORDER BY name, n""".stripMargin,
+
+    "q20_topk_events" ->
+      """SELECT event_id, ts, event_type FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 1000""".stripMargin,
+
+    "smart_update_counts" ->
+      """SELECT CAST(3 AS BIGINT) AS p1_new, CAST(0 AS BIGINT) AS p1_updated,
+        |  CAST(0 AS BIGINT) AS p1_revisions, CAST(0 AS BIGINT) AS p2_new,
+        |  CAST(2 AS BIGINT) AS p2_updated, CAST(2 AS BIGINT) AS p2_revisions""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  MIN(doc_id) AS doc_id, COUNT(*) AS copies
+        |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 1)),
+        |      i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+2], ' '))) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS idA, b.doc_id AS idB,
+        |  round(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+        |FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+        |ORDER BY idA""".stripMargin,
+
+    "ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |  list_sum(list_transform(range(1, len(qe) + 1),
+        |    i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, c WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '\S+')) AS n_tokens,
+        |  length(text) AS n_chars_m,
+        |  len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_langid" ->
+      """WITH f AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> list_contains(['el','la','de','que','y','en','los','una'], t))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> list_contains(['le','la','de','et','les','des','une','est'], t))) AS fr,
+        |    len(list_filter(regexp_extract_all(lower(text), '\S+'),
+        |      t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+        |    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS cjk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+        |       WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+        |       WHEN fr > 0 AND fr >= de THEN 'fr'
+        |       WHEN de > 0 THEN 'de'
+        |       ELSE 'und' END AS lang_pred,
+        |  COUNT(*) AS n
+        |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "text_quality" ->
+      """WITH f AS (
+        |  SELECT source,
+        |    length(text) AS nc,
+        |    CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) /
+        |      greatest(length(text), 1) AS pr,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) /
+        |      greatest(len(regexp_extract_all(lower(text), '\S+')), 1) AS mwl
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CASE WHEN nc BETWEEN 20 AND 20000 AND pr < 0.2
+        |           AND mwl BETWEEN 2.0 AND 14.0 THEN 1 ELSE 0 END) AS n_pass
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT lang,
+        |  COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fp
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "mm_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  md5(text) AS content_md5,
+        |  least(octet_length(encode(text)), 8) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
 }

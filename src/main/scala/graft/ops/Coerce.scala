@@ -16,8 +16,10 @@ object Coerce {
     * try_cast semantics regardless of the session's ANSI setting. */
   def toDoubleOrNull(c: Column): Column = c.cast("string").try_cast("double")
 
-  /** F5: round-half-up then cast to long, for integer-typed datasets. */
-  def roundToLong(c: Column): Column = round(c).cast("long")
+  /** F5: round then cast to long, for integer-typed datasets. `bround` =
+    * HALF_EVEN (banker's rounding), matching the reference's pandas/numpy
+    * `.round()` semantics on exact .5 values (2.5 -> 2, 3.5 -> 4). */
+  def roundToLong(c: Column): Column = bround(c).cast("long")
 
   /** F6: treat the FRED missing sentinel "." (and empty string) as null
     * before numeric coercion. */

@@ -1,0 +1,195 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deduplication operators for training-data pipelines: exact (hash-groupBy),
+  * MinHash+LSH near-dup (shingle -> minhash -> band -> bucket-join), SimHash,
+  * and n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup is a single hash shuffle on a 32-char fingerprint, never
+  *     on the full text;
+  *   - near-dup candidate generation is BANDED LSH — candidate pairs are
+  *     produced ONLY by an equi-join on (band, bandHash) buckets, never by an
+  *     all-pairs cross join; the verify step (true Jaccard) touches candidate
+  *     pairs only;
+  *   - signatures/shingles are pure higher-order-function column expressions
+  *     (transform/aggregate/array_min + xxhash64): whole-stage codegen, no
+  *     UDFs, no driver round-trips.
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: one survivor (minimum id) per normalized-content
+    * fingerprint. Shuffles only (fingerprint, id) pairs. */
+  def exactSurvivors(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+      .groupBy("fp").agg(min(col(idCol)).as(idCol), count(lit(1)).as("copies"))
+
+  /** Rows of `df` minus exact duplicates (keeps min-id row per fingerprint). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactSurvivors(df, idCol, textCol).select(idCol)
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  // ------------------------------------------------------------- shingles
+
+  /** Distinct word n-gram shingles of `text` (lowercased, whitespace
+    * tokenized), as an array column — no explode, no shuffle. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
+    array_distinct(filter(
+      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
+      s => length(s) > 0))
+  }
+
+  /** Distinct character k-shingles (whitespace-normalized, lowercased). */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = regexp_replace(lower(text), "\\s+", " ")
+    val idx = sequence(lit(0), greatest(length(t) - k, lit(0)))
+    array_distinct(transform(idx, i => t.substr(i + 1, lit(k))))
+  }
+
+  /** n-gram Jaccard similarity of two shingle-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni > 0, inter / uni).otherwise(lit(0.0))
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  /** MinHash signature (length numHashes) over a shingle array: hash h of a
+    * doc = min over shingles of xxhash64(shingle, h). Pure HOF expression —
+    * fine for ad-hoc use, but higher-order functions are INTERPRETED in
+    * Spark; the hot path below uses minhashSignatures (exploded + static
+    * columns, whole-stage codegen) instead. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingles, s => xxhash64(s, h))))
+
+  /** Codegen-fast minhash signatures: explode shingles to rows, evaluate
+    * each hash family as a STATIC column (xxhash64 with a literal seed —
+    * whole-stage codegen), take per-doc mins with map-side partial
+    * aggregation, and re-pack into an array. One shuffle on the doc id.
+    * Returns (id, sig: array<bigint>[numHashes]). */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(wordShingles(col(textCol), shingleWords)).as("shingle"))
+    val aggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
+  }
+
+  /** LSH band keys: the signature is cut into `bands` bands of `rowsPerBand`
+    * values; each band hashes to one bucket key struct(band, bucket). Two
+    * docs collide in a band iff their signatures agree on that whole band. */
+  def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+
+  /** Candidate near-dup pairs via banded MinHash-LSH with exact-Jaccard
+    * verification. Returns (idA, idB, jaccard) with idA < idB and
+    * jaccard >= threshold.
+    *
+    * Plan shape: per-doc signature (map-only) -> explode bands (xN) ->
+    * self-equi-join on (band, bucket) -> distinct pairs -> join back for
+    * shingle arrays -> verify. The only shuffles are the band-bucket join
+    * and the distinct; bucket collisions bound the join fan-out.
+    */
+  def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          shingleWords: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    val rowsPerBand = numHashes / bands
+    val sh = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleWords).as("shingles"))
+    val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+    val buckets = sig.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.bucket"))
+    val pairs = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"))
+      .distinct()
+    val withShingles = pairs
+      .join(sh.select(col("id").as("idA"), col("shingles").as("shA")), Seq("idA"))
+      .join(sh.select(col("id").as("idB"), col("shingles").as("shB")), Seq("idB"))
+    withShingles
+      .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Near-dedup survivors: drop every doc that matches a LOWER id at or
+    * above the threshold (greedy min-id representative — the standard
+    * large-scale policy; no connected components needed for dedup). */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   shingleWords: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val drop = minhashNearDupPairs(df, idCol, textCol, shingleWords, numHashes,
+        bands, threshold)
+      .select(col("idB").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word tokens, represented as FOUR 16-bit quarter
+    * values (array<int>, MSB-first within each quarter), computed the
+    * codegen-fast way: explode tokens, hash each token ONCE (xxhash64),
+    * derive all 64 bit scores as static shift/mask columns, sum per doc
+    * (map-side partial agg), pack quarters. The quartered representation
+    * avoids 64-bit sign-bit packing (ANSI-overflow-safe) and doubles as the
+    * LSH blocking key. Returns (id, sh: array<int>[4]). Docs with zero
+    * tokens have no signature (dropped — nothing to compare). */
+  def simhashQuarters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val h = xxhash64(col("tok"))
+    val bitAggs = (0 until 64).map(b =>
+      sum(when(shiftrightunsigned(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+        .as(s"b$b"))
+    val scored = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+    val quarters = (0 until 4).map { q =>
+      (0 until 16).map(i =>
+        when(col(s"b${q * 16 + i}") > 0, 1 << (15 - i)).otherwise(0))
+        .reduce(_ + _).as(s"q$q")
+    }
+    scored.select(col("id") +: quarters: _*)
+      .select(col("id"), array((0 until 4).map(i => col(s"q$i")): _*).as("sh"))
+  }
+
+  /** Hamming distance between two quartered simhash fingerprints:
+    * sum of per-quarter popcounts of XOR. */
+  def hammingQuarters(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y)).cast("int")),
+      lit(0), (acc, v) => acc + v)
+
+  /** SimHash near-dup candidates: block on the four 16-bit quarters of the
+    * fingerprint (a pair within hamming distance 3 must agree on at least
+    * one quarter — pigeonhole), then verify true hamming distance. Same
+    * banded-join shape as MinHash-LSH: no all-pairs comparison. */
+  def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3): DataFrame = {
+    val f = simhashQuarters(df, idCol, textCol)
+    val withQ = f.select(col("id"), col("sh"), posexplode(col("sh")))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
+    withQ.as("a").join(withQ.as("b"),
+        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -24,9 +24,18 @@ object Reshape {
     casted.unpivot(ids.map(col).toArray, valueCols.map(col).toArray, varName, valName)
   }
 
+  /** Name of the 0-based row-index column every grid source attaches; keeps
+    * header promotion positional (DataFrames have no intrinsic row order). */
+  val RowIdxCol = "__row_idx"
+
   /** T1+T2 for the EDB grid: a headerless 13x11 grid (row 0 = fiscal-year
     * header, col 0 = month/quarter label, cols 1..N = per-fiscal-year values)
     * -> long (label, fiscal_year, value).
+    *
+    * The grid MUST carry a `__row_idx` column (attached at ingestion, e.g. by
+    * graft.sources.GridSource) so the header is promoted POSITIONALLY — the
+    * reference takes `df.iloc[0]` (azure_common_scrapers.py:120-121); content
+    * sniffing would mis-fire on grids whose corner cell is non-empty.
     *
     * The fiscal-year header row is tiny and bounded (one row) — it is
     * collected on the driver to become column metadata, exactly the
@@ -34,16 +43,19 @@ object Reshape {
     * the cluster.
     */
   def promoteHeaderAndMelt(grid: DataFrame, labelName: String): DataFrame = {
-    val cols = grid.columns
+    require(grid.columns.contains(RowIdxCol),
+      s"promoteHeaderAndMelt: grid must carry a $RowIdxCol column (0-based); " +
+        "attach one at ingestion (GridSource does)")
+    val cols = grid.columns.filterNot(_ == RowIdxCol)
     val labelCol = cols.head
-    // header row: the row whose label cell is empty/null (grid layout fixed
-    // by config: A6:K18 -> row 0 is the fiscal-year header).
-    val header = grid.filter(col(labelCol).isNull || trim(col(labelCol)) === "")
-      .head()
+    val headerRows = grid.filter(col(RowIdxCol) === 0).drop(RowIdxCol).collect()
+    require(headerRows.length == 1,
+      s"promoteHeaderAndMelt: expected exactly one header row at index 0, got ${headerRows.length}")
+    val header = headerRows.head
     val years = cols.tail.zipWithIndex.map { case (c, i) =>
-      c -> Option(header.get(i + 1)).map(_.toString.trim.takeWhile(ch => ch.isDigit)).getOrElse("")
+      c -> Option(header.get(i + 1)).map(_.toString.trim.takeWhile(_.isDigit)).getOrElse("")
     }
-    val body = grid.filter(col(labelCol).isNotNull && trim(col(labelCol)) =!= "")
+    val body = grid.filter(col(RowIdxCol) > 0).drop(RowIdxCol)
     val renamed = body.select(
       trim(col(labelCol)).as(labelName) +:
         years.collect { case (c, y) if y.nonEmpty =>

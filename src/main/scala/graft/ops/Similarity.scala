@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two tiers, per the engine brief:
+  *   - brute-force cosine top-k: the exact baseline. The QUERY side is
+  *     broadcast (queries are few), so the corpus streams map-side with no
+  *     shuffle of vectors; per-query top-k is a windowed rank over the
+  *     (small) scored pairs.
+  *   - random-hyperplane LSH buckets: the 100 TB path. Each vector maps to a
+  *     `numPlanes`-bit bucket; candidates come ONLY from an equi-join on the
+  *     bucket key (optionally multi-probing neighboring buckets), never from
+  *     a cross join. Recall is tunable via numPlanes/probes; exactness is
+  *     traded for a shuffle bounded by bucket occupancy.
+  *
+  * All arithmetic is double-precision higher-order-function expressions
+  * (zip_with/aggregate) — codegen'd, deterministic (sequential array fold,
+  * no float reassociation), no UDFs.
+  */
+object Similarity {
+
+  /** Cast array<float> -> array<double> once, up front. */
+  def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = {
+    val d = l2Norm(a) * l2Norm(b)
+    when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
+  }
+
+  /** Exact brute-force top-k: for each query vector, the k nearest corpus
+    * vectors by cosine (ties broken by id for determinism).
+    * Output: (query_id, neighbor_id, rank, cosine). */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+    val scored = c.join(broadcast(q),
+        if (excludeSelf) col("nid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cosine")
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
+    * from xxhash64(plane, dim) so every executor materializes the same
+    * planes with zero driver-side state or broadcast. */
+  private def planeComponent(plane: Column, dim: Column): Column =
+    (pmod(xxhash64(plane, dim), lit(1000000)).cast("double") / 500000.0) - 1.0
+
+  /** `numPlanes`-bit LSH bucket of a vector: bit p = sign of dot(v, r_p). */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val v = asDouble(vec)
+    val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
+      val d = aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(p, i)),
+        lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, 1L).otherwise(0L)
+    })
+    aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
+  }
+
+  /** Approximate top-k via LSH buckets: candidates are corpus vectors in the
+    * SAME bucket as the query (single-probe), ranked by exact cosine within
+    * the bucket. Queries missing from a bucket simply return fewer rows —
+    * the recall/cost dial is numPlanes. Output matches bruteForceTopK. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, numPlanes: Int = 8,
+              excludeSelf: Boolean = true): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(if (excludeSelf) col("nid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cosine")
+  }
+
+  /** IVF-style variant: assign every vector to its nearest of `nCells`
+    * hash-derived centroid surrogates (here: LSH bucket modulo nCells as the
+    * cell id — a centroid-free stand-in that keeps the partition-local
+    * search shape), search only the query's cell. The plan shape — cell
+    * equi-join then windowed top-k — is exactly what a trained-centroid IVF
+    * produces; swapping in real centroids changes only the cell id column. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nCells: Int = 64): DataFrame = {
+    val cell = (v: Column) => pmod(lshBucket(v, 16), lit(nCells))
+    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"),
+      cell(col(vecCol)).as("cell"))
+    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
+      cell(col(vecCol)).as("cell"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cosine")
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines: token
+  * counting, language-ID heuristics, quality scoring, fingerprinting.
+  *
+  * These extend the reference (which has no text analytics) per the engine
+  * brief; every operator is a pure Column expression — whole-stage codegen,
+  * no UDFs, no shuffles — so they stream through a 100 TB `documents` scan
+  * at full throughput and any filter on their outputs can still prune
+  * columns at the parquet scan.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited tokens, lowercased. `\S+` extraction (rather than
+    * split-on-`\s+`) avoids leading/trailing empty-string artifacts. */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  def charCount(text: Column): Column = length(text)
+
+  /** BPE-ish subword count estimate: words + digit runs + punctuation marks
+    * each count as a token boundary (cheap stand-in for a real tokenizer at
+    * scan time; the point is the column-expression shape, not BPE fidelity). */
+  def subwordCountEstimate(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{Punct}"), lit(0)))
+
+  def punctRatio(text: Column): Column =
+    punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Count of tokens that appear in `words` (exact whole-token match). */
+  def wordListCount(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  // Language marker stopword lists (tiny n-gram-free heuristic).
+  val EnStop = Seq("the", "and", "of", "to", "a", "in", "is", "that")
+  val EsStop = Seq("el", "la", "de", "que", "y", "en", "los", "una")
+  val FrStop = Seq("le", "la", "de", "et", "les", "des", "une", "est")
+  val DeStop = Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit")
+
+  def cjkCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\u4e00-\\u9fff]"), lit(0)))
+
+  /** Heuristic language ID: CJK chars dominate, else argmax of per-language
+    * stopword hits with a fixed tie-break order (en > es > fr > de), 'und'
+    * when no marker fires. Deterministic, fully SQL-expressible (the DuckDB
+    * oracle replicates the same CASE chain). */
+  def langIdHeuristic(text: Column): Column = {
+    val en = wordListCount(text, EnStop)
+    val es = wordListCount(text, EsStop)
+    val fr = wordListCount(text, FrStop)
+    val de = wordListCount(text, DeStop)
+    when(cjkCount(text) > 0, "zh")
+      .when(en > 0 && en >= es && en >= fr && en >= de, "en")
+      .when(es > 0 && es >= fr && es >= de, "es")
+      .when(fr > 0 && fr >= de, "fr")
+      .when(de > 0, "de")
+      .otherwise("und")
+  }
+
+  /** Stopword ratio (English list): quality signal — natural prose has a
+    * stable stopword density; keyword spam and boilerplate do not. */
+  def stopwordRatio(text: Column): Column =
+    wordListCount(text, EnStop).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double")
+
+  def meanWordLength(text: Column): Column =
+    (length(regexp_replace(text, "\\s+", "")).cast("double") /
+      greatest(tokenCount(text), lit(1)).cast("double"))
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * word-length sanity. Thresholds are ordinary literals so Catalyst can
+    * constant-fold and the whole thing stays in one codegen stage. */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 20000), 1.0).otherwise(0.0)
+    val punctOk = when(punctRatio(text) < 0.2, 1.0).otherwise(0.0)
+    val wordOk = when(meanWordLength(text).between(2.0, 14.0), 1.0).otherwise(0.0)
+    (lenOk + punctOk + wordOk) / 3.0
+  }
+
+  /** Content fingerprint: md5 over whitespace-normalized lowercase text.
+    * The canonical exact-dedup key (same hex in Spark and DuckDB). */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "\\s+", " "))
+}

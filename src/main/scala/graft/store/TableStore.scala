@@ -23,27 +23,60 @@ final class TableStore(spark: SparkSession, root: String) {
 
   def path(table: String): String = s"$root/$table"
 
-  def exists(table: String): Boolean = fs.exists(new Path(path(table)))
+  private def oldPath(table: String) = {
+    val t = new Path(URI.create(path(table)).normalize().toString)
+    new Path(t.getParent, s".${t.getName}.__old__")
+  }
 
-  def read(table: String): DataFrame = spark.read.parquet(path(table))
+  /** A table "exists" if its directory OR its interrupted-swap backup does —
+    * recoverTable() heals the latter before any read. */
+  def exists(table: String): Boolean =
+    fs.exists(new Path(path(table))) || fs.exists(oldPath(table))
+
+  /** Heal an interrupted overwrite(): if the target is missing but the
+    * `.__old__` backup survives, the crash happened between the two renames —
+    * restore the backup so readers see the pre-swap table. */
+  private def recoverTable(table: String): Unit = {
+    val target = new Path(URI.create(path(table)).normalize().toString)
+    val old = oldPath(table)
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        sys.error(s"TableStore: failed to recover $table from ${old}")
+    }
+  }
+
+  def read(table: String): DataFrame = {
+    recoverTable(table)
+    spark.read.parquet(path(table))
+  }
 
   def readOrEmpty(table: String, like: DataFrame): DataFrame =
     if (exists(table)) read(table) else like.limit(0)
 
   /** Atomic keyed overwrite: write to a temp dir, then swap directories.
     * Readers never observe a half-written table (the swap is two renames —
-    * the same commit discipline a lakehouse format provides via its log). */
+    * the same commit discipline a lakehouse format provides via its log).
+    * Every rename's boolean result is checked (HDFS signals failure by
+    * returning false, not throwing); the `.__old__` backup is deleted only
+    * after the new target is verified in place, and an interrupted swap is
+    * healed on the next read via recoverTable(). */
   def overwrite(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
+    recoverTable(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     val tmp = new Path(target.getParent, s".${target.getName}.__tmp__")
-    val old = new Path(target.getParent, s".${target.getName}.__old__")
+    val old = oldPath(table)
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
     if (fs.exists(tmp)) fs.delete(tmp, true)
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target)) fs.rename(target, old)
-    fs.rename(tmp, target)
-    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(target) && !fs.rename(target, old))
+      sys.error(s"TableStore: rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      // put the previous table back before failing — never leave no table
+      if (fs.exists(old)) fs.rename(old, target)
+      sys.error(s"TableStore: rename $tmp -> $target failed")
+    }
+    if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
   }
 
   /** Append (revision log — append-only audit trail). */
