@@ -1,0 +1,92 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Self-consistency tests for the approximate operators (the DuckDB oracle
+  * can't express them): planted duplicates must be found, unrelated docs
+  * must not collide, and the LSH paths must agree with brute force on
+  * planted identicals. */
+class DedupSimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away into the green forest tonight"
+  private val docs = Seq(
+    (1L, base),
+    (2L, base),                                     // exact dup of 1
+    (3L, base.replace("green", "dark")),            // near dup of 1
+    (4L, "completely different content about databases and query engines with many unusual words"),
+    (5L, "another unrelated text on cooking recipes and kitchen tools nothing shared at all here"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps min-id survivor per duplicate group") {
+    val out = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated docs") {
+    val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleWords = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
+  }
+
+  test("minhashDedup drops dup docs, keeps representatives") {
+    val kept = Dedup.minhashDedup(docs, "doc_id", "text",
+        shingleWords = 2, numHashes = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
+    assert(!kept.contains(2L))
+  }
+
+  test("jaccard: identical shingle sets -> 1.0, disjoint -> 0.0") {
+    val out = docs.select(
+        Dedup.jaccard(Dedup.wordShingles(col("text"), 2),
+          Dedup.wordShingles(col("text"), 2)).as("self"))
+      .as[Double].collect()
+    assert(out.forall(_ == 1.0))
+    val cross = docs.filter(col("doc_id") === 1).crossJoin(
+        docs.filter(col("doc_id") === 4).select(col("text").as("t2")))
+      .select(Dedup.jaccard(Dedup.wordShingles(col("text"), 2),
+        Dedup.wordShingles(col("t2"), 2)).as("j"))
+      .as[Double].collect().head
+    assert(cross < 0.1)
+  }
+
+  test("simhash: identical docs -> hamming 0; caught as near-dup pair") {
+    val pairs = Dedup.simhashNearDupPairs(docs, "doc_id", "text", maxHamming = 3)
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("simhash quarters are 16-bit non-negative ints") {
+    val q = Dedup.simhashQuarters(docs, "doc_id", "text")
+      .select(explode(col("sh"))).as[Int].collect()
+    assert(q.forall(v => v >= 0 && v <= 0xFFFF))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)),  // opposite of 0
+    (4L, Array(1.0f, 0.0f, 0.0f)))   // identical to 0
+    .toDF("vec_id", "embedding")
+
+  test("brute-force top-k ranks by true cosine") {
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 4)
+      .orderBy("rank").select("nid").as[Long].collect().toSeq
+    assert(out == Seq(4L, 1L, 2L, 3L)) // identical, close, orthogonal, opposite
+  }
+
+  test("LSH top-k finds the identical vector (same bucket by construction)") {
+    val out = Similarity.lshTopK(vecs, vecs.filter(col("vec_id") === 0),
+        "vec_id", "embedding", k = 4, numPlanes = 4)
+      .select("nid").as[Long].collect().toSeq
+    assert(out.contains(4L))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import graft.ops._
+import org.apache.spark.sql.functions._
+
+/** Unit tests for the scalar/reshape operator library: full month/quarter
+  * date algebra (SURVEY.md §5.1), coercions, percent heuristic, melt. */
+class OpsSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ------------------------------------------------------------ F1 monthly
+  test("fiscalMonthlyDate: all 12 months across both fiscal halves") {
+    // PR fiscal year 2020 = Jul 2019 .. Jun 2020
+    val expected = Map(
+      "July" -> "2019-07-01", "August" -> "2019-08-01",
+      "September" -> "2019-09-01", "October" -> "2019-10-01",
+      "November" -> "2019-11-01", "December" -> "2019-12-01",
+      "January" -> "2020-01-01", "February" -> "2020-02-01",
+      "March" -> "2020-03-01", "April" -> "2020-04-01",
+      "May" -> "2020-05-01", "June" -> "2020-06-01")
+    val out = expected.keys.toSeq.map(m => (m, 2020)).toDF("m", "fy")
+      .select(col("m"), FiscalDates.fiscalMonthlyDate(col("m"), col("fy"))
+        .cast("string").as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == expected)
+  }
+
+  test("fiscalMonthlyDate: unknown month and case-insensitivity") {
+    val out = Seq(("Notamonth", 2020), ("  january ", 2020), ("JULY", 2020))
+      .toDF("m", "fy")
+      .select(FiscalDates.fiscalMonthlyDate(col("m"), col("fy"))
+        .cast("string").as("d"))
+      .collect().map(_.getString(0))
+    assert(out.toSeq == Seq(null, "2020-01-01", "2019-07-01"))
+  }
+
+  // ---------------------------------------------------------- F2 quarterly
+  test("fiscalQuarterlyDate: all four labels incl. Q4 year rollover") {
+    val cases = Seq(
+      ("Jul-Sep", 2020, "2019-10-01"), ("Oct-Dec", 2020, "2020-01-01"),
+      ("Jan-Mar", 2020, "2020-04-01"), ("Apr-Jun", 2020, "2020-07-01"),
+      ("bogus", 2020, null))
+    val out = cases.map(c => (c._1, c._2)).toDF("q", "fy")
+      .select(FiscalDates.fiscalQuarterlyDate(col("q"), col("fy"))
+        .cast("string").as("d"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._3))
+  }
+
+  // --------------------------------------------------------- F3 quarter end
+  test("quarterEndShift: Q1->Apr1, Q2->Jul1, Q3->Oct1, Q4->next-year Jan1") {
+    val out = Seq("2020-02-15", "2020-05-01", "2020-08-31", "2020-11-11")
+      .toDF("d")
+      .select(FiscalDates.quarterEndShift(to_date(col("d")))
+        .cast("string").as("r"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("2020-04-01", "2020-07-01", "2020-10-01", "2021-01-01"))
+  }
+
+  // ------------------------------------------------------------- F4/F5/F6
+  test("coercion: null-on-error, sentinel, HALF_EVEN rounding") {
+    val out = Seq("1.5", ".", "abc", "", " 2.5 ", "3.49")
+      .toDF("s")
+      .select(Coerce.fredValue(col("s")).as("v"))
+      .select(col("v"), Coerce.roundToLong(col("v")).as("r"))
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)))).toSeq
+    assert(out == Seq(
+      (Some(1.5), Some(2L)),   // bround 1.5 -> 2 (HALF_EVEN)
+      (None, None), (None, None), (None, None),
+      (Some(2.5), Some(2L)),   // bround 2.5 -> 2, not 3
+      (Some(3.49), Some(3L))))
+  }
+
+  // ------------------------------------------------------------------- F7
+  test("percent normalization: the reference's exact cases") {
+    // /root/reference/core_local/azure_nyu_scraper.py:126-152
+    val out = Seq("3.96%", "3.96", "0.0396", "junk", "0.2", "0.21")
+      .toDF("s").select(Percent.normalize(col("s")).as("v"))
+      .collect().map(r => Option(r.get(0)).map(_.asInstanceOf[Double])).toSeq
+    def approx(a: Option[Double], b: Double) =
+      a.exists(x => math.abs(x - b) < 1e-12)
+    assert(approx(out(0), 0.0396)) // "3.96%" -> strip, /100
+    assert(approx(out(1), 0.0396)) // 3.96 > 0.2 -> /100
+    assert(approx(out(2), 0.0396)) // <= 0.2 -> keep
+    assert(out(3).isEmpty)         // junk -> null (dropped later)
+    assert(approx(out(4), 0.2))    // boundary: NOT divided (strict >)
+    assert(approx(out(5), 0.0021)) // just over -> /100
+  }
+
+  // ------------------------------------------------------------------- T2
+  test("melt: wide grid to long (id, variable, value)") {
+    val wide = Seq((1, 10.0, 100.0), (2, 20.0, 200.0)).toDF("id", "a", "b")
+    val long = Reshape.melt(wide, Seq("id"), Seq("a", "b"))
+      .orderBy("id", "variable").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(long == Seq((1, "a", 10.0), (1, "b", 100.0),
+      (2, "a", 20.0), (2, "b", 200.0)))
+  }
+
+  // ------------------------------------------------------------------- T1
+  test("promoteHeaderAndMelt: positional row-0 header via row index") {
+    val grid = Seq(
+      (0L, "Mes", "2019", "2020"),   // header row with NON-empty corner cell
+      (1L, "July", "1.5", "2.5"),
+      (2L, "August", "x", "3.5"))
+      .toDF("__row_idx", "label", "c1", "c2")
+    val out = Reshape.promoteHeaderAndMelt(grid, "Month")
+      .orderBy("Month", "fiscal_year")
+      .collect().map(r => (r.getString(0), r.getInt(2),
+        Option(r.get(1)).map(_.asInstanceOf[Double]))).toSeq
+    assert(out == Seq(
+      ("August", 2019, None), ("August", 2020, Some(3.5)),
+      ("July", 2019, Some(1.5)), ("July", 2020, Some(2.5))))
+  }
+
+  test("promoteHeaderAndMelt: missing row index fails loudly") {
+    val grid = Seq(("a", "b")).toDF("label", "c1")
+    intercept[IllegalArgumentException] {
+      Reshape.promoteHeaderAndMelt(grid, "Month")
+    }
+  }
+}

@@ -1,0 +1,46 @@
+package graft
+
+import graft.store.TableStore
+import org.apache.hadoop.fs.Path
+import java.nio.file.Files
+
+/** TableStore atomic-swap semantics incl. interrupted-swap recovery
+  * (ADVICE round-1 finding). */
+class StorePipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def newStore() = {
+    val dir = Files.createTempDirectory("graft-store").toString
+    new TableStore(spark, dir) -> dir
+  }
+
+  test("overwrite then read round-trips; second overwrite replaces") {
+    val (store, _) = newStore()
+    store.overwrite("t1", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    assert(store.read("t1").count() == 2)
+    store.overwrite("t1", Seq((3, "c")).toDF("k", "v"))
+    val out = store.read("t1").collect()
+    assert(out.length == 1 && out.head.getInt(0) == 3)
+  }
+
+  test("interrupted swap (target gone, backup present) is healed on read") {
+    val (store, dir) = newStore()
+    store.overwrite("t2", Seq((1, "a")).toDF("k", "v"))
+    // simulate a crash between rename(target->old) and rename(tmp->target)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"$dir/t2")
+    val old = new Path(s"$dir/.t2.__old__")
+    assert(fs.rename(target, old))
+    assert(!fs.exists(target) && fs.exists(old))
+    assert(store.exists("t2"))           // backup counts as existing
+    assert(store.read("t2").count() == 1) // read heals and succeeds
+    assert(fs.exists(target) && !fs.exists(old))
+  }
+
+  test("readOrEmpty on a missing table returns an empty frame of the template schema") {
+    val (store, _) = newStore()
+    val like = Seq((1, "a")).toDF("k", "v")
+    val out = store.readOrEmpty("nope", like)
+    assert(out.isEmpty && out.schema == like.schema)
+  }
+}
