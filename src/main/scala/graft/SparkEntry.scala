@@ -78,6 +78,75 @@ object SparkEntry {
       .toDF("p1_new", "p1_updated", "p1_revisions", "p2_new", "p2_updated", "p2_revisions")
   }
 
+  // ------------------------------------------------ fixture pipeline (E2E)
+
+  /** Full §3.1 lifecycle over the checked-in fixtures: 6 datasets (EDB int +
+    * float + quarterly, FRED monthly + quarterly, NYU) through extract ->
+    * reshape -> dates -> coerce -> gate -> smart_update -> metadata, run
+    * TWICE: phase 1 into an empty store, phase 2 25h later with one
+    * auto_sales value revised. Deterministic counts — oracle is a VALUES
+    * table. */
+  private def pipelineE2E(s: SparkSession): DataFrame = {
+    import s.implicits._
+    import graft.sources.{FredSource, GridSource, NyuSource}
+    import graft.config.Registry
+    import graft.pipeline.Runner
+    import graft.store.TableStore
+    val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
+      "fixtures" else "/root/repo/fixtures"
+    val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
+    val store = new TableStore(s, dir)
+    var nowV = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
+    val runner = new Runner(s, store, () => nowV)
+
+    val auto = Registry.edbConfigs.find(_.name == "auto_sales").get
+    val gas = Registry.edbConfigs.find(_.name == "gas_price").get
+    val loans = Registry.DatasetConfig("individual_loans", "individualloans",
+      "IndividualLoans", Registry.FloatType, Registry.Quarterly,
+      dataLocation = "A6:K10")
+    val ffr = Registry.fredConfigs.find(_.name == "federal_funds_rate").get
+    val gdp = Registry.fredConfigs.find(_.name == "real_gdp").get
+
+    def datasets(reviseAuto: Boolean): Seq[(String, DataFrame, Seq[String])] = {
+      val (autoC, autoS) = GridSource.canonicalize(GridSource.processMonthly(
+        GridSource.readGrid(s, s"$fx/edb_auto_sales.csv", auto.dataLocation), auto), auto)
+      val autoFinal = if (reviseAuto)
+        autoC.withColumn(autoS, when(col("date") === "2015-07-01",
+          col(autoS) + 500).otherwise(col(autoS)))
+      else autoC
+      val (gasC, gasS) = GridSource.canonicalize(GridSource.processMonthly(
+        GridSource.readGrid(s, s"$fx/edb_gas_price.csv", gas.dataLocation), gas), gas)
+      val (loanC, loanS) = GridSource.canonicalize(GridSource.processQuarterly(
+        GridSource.readGrid(s, s"$fx/edb_quarterly_loans.csv", loans.dataLocation), loans), loans)
+      val (ffrC, ffrS) = FredSource.canonicalize(FredSource.process(
+        FredSource.readObservations(s, s"$fx/fred_federal_funds_rate.json"), ffr), ffr)
+      val (gdpC, gdpS) = FredSource.canonicalize(FredSource.process(
+        FredSource.readObservations(s, s"$fx/fred_real_gdp.json"), gdp), gdp)
+      val nyuC = NyuSource.canonicalize(NyuSource.process(
+        NyuSource.readSheet(s, s"$fx/nyu_erp.csv")))
+      Seq(
+        (auto.tableName, autoFinal, Seq(autoS)),
+        (gas.tableName, gasC, Seq(gasS)),
+        (loans.tableName, loanC, Seq(loanS)),
+        (ffr.tableName, ffrC, Seq(ffrS)),
+        (gdp.tableName, gdpC, Seq(gdpS)),
+        (Registry.nyuConfig.tableName, nyuC, Registry.nyuValueFields))
+    }
+
+    val phase1 = datasets(reviseAuto = false).map { case (t, df, vf) =>
+      val r = runner.runDataset(t, df, vf)
+      (r.dataset, 1, r.status, r.newRows, r.updated, r.revisions)
+    }
+    nowV = java.sql.Timestamp.valueOf("2025-06-02 01:00:00") // past the gate
+    val phase2 = datasets(reviseAuto = true).map { case (t, df, vf) =>
+      val r = runner.runDataset(t, df, vf)
+      (r.dataset, 2, r.status, r.newRows, r.updated, r.revisions)
+    }
+    (phase1 ++ phase2)
+      .toDF("dataset", "phase", "status", "new_rows", "updated", "revisions")
+      .orderBy("phase", "dataset")
+  }
+
   // ---------------------------------------------- diff-merge over testdata
 
   private def incBatch(s: SparkSession, dir: String): DataFrame =
@@ -289,6 +358,10 @@ object SparkEntry {
 
     // golden contract: reference's smart_update 3-new/2-updated/2-revisions
     "smart_update_counts" -> ((s, _) => smartUpdateCounts(s)),
+
+    // §3.1 full lifecycle over fixtures: sources -> reshape -> dates ->
+    // coerce -> gate -> smart_update -> metadata, two phases
+    "pipeline_e2e" -> ((s, _) => pipelineE2E(s)),
 
     // LLM dedup #1: exact content dedup via fingerprint hash-groupBy
     "dedup_exact" -> ((s, dir) => {
@@ -588,6 +661,27 @@ object SparkEntry {
       """SELECT CAST(3 AS BIGINT) AS p1_new, CAST(0 AS BIGINT) AS p1_updated,
         |  CAST(0 AS BIGINT) AS p1_revisions, CAST(0 AS BIGINT) AS p2_new,
         |  CAST(2 AS BIGINT) AS p2_updated, CAST(2 AS BIGINT) AS p2_revisions""".stripMargin,
+
+    "pipeline_e2e" ->
+      """SELECT dataset, phase, status,
+        |  CAST(new_rows AS BIGINT) AS new_rows,
+        |  CAST(updated AS BIGINT) AS updated,
+        |  CAST(revisions AS BIGINT) AS revisions
+        |FROM (VALUES
+        |  ('autosales', 1, 'success', 119, 0, 0),
+        |  ('gasprice', 1, 'success', 118, 0, 0),
+        |  ('individualloans', 1, 'success', 40, 0, 0),
+        |  ('federalfundsrate', 1, 'success', 127, 0, 0),
+        |  ('realgdp', 1, 'success', 44, 0, 0),
+        |  ('equityriskpremium', 1, 'success', 6, 0, 0),
+        |  ('autosales', 2, 'success', 0, 1, 1),
+        |  ('gasprice', 2, 'success', 0, 0, 0),
+        |  ('individualloans', 2, 'success', 0, 0, 0),
+        |  ('federalfundsrate', 2, 'success', 0, 0, 0),
+        |  ('realgdp', 2, 'success', 0, 0, 0),
+        |  ('equityriskpremium', 2, 'success', 0, 0, 0))
+        |  AS t(dataset, phase, status, new_rows, updated, revisions)
+        |ORDER BY phase, dataset""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import graft.config.Registry
+import graft.merge.SmartUpdate
+import graft.store.TableStore
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** The §3.1 pipeline lifecycle: per-dataset dataflow -> incremental gate ->
+  * smart_update merge -> last-run metadata -> run summary.
+  *
+  * Mirrors /root/reference/core_local/main_azure.py:53-126,236-329 and the
+  * 24h should_update gate (azure_connector.py:598-617; get/set :552-596).
+  * Reference ordering quirk preserved: data is processed BEFORE the gate is
+  * consulted — the gate only guards the WRITE (main_azure.py:84-116).
+  *
+  * The wall clock is injected (`now`), never read inside a plan, so runs
+  * are deterministic and harness-checkable (SURVEY.md §7.5 risk 3).
+  */
+object Runner {
+  final case class DatasetResult(dataset: String, status: String,
+                                 newRows: Long, updated: Long, revisions: Long)
+}
+
+final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp) {
+  import spark.implicits._
+
+  // ------------------------------------------------------------- metadata
+
+  /** scrapermetadata: dataset -> last_run ISO timestamp
+    * (azure_connector.py:563-571). */
+  def getLastRun(dataset: String): Option[Timestamp] = {
+    if (!store.exists(Registry.MetadataTable)) None
+    else store.read(Registry.MetadataTable)
+      .filter(col("dataset") === dataset)
+      .collect().headOption.map(_.getAs[Timestamp]("last_run"))
+  }
+
+  def setLastRun(dataset: String, ts: Timestamp): Unit = {
+    val updated = Seq((dataset, ts)).toDF("dataset", "last_run")
+    val merged =
+      if (store.exists(Registry.MetadataTable))
+        store.read(Registry.MetadataTable)
+          .filter(col("dataset") =!= dataset)
+          .unionByName(updated)
+      else updated
+    store.overwrite(Registry.MetadataTable, merged, maxFiles = 1)
+  }
+
+  /** should_update: true iff never run or >= `hours` since last run
+    * (azure_connector.py:598-617). */
+  def shouldUpdate(dataset: String, hours: Int = 24): Boolean =
+    getLastRun(dataset) match {
+      case None => true
+      case Some(last) =>
+        (now().getTime - last.getTime) >= hours * 3600L * 1000L
+    }
+
+  // ------------------------------------------------------------------ run
+
+  import Runner.DatasetResult
+
+  /** Run one dataset: canonical long frame in, merge + revisions + metadata
+    * out. `canonical` must be (date: 'YYYY-MM-DD' string, <value fields>). */
+  def runDataset(tableName: String, canonical: DataFrame,
+                 valueFields: Seq[String], gateHours: Int = 24): DatasetResult = {
+    if (canonical.isEmpty)
+      return DatasetResult(tableName, "no_data", 0, 0, 0)
+    if (!shouldUpdate(tableName, gateHours))
+      return DatasetResult(tableName, "skipped", 0, 0, 0)
+    val ts = now()
+    val existing = store.readOrEmpty(tableName, canonical)
+    val (merged, revs, counts) = SmartUpdate.merge(
+      canonical, existing, "date", valueFields, tableName, ts)
+    store.overwrite(tableName, merged, maxFiles = 1)
+    if (!revs.isEmpty) store.append(Registry.RevisionsTable, revs, maxFiles = 1)
+    setLastRun(tableName, ts)
+    DatasetResult(tableName, "success", counts.newRows, counts.updated, counts.revisions)
+  }
+
+  /** Fold per-dataset results into the run summary (main_azure.py:267-309)
+    * and persist it (S11 — a table here; JSON via df.write.json if a blob
+    * sink is wanted). */
+  def summarize(results: Seq[DatasetResult], durationSecs: Double): DataFrame = {
+    val df = results.toDF()
+      .withColumn("run_time", lit(now()))
+      .withColumn("duration_seconds", lit(durationSecs))
+    store.append("runsummary", df, maxFiles = 1)
+    df
+  }
+}

@@ -1,0 +1,73 @@
+package graft.sources
+
+import graft.config.Registry
+import graft.ops.Percent
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** NYU Stern ERP source (fixture-backed): header-ful sheet with fuzzy
+  * column resolution and percent normalization.
+  *
+  * Reference semantics (azure_nyu_scraper.py:71-168):
+  *   - headers are whitespace-stripped (:89);
+  *   - expected columns matched exactly, else by case-insensitive substring
+  *     (:94-103); still missing -> empty result (:105-109, T5);
+  *   - the three rate columns pass the percent heuristic (F7, :126-152);
+  *   - fully-null value rows dropped (:162), sorted by date (:159).
+  */
+object NyuSource {
+
+  /** Fixture read: CSV with a header row (stands in for the xlsx sheet). */
+  def readSheet(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", true).csv(path)
+
+  /** Resolve expected headers against actual ones: exact match first, then
+    * case-insensitive substring (either direction), mirroring
+    * azure_nyu_scraper.py:94-103. Returns None if any column is missing. */
+  def resolveColumns(actual: Seq[String],
+                     expected: Seq[(String, String)] = Registry.nyuHeaderMap)
+      : Option[Map[String, String]] = {
+    val trimmed = actual.map(a => a.trim -> a).toMap
+    val resolved = expected.map { case (want, canon) =>
+      val exact = trimmed.get(want)
+      val fuzzy = exact.orElse(trimmed.collectFirst {
+        case (t, orig) if t.toLowerCase.contains(want.toLowerCase) ||
+          want.toLowerCase.contains(t.toLowerCase) => orig
+      })
+      fuzzy.map(orig => orig -> canon)
+    }
+    if (resolved.forall(_.isDefined)) Some(resolved.flatten.toMap) else None
+  }
+
+  /** Full NYU pipeline: sheet -> (date, tbond_rate, erp_t12m,
+    * expected_return) with normalized decimal-fraction rates; empty frame
+    * when headers cannot be resolved (the reference aborts the dataset). */
+  def process(sheet: DataFrame): DataFrame = {
+    val spark = sheet.sparkSession
+    resolveColumns(sheet.columns.toSeq) match {
+      case None =>
+        import spark.implicits._
+        Seq.empty[(String, Double, Double, Double)]
+          .toDF("date", "tbond_rate", "erp_t12m", "expected_return")
+      case Some(mapping) =>
+        // rename by literal match first — raw headers contain dots/spaces
+        // that col() would mis-parse as nested-field references
+        val renamed = mapping.foldLeft(sheet) { case (d, (orig, canon)) =>
+          d.withColumnRenamed(orig, canon)
+        }
+        val rates = Registry.nyuValueFields.map(f =>
+          Percent.normalize(col(f)).as(f))
+        renamed.select(to_date(col("date")).as("date") +: rates: _*)
+          .na.drop(Seq("date"))
+          .na.drop("all", Registry.nyuValueFields)
+          .orderBy("date")
+    }
+  }
+
+  /** Storage canonicalization: date -> 'YYYY-MM-DD' string key (columns are
+    * already canonical snake_case). */
+  def canonicalize(processed: DataFrame): DataFrame =
+    processed.select(
+      date_format(col("date"), "yyyy-MM-dd").as("date") +:
+        Registry.nyuValueFields.map(f => col(f).cast("double").as(f)): _*)
+}

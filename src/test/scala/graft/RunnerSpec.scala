@@ -1,0 +1,90 @@
+package graft
+
+import graft.config.Registry
+import graft.pipeline.Runner
+import graft.sources.GridSource
+import graft.store.TableStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** End-to-end lifecycle (VERDICT round-1 item 4): two consecutive runs
+  * produce (N new, 0 updated) then (0 new, 0 updated); the 24h gate skips
+  * within the window; a revised cell produces exactly one revision. */
+class RunnerSpec extends SparkSuite {
+
+  private def newEnv(t0: String = "2025-06-01 00:00:00") = {
+    val dir = Files.createTempDirectory("graft-run").toString
+    val store = new TableStore(spark, dir)
+    var nowV = Timestamp.valueOf(t0)
+    val runner = new Runner(spark, store, () => nowV)
+    (store, runner, (t: String) => nowV = Timestamp.valueOf(t))
+  }
+
+  private val cfg = Registry.edbConfigs.find(_.name == "auto_sales").get
+  private def canonical() = {
+    val grid = GridSource.readGrid(spark, "fixtures/edb_auto_sales.csv", cfg.dataLocation)
+    GridSource.canonicalize(GridSource.processMonthly(grid, cfg), cfg)
+  }
+
+  test("first run inserts all rows; identical re-run (after gate) changes nothing") {
+    val (store, runner, setNow) = newEnv()
+    val (canon, snake) = canonical()
+    val r1 = runner.runDataset(cfg.tableName, canon, Seq(snake))
+    assert(r1.status == "success" && r1.newRows == 119 && r1.updated == 0)
+    assert(store.read(cfg.tableName).count() == 119)
+
+    setNow("2025-06-02 01:00:00") // past the 24h gate
+    val r2 = runner.runDataset(cfg.tableName, canon, Seq(snake))
+    assert(r2.status == "success" && r2.newRows == 0 && r2.updated == 0 && r2.revisions == 0)
+  }
+
+  test("24h gate: re-run within the window is skipped") {
+    val (_, runner, setNow) = newEnv()
+    val (canon, snake) = canonical()
+    assert(runner.runDataset(cfg.tableName, canon, Seq(snake)).status == "success")
+    setNow("2025-06-01 10:00:00") // 10h later — inside the window
+    assert(runner.runDataset(cfg.tableName, canon, Seq(snake)).status == "skipped")
+    setNow("2025-06-02 00:00:00") // exactly 24h — boundary allows
+    assert(runner.runDataset(cfg.tableName, canon, Seq(snake)).status == "success")
+  }
+
+  test("revised value: 1 updated, 1 revision row in datarevisions") {
+    val (store, runner, setNow) = newEnv()
+    val (canon, snake) = canonical()
+    runner.runDataset(cfg.tableName, canon, Seq(snake))
+    setNow("2025-06-03 00:00:00")
+    val revised = canon.withColumn(snake,
+      when(col("date") === "2015-07-01", col(snake) + 100).otherwise(col(snake)))
+    val r = runner.runDataset(cfg.tableName, revised, Seq(snake))
+    assert(r.newRows == 0 && r.updated == 1 && r.revisions == 1)
+    val revs = store.read(Registry.RevisionsTable).collect()
+    assert(revs.length == 1)
+    val row = revs.head
+    assert(row.getAs[String]("dataset") == cfg.tableName)
+    assert(row.getAs[String]("data_date") == "2015-07-01")
+    assert(row.getAs[String]("value_field") == snake)
+    assert(row.getAs[Double]("new_value") - row.getAs[Double]("old_value") == 100.0)
+    // store now holds the revised value
+    val v = store.read(cfg.tableName)
+      .filter(col("date") === "2015-07-01").collect().head.getAs[Double](snake)
+    assert(v == 7987.0)
+  }
+
+  test("empty input -> no_data, store untouched") {
+    val (store, runner, _) = newEnv()
+    val (canon, snake) = canonical()
+    val r = runner.runDataset(cfg.tableName, canon.limit(0), Seq(snake))
+    assert(r.status == "no_data")
+    assert(!store.exists(cfg.tableName))
+  }
+
+  test("run summary persists one row per dataset") {
+    val (store, runner, _) = newEnv()
+    val (canon, snake) = canonical()
+    val r1 = runner.runDataset(cfg.tableName, canon, Seq(snake))
+    val summary = runner.summarize(Seq(r1), durationSecs = 1.5)
+    assert(summary.count() == 1)
+    assert(store.read("runsummary").collect().head.getAs[String]("status") == "success")
+  }
+}
