@@ -133,18 +133,25 @@ object SparkEntry {
         (Registry.nyuConfig.tableName, nyuC, Registry.nyuValueFields))
     }
 
-    val phase1 = datasets(reviseAuto = false).map { case (t, df, vf) =>
-      val r = runner.runDataset(t, df, vf)
-      (r.dataset, 1, r.status, r.newRows, r.updated, r.revisions)
-    }
-    nowV = java.sql.Timestamp.valueOf("2025-06-02 01:00:00") // past the gate
-    val phase2 = datasets(reviseAuto = true).map { case (t, df, vf) =>
-      val r = runner.runDataset(t, df, vf)
-      (r.dataset, 2, r.status, r.newRows, r.updated, r.revisions)
-    }
-    (phase1 ++ phase2)
-      .toDF("dataset", "phase", "status", "new_rows", "updated", "revisions")
-      .orderBy("phase", "dataset")
+    // fixture batches are <=130 rows: with the session's 32 shuffle
+    // partitions the ~80 tiny jobs here would spend their time scheduling
+    // empty tasks — scope a small partition count to this run and restore
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      val phase1 = datasets(reviseAuto = false).map { case (t, df, vf) =>
+        val r = runner.runDataset(t, df, vf)
+        (r.dataset, 1, r.status, r.newRows, r.updated, r.revisions)
+      }
+      nowV = java.sql.Timestamp.valueOf("2025-06-02 01:00:00") // past the gate
+      val phase2 = datasets(reviseAuto = true).map { case (t, df, vf) =>
+        val r = runner.runDataset(t, df, vf)
+        (r.dataset, 2, r.status, r.newRows, r.updated, r.revisions)
+      }
+      (phase1 ++ phase2)
+        .toDF("dataset", "phase", "status", "new_rows", "updated", "revisions")
+        .orderBy("phase", "dataset")
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
 
   // ---------------------------------------------- diff-merge over testdata

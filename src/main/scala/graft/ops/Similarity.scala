@@ -42,11 +42,20 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int,
                      excludeSelf: Boolean = true): DataFrame = {
+    // norms are computed ONCE per vector on each side (map-side, before the
+    // join) — cosine inside the pair loop is then a single dot product,
+    // not three (norm recomputation per pair would triple the dominant
+    // interpreted-HOF cost)
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", l2Norm(col("qv")))
     val scored = c.join(broadcast(q),
         if (excludeSelf) col("nid") =!= col("qid") else lit(true))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("qid"), col("nid"),
+        when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(0.0)).as("cosine"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -81,12 +90,17 @@ object Similarity {
               vecCol: String, k: Int, numPlanes: Int = 8,
               excludeSelf: Boolean = true): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+        lshBucket(col(vecCol), numPlanes).as("bucket"))
+      .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
-      lshBucket(col(vecCol), numPlanes).as("bucket"))
+        lshBucket(col(vecCol), numPlanes).as("bucket"))
+      .withColumn("qn", l2Norm(col("qv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(if (excludeSelf) col("nid") =!= col("qid") else lit(true))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("qid"), col("nid"),
+        when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(0.0)).as("cosine"))
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
@@ -104,12 +118,17 @@ object Similarity {
               vecCol: String, k: Int, nCells: Int = 64): DataFrame = {
     val cell = (v: Column) => pmod(lshBucket(v, 16), lit(nCells))
     val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"),
-      cell(col(vecCol)).as("cell"))
+        cell(col(vecCol)).as("cell"))
+      .withColumn("cn", l2Norm(col("cv")))
     val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
-      cell(col(vecCol)).as("cell"))
+        cell(col(vecCol)).as("cell"))
+      .withColumn("qn", l2Norm(col("qv")))
     val scored = c.join(broadcast(q), Seq("cell"))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), cosine(col("qv"), col("cv")).as("cosine"))
+      .select(col("qid"), col("nid"),
+        when(col("qn") * col("cn") > 0,
+          dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(0.0)).as("cosine"))
     val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
