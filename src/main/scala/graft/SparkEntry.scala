@@ -139,13 +139,19 @@ object SparkEntry {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
+      // auto_sales goes through the YEAR-PARTITIONED scale path (dynamic
+      // partition overwrite); the rest use the plain per-table swap — both
+      // must produce identical counts
+      def run(t: String, df: DataFrame, vf: Seq[String]) =
+        if (t == auto.tableName) runner.runDatasetPartitioned(t, df, vf)
+        else runner.runDataset(t, df, vf)
       val phase1 = datasets(reviseAuto = false).map { case (t, df, vf) =>
-        val r = runner.runDataset(t, df, vf)
+        val r = run(t, df, vf)
         (r.dataset, 1, r.status, r.newRows, r.updated, r.revisions)
       }
       nowV = java.sql.Timestamp.valueOf("2025-06-02 01:00:00") // past the gate
       val phase2 = datasets(reviseAuto = true).map { case (t, df, vf) =>
-        val r = runner.runDataset(t, df, vf)
+        val r = run(t, df, vf)
         (r.dataset, 2, r.status, r.newRows, r.updated, r.revisions)
       }
       (phase1 ++ phase2)

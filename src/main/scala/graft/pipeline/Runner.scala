@@ -100,6 +100,78 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     }
   }
 
+  /** Scale path: the same merge with a YEAR-partitioned table layout and
+    * partition-scoped writes. The existing side is read with a partition
+    * filter on the years the incoming batch touches (directory pruning —
+    * untouched years are never read), and the write replaces only those
+    * year partitions (dynamic partition overwrite — untouched years are
+    * never written). Fixes the full-rewrite scale limit for good: cost per
+    * merge is O(touched partitions), not O(table).
+    *
+    * Semantics are identical to runDataset (same classify/revisions); rows
+    * in untouched years are existing_only by construction. */
+  def runDatasetPartitioned(tableName: String, canonical0: DataFrame,
+                            valueFields: Seq[String],
+                            gateHours: Int = 24): DatasetResult = {
+    val canonical = SmartUpdate.dedupeLastWins(canonical0, "date")
+      .withColumn("__year", substring(col("date"), 1, 4).cast("int"))
+      .cache()
+    try {
+      if (canonical.isEmpty)
+        return DatasetResult(tableName, "no_data", 0, 0, 0)
+      if (!shouldUpdate(tableName, gateHours))
+        return DatasetResult(tableName, "skipped", 0, 0, 0)
+      val ts = now()
+      val years = canonical.select("__year").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val existingTouched =
+        if (store.exists(tableName))
+          store.read(tableName).filter(col("__year").isin(years: _*))
+        else canonical.limit(0)
+      val cls = SmartUpdate.classify(canonical.drop("__year"),
+        existingTouched.drop("__year"), "date", valueFields).cache()
+      val changedSum = valueFields.map(f =>
+        sum(col(s"${f}_changed").cast("long"))).reduce(_ + _)
+      val cRow = cls.agg(
+        sum(when(col("status") === "new", 1L).otherwise(0L)),
+        sum(when(col("status") === "updated", 1L).otherwise(0L)),
+        changedSum).head()
+      def g(i: Int) = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
+      val counts = SmartUpdate.MergeCounts(g(0), g(1), g(2))
+      if (counts.newRows > 0 || counts.updated > 0) {
+        // partitions to rewrite = years that actually gained or changed a
+        // row; a full re-download with nothing new writes NOTHING (the
+        // reference's daily no-op run costs a classify, not a rewrite)
+        val newOrUpdatedKeys = cls
+          .filter(col("status").isin("new", "updated")).select(col("date"))
+          .withColumn("__year", substring(col("date"), 1, 4).cast("int"))
+          .cache()
+        val changedYears = newOrUpdatedKeys.select("__year").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val keptChanged = existingTouched
+          .filter(col("__year").isin(changedYears: _*))
+          .join(newOrUpdatedKeys.select("date"), Seq("date"), "left_anti")
+        val fresh = canonical
+          .join(newOrUpdatedKeys.select("date"), Seq("date"), "left_semi")
+        val cols = (Seq("date") ++ valueFields ++ Seq("__year")).map(col)
+        store.overwritePartitions(tableName,
+          keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*)),
+          Seq("__year"))
+      }
+      if (counts.revisions > 0) {
+        val revs = SmartUpdate.revisionsFromClassified(
+          cls, "date", valueFields, tableName, ts)
+        store.append(Registry.RevisionsTable, revs, maxFiles = 1)
+      }
+      setLastRun(tableName, ts)
+      DatasetResult(tableName, "success", counts.newRows, counts.updated,
+        counts.revisions)
+    } finally {
+      canonical.unpersist()
+      spark.catalog.clearCache()
+    }
+  }
+
   /** Fold per-dataset results into the run summary (main_azure.py:267-309)
     * and persist it (S11 — a table here; JSON via df.write.json if a blob
     * sink is wanted). */

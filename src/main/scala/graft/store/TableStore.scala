@@ -79,6 +79,21 @@ final class TableStore(spark: SparkSession, root: String) {
     if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
   }
 
+  /** Partition-scoped overwrite: the table is laid out as
+    * `table/<partCol>=<v>/...`; ONLY the partitions present in `df` are
+    * replaced (dynamic partition overwrite), untouched partitions are
+    * neither read nor written. This is the 100 TB incremental-merge write
+    * path: a daily batch touching one year rewrites one year, not a decade
+    * of history. Reads prune directories on any `partCol` predicate. */
+  def overwritePartitions(table: String, df: DataFrame,
+                          partCols: Seq[String]): Unit = {
+    recoverTable(table)
+    df.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partCols: _*)
+      .parquet(path(table))
+  }
+
   /** Append (revision log — append-only audit trail). */
   def append(table: String, df: DataFrame, maxFiles: Int = 1): Unit = {
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df

@@ -71,6 +71,41 @@ class RunnerSpec extends SparkSuite {
     assert(v == 7987.0)
   }
 
+  test("partitioned merge: only touched year partitions are rewritten") {
+    val (store, runner, setNow) = newEnv()
+    val (canon, snake) = canonical()
+    val r1 = runner.runDatasetPartitioned(cfg.tableName, canon, Seq(snake))
+    assert(r1.status == "success" && r1.newRows == 119)
+    val tableDir = new java.io.File(store.path(cfg.tableName))
+    def partFiles(year: Int) =
+      new java.io.File(tableDir, s"__year=$year").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toSet
+    val files2020Before = partFiles(2020)
+    assert(files2020Before.nonEmpty)
+
+    setNow("2025-06-03 00:00:00")
+    // revise one 2015 value: only __year=2015 may change
+    val revised = canon.withColumn(snake,
+      when(col("date") === "2015-07-01", col(snake) + 7).otherwise(col(snake)))
+    val r2 = runner.runDatasetPartitioned(cfg.tableName, revised, Seq(snake))
+    assert(r2.newRows == 0 && r2.updated == 1 && r2.revisions == 1)
+    assert(partFiles(2020) == files2020Before) // untouched partition intact
+
+    // read back: partition pruning on __year, revised value present,
+    // unchanged values preserved
+    val out = store.read(cfg.tableName)
+    assert(out.count() == 119)
+    assert(out.filter(col("date") === "2015-07-01").collect()
+      .head.getAs[Double](snake) == 7894.0)
+
+    // identical re-run: a no-op merge writes NOTHING (classify only)
+    setNow("2025-06-05 00:00:00")
+    val files2015 = partFiles(2015)
+    val r3 = runner.runDatasetPartitioned(cfg.tableName, revised, Seq(snake))
+    assert(r3.status == "success" && r3.newRows == 0 && r3.updated == 0)
+    assert(partFiles(2015) == files2015 && partFiles(2020) == files2020Before)
+  }
+
   test("empty input -> no_data, store untouched") {
     val (store, runner, _) = newEnv()
     val (canon, snake) = canonical()
