@@ -487,6 +487,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Structured Streaming: readStream over the events table -> watermarked
+    // tumbling-window counts -> memory sink (Trigger.AvailableNow drains the
+    // backlog and stops). Batch-equivalent oracle: hourly group counts.
+    "stream_window_counts" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // the table is a single parquet FILE; the file-stream source wants a
+      // directory, so stream the parent dir with a glob filter
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.StreamIngest.windowedCounts(ev, "ts", "1 hour", "2 hours")
+      val qn = "graft_stream_win"
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("window_start", "event_type")
+    }),
+
     // LLM multimodal: partition-parallel decode stub (mapPartitions shape)
     "mm_features" -> ((s, dir) => {
       Multimodal.prepare(t(s, dir, "documents"), "doc_id", "text", dims = 8)
@@ -778,6 +804,11 @@ object SparkEntry {
       """SELECT lang,
         |  COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fp
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_window_counts" ->
+      """SELECT date_trunc('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,

@@ -1,0 +1,133 @@
+package graft.streaming
+
+import graft.config.Registry
+import graft.merge.SmartUpdate
+import graft.store.TableStore
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import java.sql.Timestamp
+
+/** Structured Streaming surface of the engine.
+  *
+  * The reference is purely batch — its "streaming-ness" is a daily runbook
+  * (documentation/deployment_guide.md:123-138) and late/revised data is
+  * handled by the batch revision mechanism (SURVEY.md §2.14). This module
+  * maps that contract onto Structured Streaming without inventing new
+  * semantics:
+  *
+  *   - `ingest`: readStream -> foreachBatch -> the SAME smart_update merge
+  *     the batch path uses (Trigger.AvailableNow for catch-up runs). Each
+  *     micro-batch is a keyed diff-merge with CDC revisions — streaming
+  *     upsert with an audit trail, checkpointed for exactly-once effect on
+  *     the keyed store.
+  *   - `windowedCounts`: event-time tumbling windows with a watermark (the
+  *     late-data policy the reference lacks, expressed the Spark way).
+  *   - `sessionize`: flatMapGroupsWithState — the custom-state operator for
+  *     session building over a user event stream (gap-based), the shape a
+  *     training-data pipeline uses for clickstream/session corpora.
+  */
+object StreamIngest {
+
+  /** One observation of a series, as it arrives on the wire. */
+  final case class Obs(date: String, value: Double)
+
+  /** Stream ingest into the keyed store: every micro-batch runs the exact
+    * batch smart_update (full parity — tolerance, NaN skip, last-wins,
+    * revision fan-out), so a restart replays from the checkpoint into an
+    * idempotent keyed merge. */
+  def ingest(obs: DataFrame, store: TableStore, table: String,
+             valueField: String, checkpointDir: String,
+             now: () => Timestamp,
+             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // Trigger.AvailableNow = the catch-up/cron shape (drain the backlog,
+    // stop); pass ProcessingTime for a long-lived continuous ingest
+    obs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val canonical = batch.select(
+          col("date").cast("string").as("date"),
+          col("value").cast("double").as(valueField))
+        if (!canonical.isEmpty) {
+          val existing = store.readOrEmpty(table, canonical)
+          val (merged, revs, counts) = SmartUpdate.merge(
+            canonical, existing, "date", Seq(valueField), table, now())
+          store.overwrite(table, merged, maxFiles = 1)
+          if (counts.revisions > 0)
+            store.append(Registry.RevisionsTable, revs, maxFiles = 1)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Event-time tumbling-window counts with a watermark: the canonical
+    * streaming aggregation (late rows beyond the watermark are dropped,
+    * in-watermark updates revise the window row — upsert semantics that
+    * mirror the batch revision mechanism). */
+  def windowedCounts(events: DataFrame, tsCol: String = "ts",
+                     window: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col(tsCol), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"))
+
+  // ------------------------------------------------------------ sessions
+
+  final case class Ev(userId: Long, ts: Timestamp, eventType: String)
+  final case class SessionState(start: Long, last: Long, n: Long)
+  final case class Session(userId: Long, sessionStart: Timestamp,
+                           sessionEnd: Timestamp, events: Long)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session closes
+    * when no event arrives within `gapMinutes` (enforced by event-time
+    * timeout against the watermark). The custom-state shape the built-in
+    * operators can't express. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30,
+                 watermark: String = "1 hour"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+
+    def update(userId: Long, rows: Iterator[Ev],
+               state: GroupState[SessionState]): Iterator[Session] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator(Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[Session]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(s) if t - s.last <= gapMs =>
+              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+            case Some(s) =>
+              closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
+              cur = Some(SessionState(t, t, 1))
+            case None =>
+              cur = Some(SessionState(t, t, 1))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(update)
+  }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import graft.config.Registry
+import graft.store.TableStore
+import graft.streaming.StreamIngest
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import java.nio.file.Files
+import java.sql.Timestamp
+
+/** Structured Streaming parity tests: micro-batch ingest runs the exact
+  * batch smart_update; watermarked windows aggregate event time;
+  * flatMapGroupsWithState closes gap-based sessions. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("stream ingest: micro-batches merge with CDC revisions") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    val store = new TableStore(spark, dir)
+    val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Obs]
+    val q = StreamIngest.ingest(mem.toDF(), store, "sales", "sales",
+      s"$dir/_ckpt", () => ts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: three new observations -> 3 rows, no revisions
+    mem.addData(StreamIngest.Obs("2025-01-01", 100.0),
+      StreamIngest.Obs("2025-02-01", 200.0), StreamIngest.Obs("2025-03-01", 300.0))
+    q.processAllAvailable()
+    assert(store.read("sales").count() == 3)
+    assert(!store.exists(Registry.RevisionsTable))
+    // batch 2: one revised value -> merged in place + one revision row
+    mem.addData(StreamIngest.Obs("2025-01-01", 110.0))
+    q.processAllAvailable()
+    q.stop()
+    val sales = store.read("sales").orderBy("date").collect()
+    assert(sales.length == 3 && sales.head.getAs[Double]("sales") == 110.0)
+    val revs = store.read(Registry.RevisionsTable).collect()
+    assert(revs.length == 1)
+    assert(revs.head.getAs[Double]("old_value") == 100.0)
+    assert(revs.head.getAs[Double]("new_value") == 110.0)
+  }
+
+  test("watermarked windowed counts over an event stream") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val agg = StreamIngest.windowedCounts(
+      mem.toDF().toDF("ts", "event_type"), "ts", "1 hour", "2 hours")
+    val q = agg.writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("win_counts").start()
+    mem.addData(
+      (Timestamp.valueOf("2025-06-01 10:05:00"), "click"),
+      (Timestamp.valueOf("2025-06-01 10:45:00"), "click"),
+      (Timestamp.valueOf("2025-06-01 11:05:00"), "click"),
+      (Timestamp.valueOf("2025-06-01 10:20:00"), "view"))
+    q.processAllAvailable()
+    val out = spark.table("win_counts")
+      .orderBy("window_start", "event_type").collect()
+      .map(r => (r.getAs[Timestamp]("window_start").toString,
+        r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSeq
+    q.stop()
+    assert(out == Seq(
+      ("2025-06-01 10:00:00.0", "click", 2L),
+      ("2025-06-01 10:00:00.0", "view", 1L),
+      ("2025-06-01 11:00:00.0", "click", 1L)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Ev]
+    val sessions = StreamIngest.sessionize(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("sessions").start()
+    // user 1: two events 10 min apart (one session), then a 2h gap event
+    mem.addData(
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 10:00:00"), "view"),
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 10:10:00"), "click"))
+    q.processAllAvailable()
+    mem.addData(
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 13:00:00"), "view"))
+    q.processAllAvailable()
+    // advance the watermark far past the last session's timeout
+    mem.addData(
+      StreamIngest.Ev(2L, Timestamp.valueOf("2025-06-01 20:00:00"), "view"))
+    q.processAllAvailable()
+    val out = spark.table("sessions").orderBy("sessionStart").collect()
+      .map(r => (r.getAs[Long]("userId"),
+        r.getAs[Timestamp]("sessionStart").toString,
+        r.getAs[Long]("events"))).toSeq
+    q.stop()
+    // first session (2 events) closed by the gap event; the 13:00 session
+    // closed by the event-time timeout once the watermark passed it
+    assert(out.contains((1L, "2025-06-01 10:00:00.0", 2L)))
+    assert(out.contains((1L, "2025-06-01 13:00:00.0", 1L)))
+  }
+}
