@@ -376,6 +376,40 @@ object SparkEntry {
     // coerce -> gate -> smart_update -> metadata, two phases
     "pipeline_e2e" -> ((s, _) => pipelineE2E(s)),
 
+    // Read-side API surface: store populated via the runner, registered as
+    // SQL temp views, queried with spark.sql (the user-facing SQL path),
+    // plus the all-series pivot panel. Deterministic fixture values.
+    "api_store_sql" -> ((s, _) => {
+      import graft.api.EngineApi
+      import graft.config.Registry
+      import graft.pipeline.Runner
+      import graft.sources.GridSource
+      import graft.store.TableStore
+      val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
+        "fixtures" else "/root/repo/fixtures"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-api-q").toString
+        val store = new TableStore(s, dir)
+        val runner = new Runner(s, store,
+          () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
+        Seq("auto_sales" -> "edb_auto_sales.csv", "gas_price" -> "edb_gas_price.csv")
+          .foreach { case (name, file) =>
+            val cfg = Registry.edbConfigs.find(_.name == name).get
+            val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
+            val (canon, snake) = GridSource.canonicalize(
+              GridSource.processMonthly(grid, cfg), cfg)
+            runner.runDataset(cfg.tableName, canon, Seq(snake))
+          }
+        val api = new EngineApi(s, store)
+        api.registerViews()
+        s.sql("""SELECT a.date, a.sales, g.price
+                |FROM autosales a FULL OUTER JOIN gasprice g USING (date)
+                |WHERE a.date >= '2020-01-01' ORDER BY a.date""".stripMargin)
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // LLM dedup #1: exact content dedup via fingerprint hash-groupBy
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactSurvivors(t(s, dir, "documents"), "doc_id", "text")

@@ -1,0 +1,87 @@
+package graft.api
+
+import graft.config.Registry
+import graft.merge.RevisionHistory
+import graft.store.TableStore
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** The engine's read-side API over a populated TableStore: point lookups
+  * (S6), bulk init (S12), SQL surface (temp views per dataset), series
+  * reads, the all-series panel, revision history, and the run-summary JSON
+  * sink (S11). */
+final class EngineApi(spark: SparkSession, store: TableStore) {
+
+  /** S12: idempotent bulk init — every configured table becomes readable
+    * (empty with its date-keyed schema if no data yet), mirroring
+    * initialize_tables (azure_connector.py:427-471). */
+  def initTables(): Unit = {
+    import spark.implicits._
+    Registry.allConfigs.foreach { cfg =>
+      if (!store.exists(cfg.tableName)) {
+        val valueCols =
+          if (cfg.kind == Registry.NyuStern) Registry.nyuValueFields
+          else Seq(Registry.snakeCase(cfg.valueColumn))
+        val schema = StructType(StructField("date", StringType) +:
+          valueCols.map(c => StructField(c, org.apache.spark.sql.types.DoubleType)))
+        store.overwrite(cfg.tableName,
+          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+          maxFiles = 1)
+      }
+    }
+  }
+
+  /** S6: point lookup by (table, date key) — the (PartitionKey, RowKey) get
+    * (azure_connector.py:219-242). Dataset scoping is the table directory;
+    * the date predicate prunes parquet row groups. */
+  def pointLookup(table: String, date: String): Option[Row] =
+    if (!store.exists(table)) None
+    else store.read(table).filter(col("date") === date).collect().headOption
+
+  /** Read one series (S5 read-back), sorted. */
+  def series(table: String): DataFrame =
+    store.read(table).orderBy("date")
+
+  /** Register every existing table as a temp view so the whole store is
+    * SQL-queryable: `spark.sql("SELECT ... FROM autosales")`. */
+  def registerViews(): Seq[String] = {
+    val registered = Registry.allTables.filter(store.exists)
+    registered.foreach(t => store.read(t).createOrReplaceTempView(t))
+    registered
+  }
+
+  /** J2 panel over every populated single-value series: stack long then
+    * pivot once (one shuffle regardless of series count — Panel.panelByPivot
+    * scale path). */
+  def panelAll(): DataFrame = {
+    val series = Registry.allConfigs
+      .filter(c => c.kind != Registry.NyuStern && store.exists(c.tableName))
+    require(series.nonEmpty, "panelAll: no populated series")
+    val long = series.map { c =>
+      val v = Registry.snakeCase(c.valueColumn)
+      store.read(c.tableName).select(col("date"),
+        lit(c.tableName).as("dataset"), col(v).cast("double").as("value"))
+    }.reduce(_.unionByName(_))
+    Panel.panelByPivot(long, series.map(_.tableName))
+  }
+
+  /** §2.11 read path over the stored revision log. */
+  def revisionHistory(dataset: Option[String] = None, date: Option[String] = None,
+                      field: Option[String] = None, limit: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    val revs =
+      if (store.exists(Registry.RevisionsTable)) store.read(Registry.RevisionsTable)
+      else Seq.empty[(String, String, String, Double, Double, java.sql.Timestamp)]
+        .toDF("dataset", "data_date", "value_field", "old_value", "new_value", "revision_date")
+    RevisionHistory.query(revs, dataset, date, field, limit)
+  }
+
+  /** S11: run-summary JSON sink (`logs/run_summary_{ts}.json`,
+    * main_azure.py:214-234) — one JSON file per run under the store root. */
+  def saveRunSummaryJson(summary: DataFrame, runStamp: String): String = {
+    val target = store.path(s"logs/run_summary_$runStamp")
+    summary.coalesce(1).write.mode("overwrite").json(target)
+    target
+  }
+}
