@@ -746,7 +746,7 @@ object SparkEntry {
         |  ('individualloans', 1, 'success', 40, 0, 0),
         |  ('federalfundsrate', 1, 'success', 127, 0, 0),
         |  ('realgdp', 1, 'success', 44, 0, 0),
-        |  ('equityriskpremium', 1, 'success', 6, 0, 0),
+        |  ('equityriskpremium', 1, 'success', 4, 0, 0),
         |  ('autosales', 2, 'success', 0, 1, 1),
         |  ('gasprice', 2, 'success', 0, 0, 0),
         |  ('individualloans', 2, 'success', 0, 0, 0),

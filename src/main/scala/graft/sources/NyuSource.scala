@@ -57,9 +57,14 @@ object NyuSource {
         }
         val rates = Registry.nyuValueFields.map(f =>
           Percent.normalize(col(f)).as(f))
+        // the reference's `df.dropna()` drops rows with ANY NaN cell
+        // (azure_nyu_scraper.py:161). One deliberate typed-engine divergence:
+        // an unparseable STRING survives dropna in the reference (it isn't
+        // NaN) and would be stored as a string; a typed double column cannot
+        // hold it, so here junk parses to null and the row drops with it.
         renamed.select(to_date(col("date")).as("date") +: rates: _*)
           .na.drop(Seq("date"))
-          .na.drop("all", Registry.nyuValueFields)
+          .na.drop("any", Registry.nyuValueFields)
           .orderBy("date")
     }
   }

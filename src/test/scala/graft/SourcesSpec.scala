@@ -89,12 +89,14 @@ class SourcesSpec extends SparkSuite {
       d.endsWith("-07-01") || d.endsWith("-10-01")))
   }
 
-  test("NYU: fuzzy header resolution, percent heuristic, null-row policy") {
+  test("NYU: fuzzy header resolution, percent heuristic, dropna-any policy") {
     val sheet = NyuSource.readSheet(spark, s"$fx/nyu_erp.csv")
     val out = NyuSource.process(sheet)
     val rows = out.collect()
-    // 2024-07-01 row (all three values empty) is dropped; others survive
-    assert(rows.length == 6)
+    // reference dropna(): any missing cell kills the row -> 2024-05 (empty
+    // erp + junk tbond), 2024-06 and 2024-07 (empty cells) all drop;
+    // 2024-01..04 survive fully parsed
+    assert(rows.length == 4)
     val jan = rows.head
     assert(jan.getAs[java.sql.Date]("date").toString == "2024-01-01")
     assert(math.abs(jan.getAs[Double]("tbond_rate") - 0.0396) < 1e-9)  // "3.96%"
@@ -102,10 +104,7 @@ class SourcesSpec extends SparkSuite {
     assert(math.abs(feb.getAs[Double]("tbond_rate") - 0.0409) < 1e-9)  // 4.09 > 0.2
     val mar = rows(2)
     assert(math.abs(mar.getAs[Double]("tbond_rate") - 0.0425) < 1e-9)  // 0.0425 kept
-    // 'bogus' cell -> null but row survives (other fields present)
-    val may = rows(4)
-    assert(may.isNullAt(may.fieldIndex("tbond_rate")))
-    assert(math.abs(may.getAs[Double]("erp_t12m") - 0.045) < 1e-9)
+    assert(rows.forall(r => Registry.nyuValueFields.forall(f => !r.isNullAt(r.fieldIndex(f)))))
   }
 
   test("NYU: unresolvable headers produce an empty frame, not a crash") {
