@@ -503,6 +503,31 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // LLM text: order-sensitive rolling-hash fingerprint per doc
+    "text_rolling_fp" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("rfp"))
+        .orderBy("doc_id")
+    }),
+
+    // LLM dedup: embedding-cosine near-dup pairs (exact, bounded subset)
+    "dedup_embedding" -> ((s, dir) => {
+      Similarity.cosinePairsAbove(
+          t(s, dir, "embeddings").filter(col("vec_id") < 200),
+          "vec_id", "embedding", threshold = 0.2)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("idA", "idB")
+    }),
+
+    // LLM dedup: embedding-cosine near-dup, LSH-bucketed scale path
+    "dedup_embedding_lsh" -> ((s, dir) => {
+      Similarity.embeddingNearDupLsh(t(s, dir, "embeddings"),
+          "vec_id", "embedding", threshold = 0.2, numPlanes = 4)
+        .select(col("idA"), col("idB"), round(col("cosine"), 6).as("cosine"))
+        .orderBy("idA", "idB")
+    }),
+
     // LLM text: content fingerprint cardinality per language
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -833,6 +858,26 @@ object SparkEntry {
         |  SUM(CASE WHEN nc BETWEEN 20 AND 20000 AND pr < 0.2
         |           AND mwl BETWEEN 2.0 AND 14.0 THEN 1 ELSE 0 END) AS n_pass
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(regexp_extract_all(lower(text), '\S+'),
+        |        t -> CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT))),
+        |    (acc, h) -> (acc * 1000003 + h) % 2147483647) AS rfp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH v AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+        |p AS (SELECT a.vec_id AS idA, b.vec_id AS idB,
+        |  list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT idA, idB, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.2 ORDER BY idA, idB""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT lang,

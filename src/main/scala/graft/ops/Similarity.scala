@@ -108,6 +108,41 @@ object Similarity {
       .select("qid", "nid", "rank", "cosine")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: all pairs (idA < idB)
+    * with cosine >= threshold. O(n^2) — for bounded subsets and as the
+    * oracle baseline; the scale path is embeddingNearDupLsh. */
+  def cosinePairsAbove(df: DataFrame, idCol: String, vecCol: String,
+                       threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("idA"), asDouble(col(vecCol)).as("va"))
+      .withColumn("na", l2Norm(col("va")))
+    val b = df.select(col(idCol).as("idB"), asDouble(col(vecCol)).as("vb"))
+      .withColumn("nb", l2Norm(col("vb")))
+    a.join(broadcast(b), col("idA") < col("idB"))
+      .select(col("idA"), col("idB"),
+        when(col("na") * col("nb") > 0,
+          dot(col("va"), col("vb")) / (col("na") * col("nb")))
+          .otherwise(lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup at scale: candidates ONLY from equal LSH
+    * buckets (hyperplane signs — high-cosine pairs agree on most signs),
+    * verified by exact cosine. The dedup flavor for embedding-keyed corpora:
+    * drop idB of every pair to keep min-id representatives. */
+  def embeddingNearDupLsh(df: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, numPlanes: Int = 6): DataFrame = {
+    val f = df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+        lshBucket(col(vecCol), numPlanes).as("bucket"))
+      .withColumn("n", l2Norm(col("v")))
+    f.as("a").join(f.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        when(col("a.n") * col("b.n") > 0,
+          dot(col("a.v"), col("b.v")) / (col("a.n") * col("b.n")))
+          .otherwise(lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF-style variant: assign every vector to its nearest of `nCells`
     * hash-derived centroid surrogates (here: LSH bucket modulo nCells as the
     * cell id — a centroid-free stand-in that keeps the partition-local

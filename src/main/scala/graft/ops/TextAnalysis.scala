@@ -91,4 +91,19 @@ object TextAnalysis {
     * The canonical exact-dedup key (same hex in Spark and DuckDB). */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "\\s+", " "))
+
+  /** Rolling (Karp-Rabin-style) polynomial fingerprint over tokens:
+    * fp = fold(tokens, 0, (acc, t) -> (acc*B + h(t)) mod M) with
+    * M = 2^31-1, B = 1000003, h(t) = first 8 md5 hex digits as int.
+    * Order-sensitive (unlike the md5 set fingerprint) — detects
+    * reorderings; bounds keep every intermediate < 2^52, so the fold is
+    * ANSI-overflow-safe and bit-identical across engines. */
+  def rollingFingerprint(text: Column): Column = {
+    val M = 2147483647L
+    val B = 1000003L
+    val tokHash = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => pmod(acc * B + tokHash(t), lit(M)))
+  }
 }

@@ -89,4 +89,26 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("nid").as[Long].collect().toSeq
     assert(out.contains(4L))
   }
+
+  test("embedding-cosine near-dup: exact and LSH paths find the planted pair") {
+    val exact = Similarity.cosinePairsAbove(vecs, "vec_id", "embedding", 0.99)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(exact.contains((0L, 4L)))         // identical vectors
+    assert(!exact.contains((0L, 2L)))        // orthogonal
+    val lsh = Similarity.embeddingNearDupLsh(vecs, "vec_id", "embedding",
+        0.99, numPlanes = 4)
+      .select("idA", "idB").as[(Long, Long)].collect().toSet
+    assert(lsh.contains((0L, 4L)))           // same bucket, verified
+  }
+
+  test("rolling fingerprint: order-sensitive, stable") {
+    import graft.ops.TextAnalysis
+    val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
+      (3L, "alpha beta gamma")).toDF("id", "t")
+    val fps = d.select(col("id"), TextAnalysis.rollingFingerprint(col("t")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L))  // same order -> same fingerprint
+    assert(fps(1L) != fps(2L))  // reordered tokens -> different
+    assert(fps.values.forall(v => v >= 0 && v < 2147483647L))
+  }
 }
