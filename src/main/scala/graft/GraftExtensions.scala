@@ -1,0 +1,31 @@
+package graft
+
+import graft.expressions.CosineSimilarity
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * Catalyst expressions into the session's function registry so they are
+  * callable from SQL text and `call_function`.
+  *
+  * Activate with `.config("spark.sql.extensions", "graft.GraftExtensions")`
+  * (Bench/Verify/test sessions do).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "cosine_sim(arrayA, arrayB)")
+        // accept array<float>/array<int>/... by casting up front
+        val toDouble = (e: Expression) => e.dataType match {
+          case ArrayType(DoubleType, _) => e
+          case _ => Cast(e, ArrayType(DoubleType))
+        }
+        CosineSimilarity(toDouble(children.head), toDouble(children(1)))
+      }))
+  }
+}

@@ -451,6 +451,26 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Same top-k via the NATIVE Catalyst expression (custom Expression with
+    // doGenCode, registered through SparkSessionExtensions) — identical
+    // results to ann_brute, fused codegen loop instead of interpreted HOFs
+    "ann_brute_native" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+      val c = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"),
+          call_function("cosine_sim", col("qv"), col("cv")).as("cosine"))
+      val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // LLM similarity: LSH-bucketed approximate top-k (the 100 TB path)
     "ann_lsh" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -800,6 +820,21 @@ object SparkEntry {
         |ORDER BY idA""".stripMargin,
 
     "ann_brute" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
+        |p AS (SELECT qid, nid,
+        |  list_sum(list_transform(range(1, len(qe) + 1),
+        |    i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE))) /
+        |  (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |   sqrt(list_sum(list_transform(ce, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cosine
+        |  FROM q, c WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "ann_brute_native" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         |c AS (SELECT vec_id AS nid, embedding AS ce FROM embeddings),
         |p AS (SELECT qid, nid,

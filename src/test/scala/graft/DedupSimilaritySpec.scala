@@ -101,6 +101,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(lsh.contains((0L, 4L)))           // same bucket, verified
   }
 
+  test("native cosine_sim expression matches the HOF formulation") {
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .select(
+        Similarity.cosine(Similarity.asDouble(col("a.embedding")),
+          Similarity.asDouble(col("b.embedding"))).as("hof"),
+        call_function("cosine_sim", col("a.embedding"), col("b.embedding")).as("native"))
+      .collect()
+    assert(pairs.length == 25)
+    assert(pairs.forall(r => math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // SQL-text surface works too (registered via SparkSessionExtensions)
+    vecs.createOrReplaceTempView("vecs_t")
+    val viaSql = spark.sql(
+      """SELECT cosine_sim(a.embedding, b.embedding) AS c
+        |FROM vecs_t a JOIN vecs_t b ON a.vec_id = 0 AND b.vec_id = 4""".stripMargin)
+      .collect().head.getDouble(0)
+    assert(math.abs(viaSql - 1.0) < 1e-12)
+  }
+
   test("rolling fingerprint: order-sensitive, stable") {
     import graft.ops.TextAnalysis
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
