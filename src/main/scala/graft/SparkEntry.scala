@@ -209,6 +209,19 @@ object SparkEntry {
         .orderBy("c_mktsegment")
     }),
 
+    // Skew path: salted join + salted two-phase agg — results must be
+    // IDENTICAL to the plain formulations (oracle is the unsalted SQL)
+    "q21_salted" -> ((s, dir) => {
+      val joined = Skew.saltedJoin(
+        t(s, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        Seq("l_orderkey"), salts = 8)
+      Skew.saltedSumCount(joined, Seq("o_orderpriority"), "l_quantity", 8)
+        .withColumnRenamed("sum_l_quantity", "sum_qty")
+        .orderBy("o_orderpriority")
+    }),
+
     // O3: global top-K (TakeOrderedAndProject, no full sort)
     "q04_topk_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -631,6 +644,11 @@ object SparkEntry {
     "q04_topk_orders" ->
       """SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q21_salted" ->
+      """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q05_melt" ->
       """SELECT p_partkey, 'p_size' AS variable, CAST(p_size AS DOUBLE) AS value FROM part

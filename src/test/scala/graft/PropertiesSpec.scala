@@ -1,0 +1,93 @@
+package graft
+
+import graft.merge.SmartUpdate
+import graft.ops.Reshape
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties, Test}
+import java.sql.Timestamp
+
+/** Property-based invariants (SURVEY.md §5.2). Spark jobs per case are
+  * expensive — minSuccessfulTests is capped low; the generators still cover
+  * sign/magnitude/duplicate-key structure. */
+object GraftProperties extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8).withMaxDiscardRatio(10)
+
+  private lazy val spark = SparkSuite.spark
+  import spark.implicits._
+  private val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+  private val emptyDV = Seq.empty[(String, Double)].toDF("date", "value")
+
+  private val dateGen: Gen[String] = for {
+    y <- Gen.choose(2015, 2025); m <- Gen.choose(1, 12)
+  } yield f"$y%04d-$m%02d-01"
+
+  private val valueGen: Gen[Double] =
+    Gen.oneOf(Gen.choose(-1e6, 1e6), Gen.choose(-1.0, 1.0))
+
+  private val batchGen: Gen[Map[String, Double]] = for {
+    n <- Gen.choose(1, 8)
+    dates <- Gen.listOfN(n, dateGen)
+    values <- Gen.listOfN(n, valueGen)
+  } yield dates.zip(values).toMap // map => unique keys
+
+  // smart_update idempotence: merging the same batch twice changes nothing
+  property("smartUpdate.idempotent") = Prop.forAll(batchGen) { batch =>
+    val df = batch.toSeq.toDF("date", "value")
+    val (m1, _, c1) = SmartUpdate.merge(df, emptyDV, "date", Seq("value"), "p", ts)
+    val (_, _, c2) = SmartUpdate.merge(df, m1, "date", Seq("value"), "p", ts)
+    c1.newRows == batch.size && c2 == SmartUpdate.MergeCounts(0, 0, 0)
+  }
+
+  // tolerance law: |delta| <= 0.001 never revises; |delta| > 0.0011 always does
+  property("smartUpdate.toleranceLaw") = Prop.forAll(
+    dateGen, Gen.choose(-1000.0, 1000.0), Gen.choose(-0.001, 0.001),
+    Gen.choose(0.0012, 10.0)) { (d, v, small, big) =>
+    val base = Seq((d, v)).toDF("date", "value")
+    val (m1, _, _) = SmartUpdate.merge(base, emptyDV, "date", Seq("value"), "p", ts)
+    val (_, _, cSmall) = SmartUpdate.merge(
+      Seq((d, v + small)).toDF("date", "value"), m1, "date", Seq("value"), "p", ts)
+    val (_, _, cBig) = SmartUpdate.merge(
+      Seq((d, v + big)).toDF("date", "value"), m1, "date", Seq("value"), "p", ts)
+    // small may round to a representable delta <= 0.001 -> never revise is
+    // only guaranteed when the FLOAT difference is within tolerance
+    val smallOk =
+      if (math.abs((v + small) - v) <= SmartUpdate.Tolerance)
+        cSmall == SmartUpdate.MergeCounts(0, 0, 0)
+      else cSmall == SmartUpdate.MergeCounts(0, 1, 1)
+    smallOk && cBig == SmartUpdate.MergeCounts(0, 1, 1)
+  }
+
+  // revision count == number of fields whose change exceeds tolerance
+  property("smartUpdate.revisionCountLaw") = Prop.forAll(
+    dateGen, valueGen, valueGen,
+    Gen.oneOf(0.0, 0.01), Gen.oneOf(0.0, 0.01)) { (d, a, b, da, db) =>
+    val base = Seq((d, a, b)).toDF("date", "fa", "fb")
+    val emptyAB = Seq.empty[(String, Double, Double)].toDF("date", "fa", "fb")
+    val (m1, _, _) = SmartUpdate.merge(base, emptyAB, "date", Seq("fa", "fb"), "p", ts)
+    val (_, revs, c) = SmartUpdate.merge(
+      Seq((d, a + da, b + db)).toDF("date", "fa", "fb"),
+      m1, "date", Seq("fa", "fb"), "p", ts)
+    val expected = Seq(
+      math.abs((a + da) - a) > SmartUpdate.Tolerance,
+      math.abs((b + db) - b) > SmartUpdate.Tolerance).count(identity)
+    c.revisions == expected && revs.count() == expected &&
+      c.updated == (if (expected > 0) 1 else 0)
+  }
+
+  // melt -> pivot round-trip recovers the wide table
+  property("melt.pivotRoundTrip") = Prop.forAll(
+    Gen.choose(1, 5), Gen.listOfN(5, valueGen), Gen.listOfN(5, valueGen)) {
+    (n, as, bs) =>
+      val wide = (0 until n).map(i => (i, as(i), bs(i))).toDF("id", "a", "b")
+      val long = Reshape.melt(wide, Seq("id"), Seq("a", "b"))
+      val back = long.groupBy("id").pivot("variable", Seq("a", "b"))
+        .agg(first("value"))
+      val orig = wide.orderBy("id").collect().map(r =>
+        (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val rt = back.orderBy("id").collect().map(r =>
+        (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
+      rt == orig
+  }
+}
