@@ -140,20 +140,22 @@ object SparkEntry {
     s.conf.set("spark.sql.shuffle.partitions", "2")
     try {
       // auto_sales goes through the YEAR-PARTITIONED scale path (dynamic
-      // partition overwrite); the rest use the plain per-table swap — both
-      // must produce identical counts
-      def run(t: String, df: DataFrame, vf: Seq[String]) =
-        if (t == auto.tableName) runner.runDatasetPartitioned(t, df, vf)
-        else runner.runDataset(t, df, vf)
-      val phase1 = datasets(reviseAuto = false).map { case (t, df, vf) =>
-        val r = run(t, df, vf)
-        (r.dataset, 1, r.status, r.newRows, r.updated, r.revisions)
+      // partition overwrite); the other five run CONCURRENTLY via the
+      // parallel per-dataset runner (§7.6a) — counts must be identical
+      // either way
+      def runPhase(phase: Int, reviseAuto: Boolean) = {
+        val ds = datasets(reviseAuto)
+        val (autoDs, rest) = ds.partition(_._1 == auto.tableName)
+        val autoR = autoDs.map { case (t, df, vf) =>
+          runner.runDatasetPartitioned(t, df, vf)
+        }
+        val restR = runner.runAllParallel(rest, parallelism = 5)
+        (autoR ++ restR).map(r =>
+          (r.dataset, phase, r.status, r.newRows, r.updated, r.revisions))
       }
+      val phase1 = runPhase(1, reviseAuto = false)
       nowV = java.sql.Timestamp.valueOf("2025-06-02 01:00:00") // past the gate
-      val phase2 = datasets(reviseAuto = true).map { case (t, df, vf) =>
-        val r = run(t, df, vf)
-        (r.dataset, 2, r.status, r.newRows, r.updated, r.revisions)
-      }
+      val phase2 = runPhase(2, reviseAuto = true)
       (phase1 ++ phase2)
         .toDF("dataset", "phase", "status", "new_rows", "updated", "revisions")
         .orderBy("phase", "dataset")
@@ -407,14 +409,16 @@ object SparkEntry {
         val store = new TableStore(s, dir)
         val runner = new Runner(s, store,
           () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
-        Seq("auto_sales" -> "edb_auto_sales.csv", "gas_price" -> "edb_gas_price.csv")
-          .foreach { case (name, file) =>
+        val datasets = Seq("auto_sales" -> "edb_auto_sales.csv",
+            "gas_price" -> "edb_gas_price.csv")
+          .map { case (name, file) =>
             val cfg = Registry.edbConfigs.find(_.name == name).get
             val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
             val (canon, snake) = GridSource.canonicalize(
               GridSource.processMonthly(grid, cfg), cfg)
-            runner.runDataset(cfg.tableName, canon, Seq(snake))
+            (cfg.tableName, canon, Seq(snake))
           }
+        runner.runAllParallel(datasets)
         val api = new EngineApi(s, store)
         api.registerViews()
         s.sql("""SELECT a.date, a.sales, g.price

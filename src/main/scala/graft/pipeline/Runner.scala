@@ -33,7 +33,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     * reference does point lookups against the store; here we load it once
     * per Runner and write-through on update, saving a table read per
     * dataset (26 reads per run at full inventory). */
-  private var metadataCache: Option[Map[String, Timestamp]] = None
+  @volatile private var metadataCache: Option[Map[String, Timestamp]] = None
 
   private def metadata: Map[String, Timestamp] = metadataCache.getOrElse {
     val m =
@@ -69,17 +69,21 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
 
   /** Run one dataset: canonical long frame in, merge + revisions + metadata
     * out. `canonical` must be (date: 'YYYY-MM-DD' string, <value fields>). */
-  def runDataset(tableName: String, canonical0: DataFrame,
-                 valueFields: Seq[String], gateHours: Int = 24): DatasetResult = {
+  /** Core merge for one dataset: classify + table write, returning the
+    * revision frame for the caller to persist (kept separate so parallel
+    * runs can serialize the shared revisions/metadata writes). */
+  private def mergeCore(tableName: String, canonical0: DataFrame,
+                        valueFields: Seq[String], gateHours: Int)
+      : (DatasetResult, Option[DataFrame]) = {
     // the merge fires several actions against the incoming frame (classify
     // aggregate, key joins, the final write) — cache it so the source
     // pipeline (file read + reshape + sort) runs once, not per action
     val canonical = canonical0.cache()
     try {
       if (canonical.isEmpty)
-        return DatasetResult(tableName, "no_data", 0, 0, 0)
+        return (DatasetResult(tableName, "no_data", 0, 0, 0), None)
       if (!shouldUpdate(tableName, gateHours))
-        return DatasetResult(tableName, "skipped", 0, 0, 0)
+        return (DatasetResult(tableName, "skipped", 0, 0, 0), None)
       val ts = now()
       val existing = store.readOrEmpty(tableName, canonical)
       val (merged, revs, counts) = SmartUpdate.merge(
@@ -87,17 +91,54 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       store.overwrite(tableName, merged, maxFiles = 1)
       // counts.revisions is already computed by the merge's single aggregate
       // pass — no extra isEmpty action on the revision frame
-      if (counts.revisions > 0)
-        store.append(Registry.RevisionsTable, revs, maxFiles = 1)
-      setLastRun(tableName, ts)
-      DatasetResult(tableName, "success", counts.newRows, counts.updated,
-        counts.revisions)
-    } finally {
-      canonical.unpersist()
-      // also drops the merge's internal classify cache (its consumers —
-      // the store write and revision append — have materialized by now)
-      spark.catalog.clearCache()
+      val revsOut = if (counts.revisions > 0) Some(revs.cache()) else None
+      revsOut.foreach(_.count()) // materialize before canonical unpersists
+      (DatasetResult(tableName, "success", counts.newRows, counts.updated,
+        counts.revisions), revsOut)
+    } finally canonical.unpersist()
+  }
+
+  def runDataset(tableName: String, canonical0: DataFrame,
+                 valueFields: Seq[String], gateHours: Int = 24): DatasetResult = {
+    val (result, revs) = mergeCore(tableName, canonical0, valueFields, gateHours)
+    revs.foreach { r =>
+      store.append(Registry.RevisionsTable, r, maxFiles = 1)
+      r.unpersist()
     }
+    if (result.status == "success") setLastRun(tableName, now())
+    result
+  }
+
+  /** §7.6(a): per-dataset PARALLEL execution — the reference's sequential
+    * 26-dataset loop (main_azure.py:136-152) becomes a pool of concurrent
+    * Spark jobs (the scheduler interleaves them across executor threads).
+    * Per-dataset table writes target distinct directories and are safe
+    * concurrently; the SHARED writes — datarevisions append, metadata —
+    * are collected and applied once, serially, at the end. */
+  def runAllParallel(datasets: Seq[(String, DataFrame, Seq[String])],
+                     gateHours: Int = 24, parallelism: Int = 8): Seq[DatasetResult] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(parallelism, math.max(1, datasets.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = datasets.map { case (table, df, vf) =>
+        Future(mergeCore(table, df, vf, gateHours))
+      }
+      val outcomes = Await.result(Future.sequence(futures), Duration.Inf)
+      val allRevs = outcomes.flatMap(_._2)
+      if (allRevs.nonEmpty) {
+        store.append(Registry.RevisionsTable,
+          allRevs.reduce(_.unionByName(_)), maxFiles = 1)
+        allRevs.foreach(_.unpersist())
+      }
+      val ts = now()
+      outcomes.foreach { case (r, _) =>
+        if (r.status == "success") setLastRun(r.dataset, ts)
+      }
+      outcomes.map(_._1)
+    } finally pool.shutdown()
   }
 
   /** Scale path: the same merge with a YEAR-partitioned table layout and
@@ -166,10 +207,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       setLastRun(tableName, ts)
       DatasetResult(tableName, "success", counts.newRows, counts.updated,
         counts.revisions)
-    } finally {
-      canonical.unpersist()
-      spark.catalog.clearCache()
-    }
+    } finally canonical.unpersist()
   }
 
   /** Fold per-dataset results into the run summary (main_azure.py:267-309)

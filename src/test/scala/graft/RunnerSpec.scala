@@ -114,6 +114,35 @@ class RunnerSpec extends SparkSuite {
     assert(!store.exists(cfg.tableName))
   }
 
+  test("parallel runner: same results as serial, shared writes intact") {
+    val (store, runner, setNow) = newEnv()
+    val (canon, snake) = canonical()
+    val gasCfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    val gasGrid = GridSource.readGrid(spark, "fixtures/edb_gas_price.csv", gasCfg.dataLocation)
+    val (gasCanon, gasSnake) = GridSource.canonicalize(
+      GridSource.processMonthly(gasGrid, gasCfg), gasCfg)
+    val r1 = runner.runAllParallel(Seq(
+      (cfg.tableName, canon, Seq(snake)),
+      (gasCfg.tableName, gasCanon, Seq(gasSnake))))
+    assert(r1.map(r => r.dataset -> r.newRows).toMap ==
+      Map(cfg.tableName -> 119L, gasCfg.tableName -> 118L))
+    // second parallel run with one revision in each dataset
+    setNow("2025-06-03 00:00:00")
+    val canonR = canon.withColumn(snake,
+      when(col("date") === "2015-07-01", col(snake) + 5).otherwise(col(snake)))
+    val gasR = gasCanon.withColumn(gasSnake,
+      when(col("date") === "2015-08-01", col(gasSnake) + 5).otherwise(col(gasSnake)))
+    val r2 = runner.runAllParallel(Seq(
+      (cfg.tableName, canonR, Seq(snake)),
+      (gasCfg.tableName, gasR, Seq(gasSnake))))
+    assert(r2.forall(r => r.updated == 1 && r.revisions == 1))
+    // shared revisions table got both datasets' rows in one append
+    val revs = store.read(Registry.RevisionsTable).collect()
+    assert(revs.length == 2)
+    assert(revs.map(_.getAs[String]("dataset")).toSet ==
+      Set(cfg.tableName, gasCfg.tableName))
+  }
+
   test("run summary persists one row per dataset") {
     val (store, runner, _) = newEnv()
     val (canon, snake) = canonical()
