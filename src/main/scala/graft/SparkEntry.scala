@@ -108,8 +108,13 @@ object SparkEntry {
     val gdp = Registry.fredConfigs.find(_.name == "real_gdp").get
 
     def datasets(reviseAuto: Boolean): Seq[(String, DataFrame, Seq[String])] = {
-      val (autoC, autoS) = GridSource.canonicalize(GridSource.processMonthly(
-        GridSource.readGrid(s, s"$fx/edb_auto_sales.csv", auto.dataLocation), auto), auto)
+      // auto_sales reads through the DataSourceV2 connector (executor-side
+      // parse); the other grids use the driver-side reader — same output
+      val autoGrid = s.read.format("edb-grid")
+        .option("dataLocation", auto.dataLocation)
+        .load(s"$fx/edb_auto_sales.csv")
+      val (autoC, autoS) = GridSource.canonicalize(
+        GridSource.processMonthly(autoGrid, auto), auto)
       val autoFinal = if (reviseAuto)
         autoC.withColumn(autoS, when(col("date") === "2015-07-01",
           col(autoS) + 500).otherwise(col(autoS)))

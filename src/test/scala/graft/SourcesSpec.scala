@@ -107,6 +107,22 @@ class SourcesSpec extends SparkSuite {
     assert(rows.forall(r => Registry.nyuValueFields.forall(f => !r.isNullAt(r.fieldIndex(f)))))
   }
 
+  test("DataSourceV2 edb-grid connector matches the driver-side reader") {
+    val v2 = spark.read.format("edb-grid")
+      .option("dataLocation", autoCfg.dataLocation)
+      .load(s"$fx/edb_auto_sales.csv")
+    val v1 = GridSource.readGrid(spark, s"$fx/edb_auto_sales.csv", autoCfg.dataLocation)
+    assert(v2.schema == v1.schema)
+    val a = v2.orderBy("__row_idx").collect().map(_.toSeq).toSeq
+    val b = v1.orderBy("__row_idx").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the full monthly pipeline works on the connector output unchanged
+    val out = GridSource.processMonthly(v2, autoCfg)
+    assert(out.count() == 119)
+    // column pruning reaches the connector
+    assert(v2.select("__row_idx").count() == 13)
+  }
+
   test("NYU: unresolvable headers produce an empty frame, not a crash") {
     import spark.implicits._
     val bad = Seq(("x", "y")).toDF("colA", "colB")
