@@ -372,6 +372,16 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // W: year-over-year change (lag 12 on the monthly grid)
+    "q22_yoy" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(FiscalDates.monthStart(col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("cnt"))
+      Analytics.yoyChange(monthly, Seq.empty, "month", "cnt", periodsPerYear = 12)
+        .select("month", "cnt", "yoy_prev", "yoy_change")
+        .orderBy("month")
+    }),
+
     // U1: union of status frames (run-summary concat analog)
     "q19_union" -> ((s, dir) => {
       val a = events(s, dir).groupBy(col("event_type").as("name"))
@@ -790,6 +800,15 @@ object SparkEntry {
         |  AVG(cnt) OVER (ORDER BY date ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
         |    AS rolling_mean_7
         |FROM d ORDER BY date""".stripMargin,
+
+    "q22_yoy" ->
+      """WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |                  COUNT(*) AS cnt
+        |           FROM orders GROUP BY 1)
+        |SELECT month, cnt,
+        |  lag(cnt, 12) OVER (ORDER BY month) AS yoy_prev,
+        |  cnt - lag(cnt, 12) OVER (ORDER BY month) AS yoy_change
+        |FROM m ORDER BY month""".stripMargin,
 
     "q19_union" ->
       """SELECT name, n FROM (

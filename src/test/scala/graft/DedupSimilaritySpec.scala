@@ -62,6 +62,14 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
   }
 
+  test("char shingles: k-length, whitespace-normalized, distinct") {
+    val out = Seq("aa  bb").toDF("t")
+      .select(Dedup.charShingles(col("t"), 3).as("sh"))
+      .as[Seq[String]].collect().head
+    assert(out.toSet == Set("aa ", "a b", " bb"))
+    assert(out.forall(_.length == 3))
+  }
+
   test("simhash quarters are 16-bit non-negative ints") {
     val q = Dedup.simhashQuarters(docs, "doc_id", "text")
       .select(explode(col("sh"))).as[Int].collect()
