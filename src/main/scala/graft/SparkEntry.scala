@@ -399,6 +399,42 @@ object SparkEntry {
         .select("event_id", "ts", "event_type")
     }),
 
+    // Semi-structured: JSON props extraction + typed aggregate
+    "q23_json" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+          min("k").as("min_k"), max("k").as("max_k"))
+        .orderBy("event_type")
+    }),
+
+    // Exact percentiles (interpolated) per group
+    "q24_percentile" -> ((s, dir) => {
+      t(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // Multi-dimensional aggregate: ROLLUP over (returnflag, linestatus)
+    "q25_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), sum("l_quantity").as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Generator + heavy-shuffle aggregate: corpus-wide top tokens
+    "text_topwords" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token")).limit(20)
+    }),
+
     // golden contract: reference's smart_update 3-new/2-updated/2-revisions
     "smart_update_counts" -> ((s, _) => smartUpdateCounts(s)),
 
@@ -820,6 +856,32 @@ object SparkEntry {
     "q20_topk_events" ->
       """SELECT event_id, ts, event_type FROM events
         |ORDER BY ts DESC, event_id DESC LIMIT 1000""".stripMargin,
+
+    "q23_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q24_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q25_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+
+    "text_topwords" ->
+      """SELECT token, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS token
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY n DESC, token LIMIT 20""".stripMargin,
 
     "smart_update_counts" ->
       """SELECT CAST(3 AS BIGINT) AS p1_new, CAST(0 AS BIGINT) AS p1_updated,
