@@ -660,6 +660,30 @@ object SparkEntry {
       s.table(qn).orderBy("window_start", "event_type")
     }),
 
+    // Structured Streaming INGEST: file-stream the documents table keyed by
+    // doc_id through foreachBatch -> the batch smart_update merge -> store,
+    // then aggregate the landed table. Oracle: plain batch aggregate.
+    "stream_ingest_docs" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val raw = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val obs = raw.select(col("doc_id").cast("string").as("date"),
+        col("n_chars").cast("double").as("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-si").toString
+      val store = new graft.store.TableStore(s, tmp)
+      val q = graft.streaming.StreamIngest.ingest(obs, store, "docs",
+        "n_chars", s"$tmp/_ckpt",
+        () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
+      q.awaitTermination()
+      store.read("docs")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // LLM multimodal: partition-parallel decode stub (mapPartitions shape)
     "mm_features" -> ((s, dir) => {
       Multimodal.prepare(t(s, dir, "documents"), "doc_id", "text", dims = 8)
@@ -1026,6 +1050,10 @@ object SparkEntry {
       """SELECT lang,
         |  COUNT(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_fp
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "stream_ingest_docs" ->
+      """SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sum_chars
+        |FROM documents""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
