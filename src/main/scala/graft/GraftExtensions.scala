@@ -15,6 +15,8 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // auto-accelerate the HOF dot-product idiom into the native expression
+    ext.injectOptimizerRule(_ => graft.rules.NativeDotRewrite)
     ext.injectFunction((
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),

@@ -127,6 +127,29 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(math.abs(viaSql - 1.0) < 1e-12)
   }
 
+  test("NativeDotRewrite: HOF dot-product idiom optimizes to native DotProduct") {
+    // a parquet-backed frame (a local Seq would constant-fold to
+    // LocalRelation before the plan is observable)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = emb.select(col("vec_id"),
+      Similarity.dot(Similarity.asDouble(col("embedding")),
+        Similarity.asDouble(col("embedding"))).as("d"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"),
+      s"expected dot_product in optimized plan:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"))
+    // rewritten plan computes self-dot = squared L2 norm — cross-check a
+    // few rows against the HOF value computed on the driver
+    val rows = emb.limit(3).collect()
+    val expected = rows.map { r =>
+      val v = r.getSeq[Float](r.fieldIndex("embedding"))
+      r.getLong(0) -> v.map(x => x.toDouble * x.toDouble).sum
+    }.toMap
+    val out = df.filter(col("vec_id").isin(expected.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expected.forall { case (k, v) => math.abs(out(k) - v) < 1e-9 })
+  }
+
   test("rolling fingerprint: order-sensitive, stable") {
     import graft.ops.TextAnalysis
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
