@@ -72,21 +72,26 @@ object Dedup {
     transform(sequence(lit(0), lit(numHashes - 1)),
       h => array_min(transform(shingles, s => xxhash64(s, h))))
 
-  /** Codegen-fast minhash signatures: explode shingles to rows, evaluate
-    * each hash family as a STATIC column (xxhash64 with a literal seed —
-    * whole-stage codegen), take per-doc mins with map-side partial
-    * aggregation, and re-pack into an array. One shuffle on the doc id.
-    * Returns (id, sig: array<bigint>[numHashes]). */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleWords: Int, numHashes: Int): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      explode(wordShingles(col(textCol), shingleWords)).as("shingle"))
+  /** Codegen-fast minhash signatures from a (id, shingles: array<string>)
+    * frame: explode, evaluate each hash family as a STATIC column (xxhash64
+    * with a literal seed — whole-stage codegen), take per-doc mins with
+    * map-side partial aggregation, re-pack into an array. One shuffle on
+    * the doc id. Returns (id, sig: array<bigint>[numHashes]). */
+  def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
-    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
+
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int, numHashes: Int): DataFrame =
+    minhashSignaturesFromShingles(
+      df.select(col(idCol).as("id"),
+        wordShingles(col(textCol), shingleWords).as("shingles")),
+      numHashes)
 
   /** LSH band keys: the signature is cut into `bands` bands of `rowsPerBand`
     * values; each band hashes to one bucket key struct(band, bucket). Two
@@ -110,9 +115,13 @@ object Dedup {
                           bands: Int = 16, threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
+    // shingle arrays feed the signature build AND both sides of the verify
+    // join — cache so the HOF shingle computation runs once per doc, not 3x
+    // (cache lives until the session ends or is evicted; it is bounded by
+    // the distinct-shingle arrays, a small multiple of the text itself)
     val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleWords).as("shingles"))
-    val sig = minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+      wordShingles(col(textCol), shingleWords).as("shingles")).cache()
+    val sig = minhashSignaturesFromShingles(sh, numHashes)
     val buckets = sig.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.bucket"))
