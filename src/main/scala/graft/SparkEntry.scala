@@ -560,6 +560,29 @@ object SparkEntry {
     }),
 
     // LLM text #4: token/char/punct counting per doc
+    // Training-data sampling: deterministic stratified top-k per language
+    "sample_stratified" -> ((s, dir) => {
+      Sampling.stratifiedSample(t(s, dir, "documents"), Seq("lang"), "doc_id", 3)
+        .select("lang", "doc_id", "sample_rank")
+        .orderBy("lang", "sample_rank")
+    }),
+
+    // Training-data sampling: deterministic hash train/val/test split
+    "sample_split" -> ((s, dir) => {
+      Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 0.1, 0.1)
+        .groupBy("split").agg(count(lit(1)).as("n"))
+        .orderBy("split")
+    }),
+
+    // Sketch aggregates: HLL distinct + approx quantiles (rows-only — the
+    // approximations are engine-specific; accuracy is bounded in tests)
+    "sketch_approx" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_orderkey")).as("acd_orders"),
+          approx_count_distinct(col("l_partkey")).as("acd_parts"),
+          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("ap50"))
+    }),
+
     "text_stats" -> ((s, dir) => {
       t(s, dir, "documents").select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).as("n_tokens"),
@@ -980,6 +1003,24 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |        / power(16, 12), doc_id) AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 3 ORDER BY lang, sample_rank""".stripMargin,
+
+    "sample_split" ->
+      """SELECT split, COUNT(*) AS n FROM (
+        |  SELECT CASE
+        |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 25 THEN 'test'
+        |    WHEN CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) < 50 THEN 'validation'
+        |    ELSE 'train' END AS split
+        |  FROM documents)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Everything here is HASH-priority based, never `rand()`: a sample taken
+  * on a 1000-executor cluster, re-run after a failure, or recomputed next
+  * quarter selects EXACTLY the same rows. Priorities use md5 of the key
+  * (engine-portable — the DuckDB oracle reproduces them bit-for-bit),
+  * making samples auditable end to end.
+  */
+object Sampling {
+
+  /** Stable per-row priority in [0, 1): first 12 md5 hex digits of the key
+    * scaled down. Uniform enough for sampling; deterministic everywhere. */
+  def hashPriority(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(16, 12))
+
+  /** Stratified top-k sample: the k rows with lowest hash priority per
+    * stratum. One shuffle on the strata; no sort of the full data (window
+    * top-k). */
+  def stratifiedSample(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                       k: Int): DataFrame = {
+    val w = Window.partitionBy(strataCols.map(col): _*)
+      .orderBy(hashPriority(col(keyCol)), col(keyCol))
+    df.withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+  }
+
+  /** Deterministic train/validation/test split by key hash: stable across
+    * runs and engines, disjoint and exhaustive. Fractions are in percent
+    * of the 2^8 hash space (granularity 1/256). */
+  def hashSplit(df: DataFrame, keyCol: String, testPct: Double = 0.1,
+                valPct: Double = 0.1): DataFrame = {
+    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+      .cast("int") // 0..255
+    val testMax = (256 * testPct).toInt
+    val valMax = testMax + (256 * valPct).toInt
+    df.withColumn("split",
+      when(bucket < testMax, "test")
+        .when(bucket < valMax, "validation")
+        .otherwise("train"))
+  }
+
+  /** Downsample a stratum-skewed corpus to at most `cap` rows per stratum
+    * (e.g. cap documents per domain/language) — the standard pre-training
+    * balance operation, deterministic by construction. */
+  def capPerStratum(df: DataFrame, strataCols: Seq[String], keyCol: String,
+                    cap: Int): DataFrame =
+    stratifiedSample(df, strataCols, keyCol, cap).drop("sample_rank")
+}

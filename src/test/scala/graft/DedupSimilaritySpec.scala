@@ -150,6 +150,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(expected.forall { case (k, v) => math.abs(out(k) - v) < 1e-9 })
   }
 
+  test("sampling: deterministic, stratified caps respected, split exhaustive") {
+    import graft.ops.Sampling
+    val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "es"))
+      .toDF("doc_id", "lang")
+    val s1 = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    val s2 = Sampling.stratifiedSample(docs, Seq("lang"), "doc_id", 5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(s1 == s2 && s1.length == 10) // deterministic; 5 per stratum
+    val capped = Sampling.capPerStratum(docs, Seq("lang"), "doc_id", 3)
+    assert(capped.groupBy("lang").count().as[(String, Long)].collect()
+      .forall(_._2 == 3))
+    val split = Sampling.hashSplit(docs, "doc_id", 0.2, 0.2)
+    assert(split.count() == 100) // exhaustive
+    val labels = split.select("split").distinct().as[String].collect().toSet
+    assert(labels.subsetOf(Set("train", "validation", "test")))
+    // disjoint by construction (single label column); re-run identical
+    val again = Sampling.hashSplit(docs, "doc_id", 0.2, 0.2)
+      .orderBy("doc_id").select("split").as[String].collect().toSeq
+    assert(again == split.orderBy("doc_id").select("split").as[String].collect().toSeq)
+  }
+
+  test("approx sketches within tolerance of exact") {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val exact = li.agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
+    // rsd 0.01 — the default 0.05 legitimately wanders past 5% observed
+    val approx = li.agg(approx_count_distinct(col("l_orderkey"), 0.01))
+      .collect().head.getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.03)
+  }
+
   test("rolling fingerprint: order-sensitive, stable") {
     import graft.ops.TextAnalysis
     val d = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"),
