@@ -229,6 +229,30 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // Bucketing: both sides written bucketed+sorted on the join key, so the
+    // join plan needs NO exchange (co-located sort-merge). Oracle = the
+    // plain join SQL; results must match exactly.
+    "q26_bucketed_join" -> ((s, dir) => {
+      val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+      t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/li").saveAsTable("graft_li_bucketed")
+      t(s, dir, "orders")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$wh/o").saveAsTable("graft_o_bucketed")
+      // MERGE hint: at this test scale Spark would broadcast the small side
+      // and bucketing would never engage; the hint forces the sort-merge
+      // path, where matching bucket layouts remove both shuffles
+      s.table("graft_li_bucketed").hint("merge")
+        .join(s.table("graft_o_bucketed"), Seq("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderstatus")
+    }),
+
     // O3: global top-K (TakeOrderedAndProject, no full sort)
     "q04_topk_orders" -> ((s, dir) => {
       t(s, dir, "orders")
@@ -749,6 +773,11 @@ object SparkEntry {
 
     "q21_salted" ->
       """SELECT o_orderpriority, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_bucketed_join" ->
+      """SELECT o_orderstatus, COUNT(*) AS n, SUM(l_quantity) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
