@@ -61,8 +61,8 @@ object SmartUpdate {
       case Some(o) =>
         val others = incoming.columns.filterNot(_ == keyCol)
         incoming.groupBy(col(keyCol)).agg(
-          max_by(struct(others.map(col): _*), col(o)).as("__s"))
-          .select(col(keyCol) +: others.map(f => col(s"__s.$f").as(f)): _*)
+          max_by(struct(others.toSeq.map(col): _*), col(o)).as("__s"))
+          .select(col(keyCol) +: others.toSeq.map(f => col(s"__s.$f").as(f)): _*)
       case None => incoming.dropDuplicates(keyCol)
     }
 

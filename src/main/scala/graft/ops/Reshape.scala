@@ -58,7 +58,7 @@ object Reshape {
     val body = grid.filter(col(RowIdxCol) > 0).drop(RowIdxCol)
     val renamed = body.select(
       trim(col(labelCol)).as(labelName) +:
-        years.collect { case (c, y) if y.nonEmpty =>
+        years.toSeq.collect { case (c, y) if y.nonEmpty =>
           col(c).cast("string").try_cast("double").as(y)
         }: _*)
     val yearCols = renamed.columns.tail

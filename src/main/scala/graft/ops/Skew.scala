@@ -18,7 +18,7 @@ object Skew {
   /** Deterministic per-row salt in [0, salts): hash of all columns, so rows
     * of one hot key spread across salts while re-computation is stable. */
   def rowSalt(df: DataFrame, salts: Int): Column =
-    pmod(xxhash64(df.columns.map(col): _*), lit(salts)).cast("int")
+    pmod(xxhash64(df.columns.toSeq.map(col): _*), lit(salts)).cast("int")
 
   /** Two-phase salted sum/count: partial aggregate on (keys, salt) — spreads
     * one hot key over `salts` reducers — then final aggregate on keys.
