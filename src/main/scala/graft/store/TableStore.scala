@@ -94,8 +94,11 @@ final class TableStore(spark: SparkSession, root: String) {
       .parquet(path(table))
   }
 
-  /** Append (revision log — append-only audit trail). */
-  def append(table: String, df: DataFrame, maxFiles: Int = 1): Unit = {
+  /** Append (revision log — append-only audit trail). Default is the
+    * natural task parallelism — a large CDC stream must not serialize
+    * through one writer; callers appending a handful of audit rows pass
+    * maxFiles=1 to avoid small-file buildup. */
+  def append(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
     out.write.mode(SaveMode.Append).parquet(path(table))
   }
