@@ -406,6 +406,19 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // As-of (point-in-time) join: each daily order count gets the latest
+    // event-day stats at or before it. One window pass, no join node.
+    "asof_join" -> ((s, dir) => {
+      val left = t(s, dir, "orders")
+        .groupBy(to_date(col("o_orderdate")).as("date"))
+        .agg(count(lit(1)).as("n_orders"))
+      val right = events(s, dir)
+        .groupBy(to_date(col("ts")).as("date"))
+        .agg(count(lit(1)).as("n_events"))
+      AsOf.asOfJoin(left, right, "date", Seq("n_events"))
+        .orderBy("date")
+    }),
+
     // U1: union of status frames (run-summary concat analog)
     "q19_union" -> ((s, dir) => {
       val a = events(s, dir).groupBy(col("event_type").as("name"))
@@ -921,6 +934,15 @@ object SparkEntry {
         |  lag(cnt, 12) OVER (ORDER BY month) AS yoy_prev,
         |  cnt - lag(cnt, 12) OVER (ORDER BY month) AS yoy_change
         |FROM m ORDER BY month""".stripMargin,
+
+    "asof_join" ->
+      """WITH l AS (SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS n_orders
+        |           FROM orders GROUP BY 1),
+        |r AS (SELECT CAST(ts AS DATE) AS date, COUNT(*) AS n_events
+        |      FROM events GROUP BY 1)
+        |SELECT l.date, l.n_orders, r.date AS as_of_date, r.n_events
+        |FROM l ASOF LEFT JOIN r ON l.date >= r.date
+        |ORDER BY l.date""".stripMargin,
 
     "q19_union" ->
       """SELECT name, n FROM (

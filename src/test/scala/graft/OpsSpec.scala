@@ -97,6 +97,39 @@ class OpsSpec extends SparkSuite {
       (2, "a", 20.0), (2, "b", 200.0)))
   }
 
+  // ---------------------------------------------------------- as-of join
+  test("asOfJoin: latest right row at or before each left date") {
+    import graft.ops.AsOf
+    val left = Seq(("2024-01-01", 10), ("2024-01-05", 20), ("2024-01-10", 30))
+      .toDF("date", "lv")
+    val right = Seq(("2023-12-31", 1.0), ("2024-01-05", 2.0), ("2024-01-07", 3.0))
+      .toDF("date", "rv")
+    val out = AsOf.asOfJoin(left, right, "date", Seq("rv"))
+      .orderBy("date").collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[Int]("lv"),
+        Option(r.getAs[String]("as_of_date")), Option(r.get(r.fieldIndex("rv")))))
+      .toSeq
+    assert(out == Seq(
+      ("2024-01-01", 10, Some("2023-12-31"), Some(1.0)), // earlier right
+      ("2024-01-05", 20, Some("2024-01-05"), Some(2.0)), // same-date match
+      ("2024-01-10", 30, Some("2024-01-07"), Some(3.0)))) // latest <=
+  }
+
+  test("asOfJoin: no right row at or before -> nulls; per-key partitions") {
+    import graft.ops.AsOf
+    val left = Seq(("a", "2024-01-01", 1), ("a", "2024-01-09", 2),
+      ("b", "2024-01-09", 3)).toDF("k", "date", "lv")
+    val right = Seq(("a", "2024-01-05", 7.0)).toDF("k", "date", "rv")
+    val out = AsOf.asOfJoin(left, right, "date", Seq("rv"), Seq("k"))
+      .orderBy("k", "date").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("date"),
+        Option(r.get(r.fieldIndex("rv"))))).toSeq
+    assert(out == Seq(
+      ("a", "2024-01-01", None),      // nothing at or before
+      ("a", "2024-01-09", Some(7.0)),
+      ("b", "2024-01-09", None)))     // other key: no right rows at all
+  }
+
   // ------------------------------------------------------------------- T1
   test("promoteHeaderAndMelt: positional row-0 header via row index") {
     val grid = Seq(
