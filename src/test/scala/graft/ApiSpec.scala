@@ -29,6 +29,10 @@ class ApiSpec extends SparkSuite {
     cfg.tableName
   }
 
+  test("driver contract: entry() returns rows on the smoke scale factor") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
   test("blob store: round trip, list, write-through cache, delete") {
     val dir = Files.createTempDirectory("graft-blob").toString
     val blobs = new BlobStore(spark, dir)
