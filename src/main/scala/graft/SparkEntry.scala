@@ -419,6 +419,24 @@ object SparkEntry {
         .orderBy("date")
     }),
 
+    // Range join (funnel): purchases within [signup, signup+3d] for a 1%
+    // signup sample — bucketed equi-join + exact filter, never a cartesian.
+    // Oracle is the naive BETWEEN join.
+    "range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val intervals = ev.filter(col("event_type") === "signup" &&
+          pmod(col("event_id"), lit(100)) === 0)
+        .select(col("event_id").as("signup_id"), to_date(col("ts")).as("start_d"))
+        .withColumn("end_d", date_add(col("start_d"), 3))
+      val points = ev.filter(col("event_type") === "purchase")
+        .select(to_date(col("ts")).as("p_date"))
+      RangeJoin.pointInInterval(points, "p_date", intervals, "start_d", "end_d",
+          bucketDays = 4)
+        .groupBy("signup_id", "start_d")
+        .agg(count(lit(1)).as("n_purchases"))
+        .orderBy("signup_id")
+    }),
+
     // U1: union of status frames (run-summary concat analog)
     "q19_union" -> ((s, dir) => {
       val a = events(s, dir).groupBy(col("event_type").as("name"))
@@ -934,6 +952,16 @@ object SparkEntry {
         |  lag(cnt, 12) OVER (ORDER BY month) AS yoy_prev,
         |  cnt - lag(cnt, 12) OVER (ORDER BY month) AS yoy_change
         |FROM m ORDER BY month""".stripMargin,
+
+    "range_join" ->
+      """WITH i AS (SELECT event_id AS signup_id, CAST(ts AS DATE) AS start_d,
+        |                  CAST(ts AS DATE) + 3 AS end_d
+        |           FROM events WHERE event_type = 'signup' AND event_id % 100 = 0),
+        |p AS (SELECT CAST(ts AS DATE) AS p_date FROM events
+        |      WHERE event_type = 'purchase')
+        |SELECT signup_id, start_d, COUNT(*) AS n_purchases
+        |FROM p JOIN i ON p_date BETWEEN start_d AND end_d
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "asof_join" ->
       """WITH l AS (SELECT CAST(o_orderdate AS DATE) AS date, COUNT(*) AS n_orders

@@ -130,6 +130,25 @@ class OpsSpec extends SparkSuite {
       ("b", "2024-01-09", None)))     // other key: no right rows at all
   }
 
+  // ----------------------------------------------------------- range join
+  test("pointInInterval: bucket-join matches naive BETWEEN semantics") {
+    import graft.ops.RangeJoin
+    val points = Seq("2024-01-01", "2024-01-04", "2024-01-09", "2024-02-01")
+      .toDF("t").select(to_date(col("t")).as("t"))
+    val intervals = Seq((1, "2024-01-01", "2024-01-05"),
+      (2, "2024-01-04", "2024-01-10"), (3, "2023-05-01", "2023-05-02"))
+      .toDF("id", "s", "e")
+      .select(col("id"), to_date(col("s")).as("s"), to_date(col("e")).as("e"))
+    for (width <- Seq(1, 3, 30)) { // result must be width-independent
+      val out = RangeJoin.pointInInterval(points, "t", intervals, "s", "e", width)
+        .select(col("id"), col("t").cast("string"))
+        .as[(Int, String)].collect().toSet
+      assert(out == Set(
+        (1, "2024-01-01"), (1, "2024-01-04"),
+        (2, "2024-01-04"), (2, "2024-01-09")))
+    }
+  }
+
   // ------------------------------------------------------------------- T1
   test("promoteHeaderAndMelt: positional row-0 header via row index") {
     val grid = Seq(
