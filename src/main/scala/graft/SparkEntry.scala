@@ -841,8 +841,8 @@ object SparkEntry {
         |  FROM lineitem),
         |v AS (SELECT TRY_CAST(NULLIF(NULLIF(TRIM(str), '.'), '') AS DOUBLE) AS value FROM s)
         |SELECT COUNT(*) AS n,
-        |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
-        |  SUM(CAST(round_even(value * 1.5, 0) AS BIGINT)) AS sum_rounded
+        |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |  CAST(SUM(CAST(round_even(value * 1.5, 0) AS BIGINT)) AS BIGINT) AS sum_rounded
         |FROM v""".stripMargin,
 
     "q10_percent" ->
@@ -985,7 +985,7 @@ object SparkEntry {
 
     "q23_json" ->
       """SELECT event_type, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -1142,8 +1142,8 @@ object SparkEntry {
         |      greatest(len(regexp_extract_all(lower(text), '\S+')), 1) AS mwl
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CASE WHEN nc BETWEEN 20 AND 20000 AND pr < 0.2
-        |           AND mwl BETWEEN 2.0 AND 14.0 THEN 1 ELSE 0 END) AS n_pass
+        |  CAST(SUM(CASE WHEN nc BETWEEN 20 AND 20000 AND pr < 0.2
+        |           AND mwl BETWEEN 2.0 AND 14.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_rolling_fp" ->
