@@ -762,20 +762,58 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
-    // LLM multimodal: partition-parallel decode stub (mapPartitions shape)
+    // LLM multimodal: REAL RIFF/WAVE 16-bit PCM decode through the
+    // mapPartitions kernel. Payloads are deterministic generated WAV bytes
+    // (mono PCM; doc d has n = 64 + d%32 samples, sample i =
+    // ((d*31 + i*17) % 4001) - 2000), so the decoded per-window mean
+    // amplitudes are DuckDB-expressible from first principles: if the
+    // encoder OR decoder mangled a header field, row order, or sample byte,
+    // the means would not match.
     "mm_features" -> ((s, dir) => {
-      Multimodal.prepare(t(s, dir, "documents"), "doc_id", "text", dims = 8)
-        .select(col("id"), col("byteLen"),
-          round(element_at(col("features"), 1).cast("double"), 3).as("f0"))
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val n = (64 + id % 32).toInt
+          val samples = Array.tabulate(n)(i =>
+            (((id * 31 + i * 17) % 4001) - 2000).toShort)
+          Multimodal.MediaRow(id, Multimodal.encodeWav(samples))
+        }
+      Multimodal.decodeFeatures(media, dims = 4).toDF()
+        .select(col("id"), col("byteLen").cast("long").as("byte_len"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3"))
+        .orderBy("id")
+    }),
+
+    // LLM multimodal: REAL 24-bpp BMP decode (bottom-up rows, 4-byte row
+    // padding, channel-mean luminance) through the same kernel. Image of
+    // doc d is (8 + d%8) x 6 with gray(x,y) = (d*7 + x*11 + y*5) % 256;
+    // features are per-vertical-band mean luminance, DuckDB-checkable.
+    "mm_decode_bmp" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          Multimodal.MediaRow(id, Multimodal.encodeBmp(w, 6,
+            (x, y) => ((id * 7 + x * 11 + y * 5) % 256).toInt))
+        }
+      Multimodal.decodeFeatures(media, dims = 4).toDF()
+        .select(col("id"), col("byteLen").cast("long").as("byte_len"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3"))
         .orderBy("id")
     })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for the approximate / mapPartitions
-    * operators (dedup_minhash, dedup_simhash, ann_lsh, ann_ivf,
-    * mm_features) -> driver records a rows-only check; their exactness is
-    * covered by ScalaTest self-consistency suites instead. */
+    * the same parquet tables (or a deterministic VALUES / first-principles
+    * re-derivation where the query's inputs are generated fixtures). */
   def oracleSql: Map[String, String] = Map(
 
     "q01_agg" ->
@@ -1035,6 +1073,79 @@ object SparkEntry {
         |  AS t(dataset, phase, status, new_rows, updated, revisions)
         |ORDER BY phase, dataset""".stripMargin,
 
+    "api_store_sql" ->
+      """SELECT CAST(date AS VARCHAR) AS date, CAST(sales AS DOUBLE) AS sales,
+        |  CAST(price AS DOUBLE) AS price
+        |FROM (VALUES
+        |  ('2020-01-01', 7979.0, 0.61),
+        |  ('2020-02-01', 8642.0, 0.6),
+        |  ('2020-03-01', 7860.0, 0.58),
+        |  ('2020-04-01', 2461.0, 0.55),
+        |  ('2020-05-01', 6297.0, 0.53),
+        |  ('2020-06-01', 8802.0, 0.56),
+        |  ('2020-07-01', 7970.0, 0.59),
+        |  ('2020-08-01', 8610.0, 0.6),
+        |  ('2020-09-01', 9962.0, 0.6),
+        |  ('2020-10-01', 10490.0, 0.62),
+        |  ('2020-11-01', 9075.0, 0.63),
+        |  ('2020-12-01', 10628.0, 0.66),
+        |  ('2021-01-01', 9231.0, 0.7),
+        |  ('2021-02-01', 9523.0, 0.74),
+        |  ('2021-03-01', 12336.0, 0.79),
+        |  ('2021-04-01', 12009.0, 0.83),
+        |  ('2021-05-01', 11919.0, 0.87),
+        |  ('2021-06-01', 12159.0, 0.9),
+        |  ('2021-07-01', 10023.0, 0.75),
+        |  ('2021-08-01', 10119.0, 0.81),
+        |  ('2021-09-01', 9661.0, 0.78),
+        |  ('2021-10-01', 10028.0, 0.83),
+        |  ('2021-11-01', 10353.0, 0.86),
+        |  ('2021-12-01', 12361.0, 0.84),
+        |  ('2022-01-01', 9121.0, 0.88),
+        |  ('2022-02-01', 9241.0, 0.95),
+        |  ('2022-03-01', 10864.0, 1.12),
+        |  ('2022-04-01', 10107.0, 1.05),
+        |  ('2022-05-01', 10436.0, 0.99),
+        |  ('2022-06-01', 10957.0, 0.94),
+        |  ('2022-07-01', 9328.0, 0.92),
+        |  ('2022-08-01', 9877.0, 0.95),
+        |  ('2022-09-01', 9479.0, 0.96),
+        |  ('2022-10-01', 10112.0, 0.93),
+        |  ('2022-11-01', 10537.0, 0.9),
+        |  ('2022-12-01', 12239.0, 0.88),
+        |  ('2023-01-01', 9021.0, 0.86),
+        |  ('2023-02-01', 9345.0, 0.84),
+        |  ('2023-03-01', 11026.0, 0.82),
+        |  ('2023-04-01', 10337.0, 0.8),
+        |  ('2023-05-01', 10702.0, 0.81),
+        |  ('2023-06-01', 11100.0, 0.83),
+        |  ('2023-07-01', 9517.0, 0.85),
+        |  ('2023-08-01', 10095.0, 0.83),
+        |  ('2023-09-01', 9913.0, 0.82),
+        |  ('2023-10-01', 10563.0, 0.81),
+        |  ('2023-11-01', 10689.0, 0.8),
+        |  ('2023-12-01', 12477.0, 0.79),
+        |  ('2024-01-01', 9141.0, 0.78),
+        |  ('2024-02-01', 9770.0, 0.77),
+        |  ('2024-03-01', 11444.0, 0.76),
+        |  ('2024-04-01', 10576.0, 0.75),
+        |  ('2024-05-01', 10918.0, 0.74),
+        |  ('2024-06-01', 11464.0, 0.75),
+        |  ('2024-07-01', 9922.0, 0.81),
+        |  ('2024-08-01', 10549.0, 0.8),
+        |  ('2024-09-01', 10261.0, 0.79),
+        |  ('2024-10-01', 11003.0, 0.78),
+        |  ('2024-11-01', 11121.0, 0.77),
+        |  ('2024-12-01', 13007.0, 0.76),
+        |  ('2025-01-01', 9532.0, 0.75),
+        |  ('2025-02-01', 10168.0, 0.74),
+        |  ('2025-03-01', 11903.0, 0.73),
+        |  ('2025-04-01', 11019.0, NULL),
+        |  ('2025-05-01', 11364.0, NULL),
+        |  ('2025-06-01', 11923.0, 0.72))
+        |  AS t(date, sales, price)
+        |ORDER BY date""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS copies
@@ -1185,6 +1296,45 @@ object SparkEntry {
         |  octet_length(encode(text)) AS byte_len,
         |  md5(text) AS content_md5,
         |  least(octet_length(encode(text)), 8) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // First-principles re-derivation of the WAV kernel's features: the same
+    // generative sample formula, windowed by integer division, averaged in
+    // double, rounded through float32 exactly as the Scala kernel does.
+    // byte_len = 44-byte canonical header + 2 bytes/sample.
+    "mm_features" ->
+      """WITH d AS (SELECT doc_id AS id, 64 + doc_id % 32 AS n FROM documents),
+        |u AS (SELECT id, n, unnest(range(0, n)) AS i FROM d),
+        |v AS (SELECT id, (i*4)//n AS band,
+        |        ((id*31 + i*17) % 4001) - 2000 AS samp FROM u),
+        |f AS (SELECT id, band,
+        |        CAST(CAST(AVG(samp) AS REAL) AS DOUBLE) AS m
+        |      FROM v GROUP BY 1, 2)
+        |SELECT id, CAST(44 + 2*(64 + id % 32) AS BIGINT) AS byte_len,
+        |  MAX(CASE WHEN band = 0 THEN m END) AS f0,
+        |  MAX(CASE WHEN band = 1 THEN m END) AS f1,
+        |  MAX(CASE WHEN band = 2 THEN m END) AS f2,
+        |  MAX(CASE WHEN band = 3 THEN m END) AS f3
+        |FROM f GROUP BY 1, 2 ORDER BY id""".stripMargin,
+
+    // Same idea for the BMP kernel: per-vertical-band mean luminance from
+    // the generative gray(x,y) formula. byte_len = 54-byte header + height
+    // rows padded to 4 bytes.
+    "mm_decode_bmp" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, 6 AS h FROM documents),
+        |xs AS (SELECT id, w, h, unnest(range(0, w)) AS x FROM d),
+        |px AS (SELECT id, w, x, unnest(range(0, h)) AS y FROM xs),
+        |v AS (SELECT id, (x*4)//w AS band,
+        |        (id*7 + x*11 + y*5) % 256 AS gray FROM px),
+        |f AS (SELECT id, band,
+        |        CAST(CAST(AVG(gray) AS REAL) AS DOUBLE) AS m
+        |      FROM v GROUP BY 1, 2)
+        |SELECT id,
+        |  CAST(54 + 6 * (((3*(8 + id % 8)) + 3) // 4 * 4) AS BIGINT) AS byte_len,
+        |  MAX(CASE WHEN band = 0 THEN m END) AS f0,
+        |  MAX(CASE WHEN band = 1 THEN m END) AS f1,
+        |  MAX(CASE WHEN band = 2 THEN m END) AS f2,
+        |  MAX(CASE WHEN band = 3 THEN m END) AS f3
+        |FROM f GROUP BY 1, 2 ORDER BY id""".stripMargin
   )
 }

@@ -7,13 +7,14 @@ import org.apache.spark.sql.functions._
   * columns with typed metadata, plus decode / feature-extract / frame-sample
   * stages.
   *
-  * The Spark-side plumbing — schema, batch shape, partition-parallel decode
-  * via mapPartitions over a typed Dataset — is real and tested. The decode
-  * kernel itself is a clearly-marked DETERMINISTIC STUB (this container has
-  * no image/audio codecs); swapping in a real codec changes only the body of
-  * `stubDecodeBytes`, not the distributed plan: each partition's rows are
-  * decoded locally by one task, exactly how a Pandas-UDF/mapInPandas batch
-  * would run, with no shuffle introduced by the decode stage.
+  * The decode kernel sniffs the payload's magic bytes and dispatches to a
+  * real pure-JVM decoder — RIFF/WAVE 16-bit PCM (per-window mean amplitude
+  * features) or BMP 24-bpp (per-vertical-band mean luminance features) —
+  * falling back to a raw-byte kernel for opaque octet streams. The
+  * distributed shape is mapPartitions over a typed Dataset: each partition's
+  * rows are decoded locally by one task, exactly how a mapInPandas batch
+  * with an image/audio library would run, with no shuffle introduced by the
+  * decode stage.
   */
 object Multimodal {
 
@@ -52,22 +53,163 @@ object Multimodal {
       x => x.isNotNull)
   }
 
-  /** STUB decode kernel — deterministic fake "embedding" from raw bytes:
-    * feature j = mean of bytes j mod 4 == j. A real implementation would
-    * call a codec here (???); everything around it is production-shaped. */
-  private[graft] def stubDecodeBytes(payload: Array[Byte], dims: Int): Array[Float] = {
-    val acc = new Array[Float](dims)
+  // ---------------------------------------------------------------------
+  // Pure-JVM codecs (no external deps; little-endian helpers below).
+
+  private def le16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8)
+  private def le32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xFF) | ((b(off + 1) & 0xFF) << 8) |
+      ((b(off + 2) & 0xFF) << 16) | ((b(off + 3) & 0xFF) << 24)
+  private def putLe16(b: Array[Byte], off: Int, v: Int): Unit = {
+    b(off) = (v & 0xFF).toByte; b(off + 1) = ((v >> 8) & 0xFF).toByte
+  }
+  private def putLe32(b: Array[Byte], off: Int, v: Int): Unit = {
+    putLe16(b, off, v & 0xFFFF); putLe16(b, off + 2, (v >>> 16) & 0xFFFF)
+  }
+  private def tag(b: Array[Byte], off: Int, s: String): Boolean =
+    off + s.length <= b.length &&
+      s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+  private def putTag(b: Array[Byte], off: Int, s: String): Unit =
+    s.indices.foreach(i => b(off + i) = s.charAt(i).toByte)
+
+  /** Encode 16-bit mono PCM samples as a canonical 44-byte-header WAV. */
+  def encodeWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    putTag(out, 0, "RIFF"); putLe32(out, 4, 36 + dataLen); putTag(out, 8, "WAVE")
+    putTag(out, 12, "fmt "); putLe32(out, 16, 16)
+    putLe16(out, 20, 1)                       // PCM
+    putLe16(out, 22, 1)                       // mono
+    putLe32(out, 24, sampleRate)
+    putLe32(out, 28, sampleRate * 2)          // byte rate
+    putLe16(out, 32, 2)                       // block align
+    putLe16(out, 34, 16)                      // bits/sample
+    putTag(out, 36, "data"); putLe32(out, 40, dataLen)
+    var i = 0
+    while (i < samples.length) { putLe16(out, 44 + 2 * i, samples(i) & 0xFFFF); i += 1 }
+    out
+  }
+
+  /** Parse a RIFF/WAVE payload's 16-bit PCM data chunk. Walks the chunk
+    * list (so extra chunks before `data` are fine). Throws on malformed
+    * input — decode errors surface per-row, like a real codec. */
+  def decodeWavPcm(payload: Array[Byte]): Array[Short] = {
+    require(tag(payload, 0, "RIFF") && tag(payload, 8, "WAVE"), "not a WAVE file")
+    var off = 12
+    while (off + 8 <= payload.length) {
+      val size = le32(payload, off + 4)
+      if (tag(payload, off, "data")) {
+        val n = size / 2
+        val out = new Array[Short](n)
+        var i = 0
+        while (i < n) { out(i) = le16(payload, off + 8 + 2 * i).toShort; i += 1 }
+        return out
+      }
+      off += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    throw new IllegalArgumentException("WAVE file has no data chunk")
+  }
+
+  /** Encode a grayscale image as a 24-bpp bottom-up BMP (gray in all three
+    * channels), rows padded to 4 bytes — the standard Windows DIB layout. */
+  def encodeBmp(width: Int, height: Int, grayAt: (Int, Int) => Int): Array[Byte] = {
+    val rowSize = (3 * width + 3) & ~3
+    val dataLen = rowSize * height
+    val out = new Array[Byte](54 + dataLen)
+    putTag(out, 0, "BM"); putLe32(out, 2, out.length); putLe32(out, 10, 54)
+    putLe32(out, 14, 40)                      // BITMAPINFOHEADER
+    putLe32(out, 18, width); putLe32(out, 22, height)
+    putLe16(out, 26, 1); putLe16(out, 28, 24) // planes, bpp
+    putLe32(out, 34, dataLen)
+    var y = 0
+    while (y < height) {
+      val rowOff = 54 + (height - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < width) {
+        val g = (grayAt(x, y) & 0xFF).toByte
+        out(rowOff + 3 * x) = g; out(rowOff + 3 * x + 1) = g; out(rowOff + 3 * x + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Parse a 24-bpp BMP into (width, height, row-major luminance), honoring
+    * the pixel-array offset, bottom-up row order, and 4-byte row padding.
+    * Luminance = mean of the three channels. */
+  def decodeBmpGray(payload: Array[Byte]): (Int, Int, Array[Int]) = {
+    require(tag(payload, 0, "BM"), "not a BMP file")
+    val dataOff = le32(payload, 10)
+    val width = le32(payload, 18)
+    val height = le32(payload, 22)
+    require(le16(payload, 28) == 24, "only 24-bpp BMP supported")
+    val rowSize = (3 * width + 3) & ~3
+    val gray = new Array[Int](width * height)
+    var y = 0
+    while (y < height) {
+      val rowOff = dataOff + (height - 1 - y) * rowSize
+      var x = 0
+      while (x < width) {
+        val b = payload(rowOff + 3 * x) & 0xFF
+        val g = payload(rowOff + 3 * x + 1) & 0xFF
+        val r = payload(rowOff + 3 * x + 2) & 0xFF
+        gray(y * width + x) = (r + g + b) / 3
+        x += 1
+      }
+      y += 1
+    }
+    (width, height, gray)
+  }
+
+  /** Raw-byte fallback kernel for opaque octet streams: feature j = mean of
+    * bytes at positions ≡ j (mod dims). */
+  private[graft] def rawByteFeatures(payload: Array[Byte], dims: Int): Array[Float] = {
+    val acc = new Array[Double](dims)
     val cnt = new Array[Int](dims)
     var i = 0
     while (i < payload.length) {
       val d = i % dims
-      acc(d) += (payload(i) & 0xFF).toFloat
+      acc(d) += (payload(i) & 0xFF).toDouble
       cnt(d) += 1
       i += 1
     }
-    var j = 0
-    while (j < dims) { if (cnt(j) > 0) acc(j) /= cnt(j); j += 1 }
-    acc
+    Array.tabulate(dims)(j => if (cnt(j) > 0) (acc(j) / cnt(j)).toFloat else 0f)
+  }
+
+  /** Format-sniffing decode: WAV → per-window mean amplitude over `dims`
+    * equal time windows (window of sample i = i*dims/n); BMP → per-band mean
+    * luminance over `dims` vertical bands (band of column x = x*dims/w);
+    * anything else → raw-byte fallback. Accumulation is in double, rounded
+    * to float once at the end, so results are bit-deterministic. */
+  private[graft] def decodeBytes(payload: Array[Byte], dims: Int): Array[Float] = {
+    if (tag(payload, 0, "RIFF") && tag(payload, 8, "WAVE")) {
+      val samples = decodeWavPcm(payload)
+      val n = samples.length
+      val acc = new Array[Double](dims)
+      val cnt = new Array[Int](dims)
+      var i = 0
+      while (i < n) {
+        val w = i * dims / n
+        acc(w) += samples(i).toDouble; cnt(w) += 1; i += 1
+      }
+      Array.tabulate(dims)(j => if (cnt(j) > 0) (acc(j) / cnt(j)).toFloat else 0f)
+    } else if (tag(payload, 0, "BM")) {
+      val (width, height, gray) = decodeBmpGray(payload)
+      val acc = new Array[Double](dims)
+      val cnt = new Array[Int](dims)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val b = x * dims / width
+          acc(b) += gray(y * width + x).toDouble; cnt(b) += 1; x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(dims)(j => if (cnt(j) > 0) (acc(j) / cnt(j)).toFloat else 0f)
+    } else rawByteFeatures(payload, dims)
   }
 
   /** Partition-parallel decode / feature-extract: the mapPartitions batch
@@ -78,14 +220,15 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { rows =>
       rows.map { r =>
-        MediaFeatures(r.id, r.payload.length, stubDecodeBytes(r.payload, dims))
+        MediaFeatures(r.id, r.payload.length, decodeBytes(r.payload, dims))
       }
     }
   }
 
   /** End-to-end multimodal prep over a (id, text-as-payload) frame:
-    * payload + metadata + stub features, ready for downstream dedup
-    * (checksum64) or similarity (features). */
+    * payload + metadata + decoded features (raw-byte kernel for text
+    * payloads), ready for downstream dedup (checksum64) or similarity
+    * (features). */
   def prepare(df: DataFrame, idCol: String, textCol: String, dims: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._

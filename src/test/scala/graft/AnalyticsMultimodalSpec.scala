@@ -65,7 +65,7 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(out(0).getSeq[Int](out(0).fieldIndex("frames")).head == 'a'.toInt)
   }
 
-  test("multimodal: decode stub is deterministic and partition-shaped") {
+  test("multimodal: raw-byte decode is deterministic and partition-shaped") {
     val docs = Seq((1L, "hello world"), (2L, "spark")).toDF("doc_id", "text")
     val a = Multimodal.prepare(docs, "doc_id", "text", dims = 4)
       .orderBy("id").collect().map(r => (r.getLong(0),
@@ -75,5 +75,45 @@ class AnalyticsMultimodalSpec extends SparkSuite {
         r.getSeq[Float](r.fieldIndex("features")).toList)).toSeq
     assert(a == b) // partitioning must not change decode output
     assert(a.head._2.length == 4)
+  }
+
+  test("multimodal: WAV encode/decode roundtrip preserves PCM samples") {
+    val samples = Array.tabulate(100)(i => ((i * 131) % 4001 - 2000).toShort)
+    val wav = Multimodal.encodeWav(samples)
+    assert(wav.length == 44 + 200)
+    assert(new String(wav.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(wav.slice(8, 12), "US-ASCII") == "WAVE")
+    assert(Multimodal.decodeWavPcm(wav).toSeq == samples.toSeq)
+    // chunk walker skips unknown chunks before data
+    val junk = Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'j', 'u', 'n', 'k', 2, 0, 0, 0, 9, 9) ++ wav.drop(36)
+    assert(Multimodal.decodeWavPcm(junk).toSeq == samples.toSeq)
+  }
+
+  test("multimodal: BMP encode/decode roundtrip honors padding and row order") {
+    val w = 5; val h = 3 // rowSize 16 with padding, not 15
+    val gray = (x: Int, y: Int) => (x * 40 + y * 7) % 256
+    val bmp = Multimodal.encodeBmp(w, h, gray)
+    assert(bmp.length == 54 + 16 * 3)
+    val (dw, dh, g) = Multimodal.decodeBmpGray(bmp)
+    assert((dw, dh) == (w, h))
+    for (y <- 0 until h; x <- 0 until w)
+      assert(g(y * w + x) == gray(x, y), s"pixel ($x,$y)")
+  }
+
+  test("multimodal: decodeFeatures dispatches on magic bytes") {
+    val wavRow = Multimodal.MediaRow(1L,
+      Multimodal.encodeWav(Array.tabulate(8)(i => (i * 100).toShort)))
+    val bmpRow = Multimodal.MediaRow(2L, Multimodal.encodeBmp(4, 2, (x, _) => x * 10))
+    val rawRow = Multimodal.MediaRow(3L, "plain".getBytes("UTF-8"))
+    val ds = spark.createDataset(Seq(wavRow, bmpRow, rawRow))(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.decodeFeatures(ds, dims = 2).collect()
+      .map(f => f.id -> f.features.toList).toMap
+    // WAV: windows [0,100,200,300] and [400,500,600,700] -> means 150, 550
+    assert(out(1L) == List(150f, 550f))
+    // BMP: bands x in {0,1} gray {0,10} mean 5; x in {2,3} gray {20,30} mean 25
+    assert(out(2L) == List(5f, 25f))
+    assert(out(3L).length == 2) // raw fallback still produces features
   }
 }
