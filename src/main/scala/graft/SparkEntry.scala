@@ -549,7 +549,8 @@ object SparkEntry {
         .orderBy("idA")
     }),
 
-    // LLM dedup: MinHash-LSH near-dup pairs (banded; no oracle — rows check)
+    // LLM dedup: MinHash-LSH near-dup pairs (banded; fully oracled — the
+    // portable md5-seeded hash family lets DuckDB re-derive the pipeline)
     "dedup_minhash" -> ((s, dir) => {
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7)
@@ -614,6 +615,38 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Banded (multi-table) LSH top-k: L=8 independent 4-plane tables, union
+    // of bucket collisions as candidates — the tunable-recall scale path.
+    "ann_lsh_multi" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10, numPlanes = 4, numTables = 8)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
+    // The ANN accuracy contract, measured in-engine: recall@10 of the
+    // banded LSH path against the exact brute-force top-10, per query.
+    // Both sides are deterministic, and the DuckDB oracle re-derives BOTH
+    // pipelines (the hyperplanes are portable integer arithmetic), so this
+    // is a full equality check, not a rows>0 hand-wave.
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 10, numPlanes = 4, numTables = 8)
+      val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
+      val hits = lsh.select("qid", "nid")
+        .join(brute.select("qid", "nid"), Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as("hits"))
+      q.select(col("vec_id").as("qid"))
+        .join(hits, Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+        .orderBy("qid")
+    }),
+
     // LLM text #4: token/char/punct counting per doc
     // Training-data sampling: deterministic stratified top-k per language
     "sample_stratified" -> ((s, dir) => {
@@ -629,13 +662,25 @@ object SparkEntry {
         .orderBy("split")
     }),
 
-    // Sketch aggregates: HLL distinct + approx quantiles (rows-only — the
-    // approximations are engine-specific; accuracy is bounded in tests)
+    // Sketch aggregates: HLL distinct + approx quantiles. The sketch values
+    // are engine-specific, so the ORACLED output is the accuracy contract:
+    // exact cardinalities (DuckDB recomputes them) plus within-error-bound
+    // flags — HLL at default rsd 5% must land within 10% of exact, the
+    // 1/10000-rank-error percentile within 1% of the exact median.
     "sketch_approx" -> ((s, dir) => {
       t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_orderkey")).as("acd_orders"),
-          approx_count_distinct(col("l_partkey")).as("acd_parts"),
-          round(expr("approx_percentile(l_extendedprice, 0.5, 10000)"), 2).as("ap50"))
+        .agg(countDistinct(col("l_orderkey")).as("n_orders"),
+          countDistinct(col("l_partkey")).as("n_parts"),
+          approx_count_distinct(col("l_orderkey")).as("a_orders"),
+          approx_count_distinct(col("l_partkey")).as("a_parts"),
+          expr("approx_percentile(l_extendedprice, 0.5, 10000)").as("ap50"),
+          expr("percentile(l_extendedprice, 0.5)").as("p50"))
+        .select(col("n_orders"), col("n_parts"),
+          (abs(col("a_orders") - col("n_orders")).cast("double") /
+            col("n_orders") <= 0.10).as("acd_orders_ok"),
+          (abs(col("a_parts") - col("n_parts")).cast("double") /
+            col("n_parts") <= 0.10).as("acd_parts_ok"),
+          (abs(col("ap50") - col("p50")) / col("p50") <= 0.01).as("ap50_ok"))
     }),
 
     "text_stats" -> ((s, dir) => {
@@ -814,6 +859,25 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (or a deterministic VALUES / first-principles
     * re-derivation where the query's inputs are generated fixtures). */
+  /** DuckDB expression mirroring Similarity.lshBucket/planeComponent
+    * bit-for-bit: portable integer-arithmetic hyperplanes, sign bits packed
+    * MSB-first. `e` is a list column name, `np` the plane count. */
+  private def duckBucket(e: String, np: Int, offset: String = "0"): String =
+    s"list_sum(list_transform(range(0, $np), p -> " +
+      s"CASE WHEN list_sum(list_transform(range(1, len($e)+1), i -> " +
+      s"CAST($e[i] AS DOUBLE) * " +
+      s"(list_transform([(73856093*(($offset) + p) + 19349663*(i-1)) % 1000003], " +
+      s"h -> CAST((h*h + h) % 1000003 AS DOUBLE) / 500000.0 - 1.0)[1]))) >= 0 " +
+      s"THEN (1 << (${np - 1} - p)) ELSE 0 END))"
+
+  /** DuckDB cosine between two list columns, same fold order as
+    * Similarity.dot/l2Norm (ascending index, double accumulation). */
+  private def duckCosine(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a) + 1), " +
+      s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
+      s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
+      s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_agg" ->
@@ -1193,6 +1257,154 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Full re-derivation of the LSH pipeline: portable hyperplane buckets,
+    // bucket equi-join candidates, exact cosine rank within bucket.
+    "ann_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${duckBucket("embedding", 6)} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, bucket FROM b WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nid, embedding AS ce, bucket FROM b),
+        |p AS (SELECT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM q JOIN c USING (bucket) WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // IVF cells = 16-plane bucket mod 32; otherwise identical shape.
+    "ann_ivf" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  (${duckBucket("embedding", 16)}) % 32 AS cell FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, cell FROM b WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nid, embedding AS ce, cell FROM b),
+        |p AS (SELECT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM q JOIN c USING (cell) WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Banded LSH pipeline re-derived: 8 tables x 4 planes, union of
+    // collisions (DISTINCT), exact cosine rank.
+    "ann_lsh_multi" ->
+      s"""WITH b AS (SELECT vec_id, embedding, tbl,
+        |  ${duckBucket("embedding", 4, "tbl*4")} AS bucket
+        |  FROM embeddings, (SELECT unnest(range(0, 8)) AS tbl)),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, tbl, bucket FROM b WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nid, embedding AS ce, tbl, bucket FROM b),
+        |p AS (SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM q JOIN c USING (tbl, bucket) WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Recall@10 of banded LSH vs brute force: both pipelines re-derived
+    // here, so the reported accuracy numbers are themselves oracle-checked.
+    "ann_lsh_recall" ->
+      s"""WITH b AS (SELECT vec_id, embedding, tbl,
+        |  ${duckBucket("embedding", 4, "tbl*4")} AS bucket
+        |  FROM embeddings, (SELECT unnest(range(0, 8)) AS tbl)),
+        |q AS (SELECT vec_id AS qid, embedding AS qe, tbl, bucket FROM b WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nid, embedding AS ce, tbl, bucket FROM b),
+        |lp AS (SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM q JOIN c USING (tbl, bucket) WHERE nid <> qid),
+        |lsh AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid) AS r FROM lp) WHERE r <= 10),
+        |qv AS (SELECT DISTINCT qid, qe FROM q),
+        |cv AS (SELECT DISTINCT nid, ce FROM c),
+        |bp AS (SELECT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM qv, cv WHERE nid <> qid),
+        |brute AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid) AS r FROM bp) WHERE r <= 10),
+        |hits AS (SELECT l.qid, COUNT(*) AS h FROM lsh l
+        |  JOIN brute br ON l.qid = br.qid AND l.nid = br.nid GROUP BY 1)
+        |SELECT qv.qid, CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 AS recall_at_10
+        |FROM qv LEFT JOIN hits ON qv.qid = hits.qid ORDER BY qv.qid""".stripMargin,
+
+    // The sketch accuracy contract: exact cardinalities recomputed, bound
+    // flags must all be true (a sketch out of bounds flips one to false).
+    "sketch_approx" ->
+      """SELECT COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  TRUE AS acd_orders_ok, TRUE AS acd_parts_ok, TRUE AS ap50_ok
+        |FROM lineitem""".stripMargin,
+
+    // Full re-derivation of banded MinHash-LSH: word-3-gram shingles,
+    // md5-seeded universal-hash signatures (64 mins), 16 bands of 4 hashed
+    // to md5 buckets, distinct collision pairs, exact-Jaccard verify.
+    "dedup_minhash" ->
+      """WITH sh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM documents),
+        |xs AS (SELECT id, unnest(s) AS shingle FROM sh),
+        |x2 AS (SELECT id,
+        |    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+        |      % 2147483647 AS x FROM xs),
+        |mh AS (SELECT id, i,
+        |    MIN((x*(2*i + 1) + 12345*i + 1) % 2147483647) AS h
+        |  FROM x2, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1, 2),
+        |sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
+        |bk AS (SELECT id, b,
+        |    md5(array_to_string(sig[b*4 + 1:b*4 + 4], ',')) AS bucket
+        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+        |cand AS (SELECT DISTINCT a.id AS idA, c.id AS idB FROM bk a JOIN bk c
+        |  ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id),
+        |v AS (SELECT idA, idB,
+        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(x.s, y.s))) AS j
+        |  FROM cand JOIN sh x ON x.id = idA JOIN sh y ON y.id = idB)
+        |SELECT idA, idB, round(j, 4) AS jaccard FROM v
+        |WHERE j >= 0.7 ORDER BY idA, idB""".stripMargin,
+
+    // Full re-derivation of quartered SimHash: 64 portable md5 bits per
+    // token, per-bit vote sums, 16-bit MSB-first quarter packing,
+    // pigeonhole blocking on equal quarters, exact Hamming verify.
+    "dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |h AS (SELECT id,
+        |    CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) AS hA,
+        |    CAST('0x' || substring(md5(tok), 9, 8) AS BIGINT) AS hB
+        |  FROM toks),
+        |bits AS (SELECT id, b,
+        |    SUM(CASE WHEN ((CASE WHEN b < 32 THEN hA >> b
+        |                    ELSE hB >> (b - 32) END) & 1) = 1
+        |        THEN 1 ELSE -1 END) AS score
+        |  FROM h, (SELECT unnest(range(0, 64)) AS b) GROUP BY 1, 2),
+        |q AS (SELECT id, b // 16 AS quarter,
+        |    SUM(CASE WHEN score > 0 THEN 1 << (15 - (b % 16)) ELSE 0 END) AS key
+        |  FROM bits GROUP BY 1, 2),
+        |f AS (SELECT id, list(key ORDER BY quarter) AS f FROM q GROUP BY 1),
+        |cand AS (SELECT DISTINCT a.id AS idA, c.id AS idB FROM q a JOIN q c
+        |  ON a.quarter = c.quarter AND a.key = c.key AND a.id < c.id),
+        |v AS (SELECT idA, idB,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      i -> bit_count(xor(x.f[i], y.f[i])))) AS INT) AS hamming
+        |  FROM cand JOIN f x ON x.id = idA JOIN f y ON y.id = idB)
+        |SELECT idA, idB, hamming FROM v
+        |WHERE hamming <= 6 ORDER BY idA, idB""".stripMargin,
+
+    // LSH near-dup pairs: same-bucket candidates, exact cosine >= threshold.
+    "dedup_embedding_lsh" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${duckBucket("embedding", 4)} AS bucket FROM embeddings),
+        |p AS (SELECT x.vec_id AS idA, y.vec_id AS idB,
+        |  ${duckCosine("x.embedding", "y.embedding")} AS cosine
+        |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
+        |SELECT idA, idB, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.2 ORDER BY idA, idB""".stripMargin,
 
     "sample_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (

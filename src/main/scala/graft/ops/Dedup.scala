@@ -15,9 +15,10 @@ import org.apache.spark.sql.expressions.Window
   *     produced ONLY by an equi-join on (band, bandHash) buckets, never by an
   *     all-pairs cross join; the verify step (true Jaccard) touches candidate
   *     pairs only;
-  *   - signatures/shingles are pure higher-order-function column expressions
-  *     (transform/aggregate/array_min + xxhash64): whole-stage codegen, no
-  *     UDFs, no driver round-trips.
+  *   - signatures/shingles are pure column expressions (one md5 per
+  *     shingle/token feeding an arithmetic universal-hash family):
+  *     whole-stage codegen, no UDFs, no driver round-trips — and portable,
+  *     so the DuckDB oracle re-derives the full pipelines independently.
   */
 object Dedup {
 
@@ -63,24 +64,43 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  /** MinHash signature (length numHashes) over a shingle array: hash h of a
-    * doc = min over shingles of xxhash64(shingle, h). Pure HOF expression —
-    * fine for ad-hoc use, but higher-order functions are INTERPRETED in
-    * Spark; the hot path below uses minhashSignatures (exploded + static
-    * columns, whole-stage codegen) instead. */
-  def minhashSignature(shingles: Column, numHashes: Int): Column =
+  /** Modulus of the universal hash family (2^31 - 1, prime). */
+  private val HashP = 2147483647L
+
+  /** Portable 60-bit base hash of a string: first 15 hex digits of its md5
+    * as a non-negative long. Any engine with md5 computes the identical
+    * value (the DuckDB correctness oracle re-derives the whole MinHash
+    * pipeline from this), and ONE md5 per shingle feeding an arithmetic
+    * hash family is cheaper than one seeded hash call per (shingle, i). */
+  private[graft] def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Hash i of the family over base hash x: ((2i+1)·x + 12345·i + 1) mod P —
+    * odd multipliers, universal-style; all values < 2^38, overflow-safe. */
+  private def familyHash(i: Int, x: Column): Column =
+    (x * (2L * i + 1) + (12345L * i + 1)) % HashP
+
+  /** MinHash signature (length numHashes) over a shingle array: hash i of a
+    * doc = min over shingles of familyHash(i, md5Hash60(shingle)). Pure HOF
+    * expression — fine for ad-hoc use, but higher-order functions are
+    * INTERPRETED in Spark; the hot path below uses minhashSignatures
+    * (exploded + static columns, whole-stage codegen) instead. */
+  def minhashSignature(shingles: Column, numHashes: Int): Column = {
+    val xs = transform(shingles, s => md5Hash60(s) % HashP)
     transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, s => xxhash64(s, h))))
+      h => array_min(transform(xs,
+        x => (x * (h * 2 + 1) + (h * 12345 + 1)) % HashP)))
+  }
 
   /** Codegen-fast minhash signatures from a (id, shingles: array<string>)
-    * frame: explode, evaluate each hash family as a STATIC column (xxhash64
-    * with a literal seed — whole-stage codegen), take per-doc mins with
-    * map-side partial aggregation, re-pack into an array. One shuffle on
-    * the doc id. Returns (id, sig: array<bigint>[numHashes]). */
+    * frame: explode, md5-hash each shingle ONCE, evaluate each family
+    * member as a STATIC arithmetic column (whole-stage codegen), take
+    * per-doc mins with map-side partial aggregation, re-pack into an array.
+    * One shuffle on the doc id. Returns (id, sig: array<bigint>). */
   def minhashSignaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     val exploded = sh.select(col("id"), explode(col("shingles")).as("shingle"))
-    val aggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("shingle"), lit(i))).as(s"h$i"))
+      .select(col("id"), (md5Hash60(col("shingle")) % HashP).as("x"))
+    val aggs = (0 until numHashes).map(i => min(familyHash(i, col("x"))).as(s"h$i"))
     exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"),
         array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
@@ -95,11 +115,15 @@ object Dedup {
 
   /** LSH band keys: the signature is cut into `bands` bands of `rowsPerBand`
     * values; each band hashes to one bucket key struct(band, bucket). Two
-    * docs collide in a band iff their signatures agree on that whole band. */
+    * docs collide in a band iff their signatures agree on that whole band.
+    * The bucket is md5 of the comma-joined band values — fixed-width and
+    * portable (the oracle computes md5(array_to_string(...))). */
   def lshBandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
     transform(sequence(lit(0), lit(bands - 1)), b =>
       struct(b.as("band"),
-        xxhash64(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand))).as("bucket")))
+        md5(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string")))).as("bucket")))
 
   /** Candidate near-dup pairs via banded MinHash-LSH with exact-Jaccard
     * verification. Returns (idA, idB, jaccard) with idA < idB and
@@ -117,8 +141,6 @@ object Dedup {
     val rowsPerBand = numHashes / bands
     // shingle arrays feed the signature build AND both sides of the verify
     // join — cache so the HOF shingle computation runs once per doc, not 3x
-    // (cache lives until the session ends or is evicted; it is bounded by
-    // the distinct-shingle arrays, a small multiple of the text itself)
     val sh = df.select(col(idCol).as("id"),
       wordShingles(col(textCol), shingleWords).as("shingles")).cache()
     val sig = minhashSignaturesFromShingles(sh, numHashes)
@@ -134,9 +156,18 @@ object Dedup {
     val withShingles = pairs
       .join(sh.select(col("id").as("idA"), col("shingles").as("shA")), Seq("idA"))
       .join(sh.select(col("id").as("idB"), col("shingles").as("shB")), Seq("idB"))
-    withShingles
+    val verified = withShingles
       .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      .persist()
+    // materialize the (threshold-bounded) result while the shingle cache is
+    // hot, then RELEASE the shingle cache — it is a large multiple of the
+    // result and must not linger in the shared session competing with later
+    // queries' memory. Re-persisting an identical plan reuses the existing
+    // cache entry, so repeated calls don't accumulate.
+    verified.count()
+    sh.unpersist(false)
+    verified
   }
 
   /** Near-dedup survivors: drop every doc that matches a LOWER id at or
@@ -164,10 +195,16 @@ object Dedup {
   def simhashQuarters(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-    val h = xxhash64(col("tok"))
-    val bitAggs = (0 until 64).map(b =>
-      sum(when(shiftrightunsigned(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-        .as(s"b$b"))
+    // 64 portable bits from one md5 per token: hex digits 1-8 are bits
+    // 0..31, digits 9-16 are bits 32..63 — the DuckDB oracle re-derives
+    // the identical fingerprints from the same substrings.
+    val hA = conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long")
+    val hB = conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long")
+    val bitAggs = (0 until 64).map { b =>
+      val src = if (b < 32) shiftrightunsigned(hA, b)
+                else shiftrightunsigned(hB, b - 32)
+      sum(when(src.bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$b")
+    }
     val scored = toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
     val quarters = (0 until 4).map { q =>
       (0 until 16).map(i =>

@@ -63,47 +63,71 @@ object Similarity {
       .select("qid", "nid", "rank", "cosine")
   }
 
-  /** Deterministic pseudo-random hyperplane component in [-1, 1): derived
-    * from xxhash64(plane, dim) so every executor materializes the same
-    * planes with zero driver-side state or broadcast. */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(1000000)).cast("double") / 500000.0) - 1.0
+  /** Deterministic pseudo-random hyperplane component in [-1, 1]: a
+    * quadratic integer hash of (plane, dim) in plain 64-bit arithmetic —
+    * h = (73856093 p + 19349663 i) mod 1000003, c = ((h² + h) mod 1000003)
+    * / 500000 − 1 — so every executor materializes the same planes with
+    * zero driver-side state, AND an external SQL engine (the DuckDB
+    * correctness oracle) can materialize bit-identical planes from the
+    * same formula. */
+  private def planeComponent(plane: Column, dim: Column): Column = {
+    val h = pmod(plane.cast("long") * 73856093L + dim.cast("long") * 19349663L,
+      lit(1000003L))
+    (pmod(h * h + h, lit(1000003L)).cast("double") / 500000.0) - 1.0
+  }
 
-  /** `numPlanes`-bit LSH bucket of a vector: bit p = sign of dot(v, r_p). */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
+  /** `numPlanes`-bit LSH bucket of a vector: bit p = sign of dot(v, r_g),
+    * g = planeOffset + p. The offset selects an independent hash table from
+    * the same plane family (table t of width r uses planes t*r .. t*r+r-1),
+    * which is what banding amplification needs. */
+  def lshBucket(vec: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column = {
     val v = asDouble(vec)
     val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
       val d = aggregate(
         zip_with(v, sequence(lit(0), size(v) - 1),
-          (x, i) => x * planeComponent(p, i)),
+          (x, i) => x * planeComponent(planeOffset + p, i)),
         lit(0.0), (acc, x) => acc + x)
       when(d >= 0, 1L).otherwise(0L)
     })
     aggregate(bits, lit(0L), (acc, b) => acc * 2 + b)
   }
 
-  /** Approximate top-k via LSH buckets: candidates are corpus vectors in the
-    * SAME bucket as the query (single-probe), ranked by exact cosine within
-    * the bucket. Queries missing from a bucket simply return fewer rows —
-    * the recall/cost dial is numPlanes. Output matches bruteForceTopK. */
+  /** Approximate top-k via LSH buckets, ranked by exact cosine within the
+    * candidate set. Output matches bruteForceTopK.
+    *
+    * `numTables = 1` is the cheapest single-probe tier: candidates are
+    * corpus vectors in the SAME bucket as the query. For real recall on
+    * weakly-clustered corpora, banding amplification (`numTables` = L
+    * independent r-plane tables; a pair is a candidate if it collides in
+    * ANY table) trades an L× map-side bucket computation — the corpus is
+    * still never shuffled and never all-paired; candidates come only from
+    * (table, bucket) equi-join collisions, so the 100 TB cost envelope is
+    * bounded by bucket occupancy, exactly like a single table. Recall for
+    * per-plane agreement prob. p is 1-(1-p^r)^L instead of p^r. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 8,
-              excludeSelf: Boolean = true): DataFrame = {
-    val c = corpus.select(col(idCol).as("nid"), asDouble(col(vecCol)).as("cv"),
-        lshBucket(col(vecCol), numPlanes).as("bucket"))
-      .withColumn("cn", l2Norm(col("cv")))
-    val q = queries.select(col(idCol).as("qid"), asDouble(col(vecCol)).as("qv"),
-        lshBucket(col(vecCol), numPlanes).as("bucket"))
-      .withColumn("qn", l2Norm(col("qv")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+              excludeSelf: Boolean = true, numTables: Int = 1): DataFrame = {
+    val tbl = explode(sequence(lit(0), lit(numTables - 1)))
+    def bucketed(df: DataFrame, id: String, v: String): DataFrame =
+      df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
+        .withColumn("tbl", tbl)
+        .withColumn("bucket",
+          lshBucket(col(v), numPlanes, col("tbl") * numPlanes))
+        .withColumn(s"${v}n", l2Norm(col(v)))
+    val c = bucketed(corpus, "nid", "cv")
+    val q = bucketed(queries, "qid", "qv")
+    val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(if (excludeSelf) col("nid") =!= col("qid") else lit(true))
       .select(col("qid"), col("nid"),
-        when(col("qn") * col("cn") > 0,
-          dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+        when(col("qvn") * col("cvn") > 0,
+          dot(col("qv"), col("cv")) / (col("qvn") * col("cvn")))
           .otherwise(lit(0.0)).as("cosine"))
+    // a pair colliding in several tables yields identical rows -> distinct
+    // is deterministic and dedups the candidate set
+    val cand = if (numTables > 1) scored.distinct() else scored
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("nid"))
-    scored.withColumn("rank", row_number().over(w))
+    cand.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("qid", "nid", "rank", "cosine")
   }
