@@ -4,11 +4,18 @@ import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: times every SparkEntry query at the given scale dir and
   * prints ONE JSON line. A failing query records "<name>_error" (negative
-  * sentinel time) instead of silently looking benched. */
+  * sentinel time) instead of silently looking benched.
+  *
+  * Each query runs SPARK_GRAFT_ITERS times (default 3) and reports the
+  * MEDIAN: single-shot timings of sub-second queries in one shared JVM are
+  * dominated by JIT/GC/page-cache timing (observed 10-20x swings on
+  * identical bytecode between rounds), which makes regression detection
+  * impossible. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val iters = sys.env.getOrElse("SPARK_GRAFT_ITERS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,17 +32,20 @@ object Bench {
     catch { case _: Throwable => () }
     var errors = List.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            errors ::= name
-            false
-        }
-      val secs = (System.nanoTime() - t0) / 1e9
-      (if (ok) name else s"${name}_error") -> secs
+      val times = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+              if (!errors.contains(name)) errors ::= name
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
+      }
+      val median = times.map(_._1).sorted.apply(times.size / 2)
+      (if (times.forall(_._2)) name else s"${name}_error") -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
