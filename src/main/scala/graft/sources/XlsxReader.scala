@@ -115,7 +115,7 @@ object XlsxReader {
   /** Read the first worksheet of an .xlsx file as a dense row-major grid
     * (null = empty cell). The first sheet is `xl/worksheets/sheet1.xml`
     * in every writer we need to read; if absent, the lexicographically
-    * first `xl/worksheets/*.xml` entry is used. */
+    * first xml entry under `xl/worksheets/` is used. */
   def readFirstSheet(path: String): Vector[Vector[String]] = {
     val zip = new ZipFile(path)
     try {
