@@ -119,8 +119,10 @@ object SparkEntry {
         autoC.withColumn(autoS, when(col("date") === "2015-07-01",
           col(autoS) + 500).otherwise(col(autoS)))
       else autoC
+      // gas_price and NYU read REAL workbook bytes (.xlsx fixtures) through
+      // XlsxReader — same cells as the CSV twins, so counts are unchanged
       val (gasC, gasS) = GridSource.canonicalize(GridSource.processMonthly(
-        GridSource.readGrid(s, s"$fx/edb_gas_price.csv", gas.dataLocation), gas), gas)
+        GridSource.readGrid(s, s"$fx/edb_gas_price.xlsx", gas.dataLocation), gas), gas)
       val (loanC, loanS) = GridSource.canonicalize(GridSource.processQuarterly(
         GridSource.readGrid(s, s"$fx/edb_quarterly_loans.csv", loans.dataLocation), loans), loans)
       val (ffrC, ffrS) = FredSource.canonicalize(FredSource.process(
@@ -128,7 +130,7 @@ object SparkEntry {
       val (gdpC, gdpS) = FredSource.canonicalize(FredSource.process(
         FredSource.readObservations(s, s"$fx/fred_real_gdp.json"), gdp), gdp)
       val nyuC = NyuSource.canonicalize(NyuSource.process(
-        NyuSource.readSheet(s, s"$fx/nyu_erp.csv")))
+        NyuSource.readSheet(s, s"$fx/nyu_erp.xlsx")))
       Seq(
         (auto.tableName, autoFinal, Seq(autoS)),
         (gas.tableName, gasC, Seq(gasS)),

@@ -19,8 +19,9 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType, LongType
   * parses Excel bytes): grids are config-bounded to ~13x11 cells, so this is
   * schema work, not data work — the resulting DataFrame (with an explicit
   * `__row_idx` for positional header promotion) is where distribution
-  * starts. Fixture files are headerless CSV; a real workbook parser would
-  * slot in at `readGrid` without touching anything downstream.
+  * starts. Fixture files are headerless CSV or real `.xlsx` workbooks —
+  * `readGrid` dispatches on extension and parses workbook bytes through
+  * [[XlsxReader]] without touching anything downstream.
   */
 object GridSource {
 
@@ -34,18 +35,28 @@ object GridSource {
     (r1, c1, r2, c2)
   }
 
-  /** Read a headerless CSV grid from disk (driver-side) and slice the
+  /** Read a headerless grid from disk (driver-side) and slice the
     * configured A1 rectangle; returns a DataFrame of string cells
     * c0..cN with a 0-based `__row_idx` (row 0 = first row of the slice,
-    * i.e. the fiscal-year header row). */
+    * i.e. the fiscal-year header row).
+    *
+    * Dispatches on extension: `.xlsx` goes through the real workbook-byte
+    * parser ([[XlsxReader.readFirstSheet]] — the reference reads actual
+    * Excel bytes, azure_common_scrapers.py:66-79); anything else is the
+    * comma-separated fixture dialect. Both yield the same sliced grid. */
   def readGrid(spark: SparkSession, path: String, dataLocation: String): DataFrame = {
     val (r1, c1, r2, c2) = parseRange(dataLocation)
-    val lines = scala.io.Source.fromFile(path)
-    val rows = try lines.getLines().toVector finally lines.close()
-    val sliced = rows.slice(r1, r2 + 1).zipWithIndex.map { case (line, i) =>
-      val cells = line.split(",", -1).toVector
+    val rows: Vector[Vector[String]] =
+      if (path.toLowerCase.endsWith(".xlsx")) XlsxReader.readFirstSheet(path)
+      else {
+        val lines = scala.io.Source.fromFile(path)
+        try lines.getLines().toVector.map(_.split(",", -1).toVector)
+        finally lines.close()
+      }
+    val sliced = rows.slice(r1, r2 + 1).zipWithIndex.map { case (cells, i) =>
       val window = (c1 to c2).map(j =>
-        if (j < cells.length && cells(j).nonEmpty) cells(j) else null)
+        if (j < cells.length && cells(j) != null && cells(j).nonEmpty) cells(j)
+        else null)
       Row.fromSeq(i.toLong +: window)
     }
     val nCols = c2 - c1 + 1

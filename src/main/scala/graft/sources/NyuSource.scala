@@ -17,9 +17,22 @@ import org.apache.spark.sql.functions._
   */
 object NyuSource {
 
-  /** Fixture read: CSV with a header row (stands in for the xlsx sheet). */
+  /** Sheet read: `.xlsx` goes through the real workbook-byte parser
+    * (row 1 = header, matching `pd.read_excel(..., sheet_name=...)` at
+    * azure_nyu_scraper.py:86); anything else is a header-ful CSV fixture.
+    * Both produce an all-string header-named DataFrame. */
   def readSheet(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("header", true).csv(path)
+    if (path.toLowerCase.endsWith(".xlsx")) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val grid = XlsxReader.readFirstSheet(path)
+      require(grid.nonEmpty, s"$path: empty worksheet")
+      val header = grid.head.map(h => Option(h).getOrElse(""))
+      val body = grid.tail.map(r => Row.fromSeq(
+        header.indices.map(j => if (j < r.length) r(j) else null)))
+      val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+      spark.createDataFrame(spark.sparkContext.parallelize(body, 1), schema)
+    } else spark.read.option("header", true).csv(path)
 
   /** Resolve expected headers against actual ones: exact match first, then
     * case-insensitive substring (either direction), mirroring

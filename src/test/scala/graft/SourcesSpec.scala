@@ -123,6 +123,39 @@ class SourcesSpec extends SparkSuite {
     assert(v2.select("__row_idx").count() == 13)
   }
 
+  test("xlsx workbook path: grids parse identically to their CSV twins") {
+    for ((base, loc) <- Seq("edb_auto_sales" -> autoCfg.dataLocation,
+        "edb_gas_price" -> gasCfg.dataLocation,
+        "edb_quarterly_loans" -> "A6:K10")) {
+      val csv = GridSource.readGrid(spark, s"$fx/$base.csv", loc)
+        .orderBy("__row_idx").collect().map(_.toSeq).toSeq
+      val xlsx = GridSource.readGrid(spark, s"$fx/$base.xlsx", loc)
+        .orderBy("__row_idx").collect().map(_.toSeq).toSeq
+      assert(xlsx == csv, s"$base: xlsx grid differs from csv grid")
+    }
+  }
+
+  test("xlsx workbook path: NYU sheet pipeline matches the CSV fixture") {
+    val csvOut = NyuSource.process(NyuSource.readSheet(spark, s"$fx/nyu_erp.csv"))
+      .collect().map(_.toSeq).toSeq
+    val xlsxOut = NyuSource.process(NyuSource.readSheet(spark, s"$fx/nyu_erp.xlsx"))
+      .collect().map(_.toSeq).toSeq
+    assert(xlsxOut == csvOut)
+  }
+
+  test("xlsx writer round-trip: inline strings, numbers, sparse cells") {
+    val tmp = java.nio.file.Files.createTempFile("graft-wb", ".xlsx").toString
+    val grid = Vector(
+      Vector("Header & <Co>", "2024", null, "-1.5e3"),
+      Vector(null, null, null, null),
+      Vector(" padded ", "42", "x\"y\"", null))
+    graft.sources.XlsxWriter.write(tmp, grid)
+    val back = graft.sources.XlsxReader.readFirstSheet(tmp)
+    assert(back(0) == Vector("Header & <Co>", "2024", null, "-1.5e3"))
+    assert(back(1).forall(_ == null))
+    assert(back(2).take(3) == Vector(" padded ", "42", "x\"y\""))
+  }
+
   test("NYU: unresolvable headers produce an empty frame, not a crash") {
     import spark.implicits._
     val bad = Seq(("x", "y")).toDF("colA", "colB")
