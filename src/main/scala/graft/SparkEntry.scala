@@ -535,6 +535,52 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // J2 at the FULL 26-dataset registry: synthesize all 15 EDB workbooks
+    // (real .xlsx bytes), 10 FRED JSONs, and the NYU sheet from closed-form
+    // value formulas, ingest every one through its complete source pipeline
+    // and the smart_update merge, then read the all-series panel (25 pivoted
+    // series + 3 unpivoted NYU rates). Oracle recomputes the window from the
+    // same formulas in pure SQL — end-to-end over the whole ingestion stack.
+    "panel_all" -> ((s, _) => {
+      import graft.api.EngineApi
+      import graft.config.Registry
+      import graft.pipeline.Runner
+      import graft.sources.{FredSource, GridSource, NyuSource}
+      import graft.store.TableStore
+      import graft.tools.RegistryFixtures
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val fx = java.nio.file.Files.createTempDirectory("graft-panel-fx").toString
+        val files = RegistryFixtures.writeAll(fx)
+        val dir = java.nio.file.Files.createTempDirectory("graft-panel-st").toString
+        val store = new TableStore(s, dir)
+        val runner = new Runner(s, store,
+          () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
+        val datasets = Registry.allConfigs.map { cfg =>
+          val path = s"$fx/${files(cfg.name)}"
+          cfg.kind match {
+            case Registry.Fred =>
+              val (canon, snake) = FredSource.canonicalize(FredSource.process(
+                FredSource.readObservations(s, path), cfg), cfg)
+              (cfg.tableName, canon, Seq(snake))
+            case Registry.NyuStern =>
+              (cfg.tableName, NyuSource.canonicalize(NyuSource.process(
+                NyuSource.readSheet(s, path))), Registry.nyuValueFields)
+            case _ =>
+              val grid = GridSource.readGrid(s, path, cfg.dataLocation)
+              val (canon, snake) = GridSource.canonicalize(
+                GridSource.processMonthly(grid, cfg), cfg)
+              (cfg.tableName, canon, Seq(snake))
+          }
+        }
+        runner.runAllParallel(datasets, parallelism = 8)
+        new EngineApi(s, store).panelFull()
+          .filter(col("date").between("2020-01-01", "2024-12-31"))
+          .orderBy("date")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // LLM dedup #1: exact content dedup via fingerprint hash-groupBy
     "dedup_exact" -> ((s, dir) => {
       Dedup.exactSurvivors(t(s, dir, "documents"), "doc_id", "text")
@@ -1211,6 +1257,10 @@ object SparkEntry {
         |  ('2025-06-01', 11923.0, 0.72))
         |  AS t(date, sales, price)
         |ORDER BY date""".stripMargin,
+
+    // recomputes the 26-dataset panel window from the same closed-form
+    // formulas that generated the fixtures (graft.tools.RegistryFixtures)
+    "panel_all" -> graft.tools.RegistryFixtures.oracleSql,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

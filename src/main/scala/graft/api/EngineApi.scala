@@ -66,6 +66,35 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     Panel.panelByPivot(long, series.map(_.tableName))
   }
 
+  /** Full-inventory panel: every populated single-value series PLUS the
+    * NYU multi-value table unpivoted into its three rate series — the
+    * reference's flagship "merge all datasets with date alignment" read
+    * (documentation/economic_indicators.md:71,122) at the complete
+    * 26-dataset registry. Still one shuffle total: the NYU unpivot is a
+    * generator (no exchange), then the single panelByPivot aggregation. */
+  def panelFull(): DataFrame = {
+    val singles = Registry.allConfigs
+      .filter(c => c.kind != Registry.NyuStern && store.exists(c.tableName))
+    require(singles.nonEmpty, "panelFull: no populated series")
+    val singleLong = singles.map { c =>
+      val v = Registry.snakeCase(c.valueColumn)
+      store.read(c.tableName).select(col("date"),
+        lit(c.tableName).as("dataset"), col(v).cast("double").as("value"))
+    }
+    val nyuLong =
+      if (store.exists(Registry.nyuConfig.tableName))
+        Seq(store.read(Registry.nyuConfig.tableName)
+          .select(col("date") +:
+            Registry.nyuValueFields.map(f => col(f).cast("double").as(f)): _*)
+          .unpivot(Array(col("date")),
+            Registry.nyuValueFields.map(col).toArray, "dataset", "value"))
+      else Seq.empty
+    val long = (singleLong ++ nyuLong).reduce(_.unionByName(_))
+    val columns = singles.map(_.tableName) ++
+      (if (nyuLong.nonEmpty) Registry.nyuValueFields else Seq.empty)
+    Panel.panelByPivot(long, columns)
+  }
+
   /** §2.11 read path over the stored revision log. */
   def revisionHistory(dataset: Option[String] = None, date: Option[String] = None,
                       field: Option[String] = None, limit: Option[Int] = None): DataFrame = {

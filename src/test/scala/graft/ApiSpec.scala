@@ -82,6 +82,42 @@ class ApiSpec extends SparkSuite {
     assert(panel.count() >= 119)
   }
 
+  test("panelFull: full 26-dataset registry incl. unpivoted NYU rates") {
+    val (store, runner, api) = env()
+    val fx = Files.createTempDirectory("graft-regfx").toString
+    val files = graft.tools.RegistryFixtures.writeAll(fx)
+    assert(files.size == Registry.allConfigs.size)
+    // populate three representative tables: one EDB (via real workbook
+    // bytes), one quarterly FRED, and the NYU sheet
+    val auto = Registry.edbConfigs.find(_.name == "auto_sales").get
+    val (aC, aS) = GridSource.canonicalize(GridSource.processMonthly(
+      GridSource.readGrid(spark, s"$fx/${files("auto_sales")}", auto.dataLocation), auto), auto)
+    runner.runDataset(auto.tableName, aC, Seq(aS))
+    val gdp = Registry.fredConfigs.find(_.name == "real_gdp").get
+    val (gC, gS) = graft.sources.FredSource.canonicalize(
+      graft.sources.FredSource.process(
+        graft.sources.FredSource.readObservations(
+          spark, s"$fx/${files("real_gdp")}"), gdp), gdp)
+    runner.runDataset(gdp.tableName, gC, Seq(gS))
+    val nyuC = graft.sources.NyuSource.canonicalize(
+      graft.sources.NyuSource.process(
+        graft.sources.NyuSource.readSheet(spark, s"$fx/${files("equity_risk_premium")}")))
+    runner.runDataset(Registry.nyuConfig.tableName, nyuC, Registry.nyuValueFields)
+    val panel = api.panelFull()
+    assert(panel.columns.toSeq ==
+      Seq("date", "autosales", "realgdp") ++ Registry.nyuValueFields)
+    // formula spot-checks: m=72 (2020-01): autosales k=1 int; NYU f=1..3
+    val r = panel.filter(col("date") === "2020-01-01").collect().head
+    assert(r.getAs[Double]("autosales") ==
+      graft.tools.RegistryFixtures.baseValue(1, 72).toDouble)
+    assert(r.getAs[Double]("tbond_rate") ==
+      graft.tools.RegistryFixtures.nyuText(1, 72).toDouble)
+    // quarterly shift: realgdp at 2020-01 carries the 2019-10 observation
+    assert(!r.isNullAt(r.fieldIndex("realgdp")))
+    assert(panel.filter(col("date") === "2020-02-01")
+      .collect().head.isNullAt(2)) // no quarterly obs lands on Feb
+  }
+
   test("revision history API + run-summary JSON sink") {
     val (store, runner, api) = env()
     val t = load(runner, "auto_sales", "edb_auto_sales.csv")
