@@ -855,6 +855,57 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Structured Streaming SESSIONIZATION: the flatMapGroupsWithState
+    // custom-state operator over a file-stream of the events table. A
+    // far-future sentinel event per user is unioned in as a second stream
+    // source so every REAL session is closed by the gap rule inside the
+    // batch (the trailing sentinel session stays open in state and is never
+    // emitted) — output is deterministic without wall-clock timeouts.
+    // Timestamps are truncated to millis on both sides (state arithmetic is
+    // millis). Oracle: DuckDB gap-based islands (LAG + running SUM).
+    "sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      // sentinel file: one 2030-01-01 event per distinct user
+      val sentinelDir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+      val sentinelNanos = java.sql.Timestamp.valueOf("2030-01-01 00:00:00")
+        .getTime * 1000000L
+      s.read.schema(rawSchema).parquet(s"$dir/events.parquet")
+        .select(col("user_id")).distinct()
+        .select(lit(-1L).as("event_id"), lit(sentinelNanos).as("ts"),
+          col("user_id"), lit("__sentinel").as("event_type"),
+          lit(0.0).as("value"), lit("{}").as("props"))
+        .write.mode("overwrite").parquet(sentinelDir)
+      val stream = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .union(s.readStream.schema(rawSchema).parquet(sentinelDir))
+      val ev = stream.select(
+        col("user_id").as("userId"),
+        timestamp_millis(expr("ts div 1000000")).as("ts"),
+        col("event_type").as("eventType"))
+        .as[graft.streaming.StreamIngest.Ev]
+      val sessions = graft.streaming.StreamIngest.sessionize(ev, gapMinutes = 30)
+      val qn = "graft_sessionize"
+      val q = sessions.toDF().writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .filter(col("sessionStart") < "2029-01-01") // drop sentinel sessions
+        .select(col("userId").as("user_id"),
+          unix_millis(col("sessionStart")).as("session_start_ms"),
+          unix_millis(col("sessionEnd")).as("session_end_ms"),
+          col("events"))
+        .orderBy("user_id", "session_start_ms")
+    }),
+
     // LLM multimodal: REAL RIFF/WAVE 16-bit PCM decode through the
     // mapPartitions kernel. Payloads are deterministic generated WAV bytes
     // (mono PCM; doc d has n = 64 + d%32 samples, sample i =
@@ -1554,6 +1605,31 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gap-based islands: a session breaks where the gap to the previous
+    // event of the same user exceeds 30 minutes (strictly — matching the
+    // operator's `t - last <= gap` same-session rule); millisecond grain on
+    // both sides (epoch_ms truncates micros exactly like the engine's
+    // nanos-div-10^6)
+    "sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |      OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))
+        |         > 1800000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM e)
+        |SELECT user_id,
+        |  CAST(MIN(epoch_ms(ts)) AS BIGINT) AS session_start_ms,
+        |  CAST(MAX(epoch_ms(ts)) AS BIGINT) AS session_end_ms,
+        |  CAST(COUNT(*) AS BIGINT) AS events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start_ms""".stripMargin,
 
     "mm_meta" ->
       """SELECT doc_id,
