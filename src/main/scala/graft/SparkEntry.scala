@@ -674,24 +674,42 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // MULTI-PROBE LSH: same single table as ann_lsh (6 planes) plus 3
+    // Hamming-1 query-side probes — the recall knob that costs O(queries),
+    // not O(corpus). Fully oracled top-k, directly comparable to ann_lsh.
+    "ann_lsh_probe" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10, numPlanes = 6, probes = 3)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // The ANN accuracy contract, measured in-engine: recall@10 of the
-    // banded LSH path against the exact brute-force top-10, per query.
-    // Both sides are deterministic, and the DuckDB oracle re-derives BOTH
-    // pipelines (the hyperplanes are portable integer arithmetic), so this
-    // is a full equality check, not a rows>0 hand-wave.
+    // banded LSH path against the exact brute-force top-10, per query —
+    // with and without 2 Hamming-1 probes at the SAME table count (probing
+    // can only add candidates, so recall_probed >= recall row-wise).
+    // Both sides are deterministic, and the DuckDB oracle re-derives ALL
+    // THREE pipelines (the hyperplanes are portable integer arithmetic), so
+    // this is a full equality check, not a rows>0 hand-wave.
     "ann_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.filter(col("vec_id") < 50)
       val lsh = Similarity.lshTopK(emb, q, "vec_id", "embedding",
         k = 10, numPlanes = 4, numTables = 8)
+      val probed = Similarity.lshTopK(emb, q, "vec_id", "embedding",
+        k = 10, numPlanes = 4, numTables = 8, probes = 2)
       val brute = Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", k = 10)
-      val hits = lsh.select("qid", "nid")
+      def hits(d: DataFrame, name: String) = d.select("qid", "nid")
         .join(brute.select("qid", "nid"), Seq("qid", "nid"))
-        .groupBy("qid").agg(count(lit(1)).as("hits"))
+        .groupBy("qid").agg(count(lit(1)).as(name))
       q.select(col("vec_id").as("qid"))
-        .join(hits, Seq("qid"), "left")
+        .join(hits(lsh, "h0"), Seq("qid"), "left")
+        .join(hits(probed, "h1"), Seq("qid"), "left")
         .select(col("qid"),
-          (coalesce(col("hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+          (coalesce(col("h0"), lit(0L)).cast("double") / 10.0).as("recall_at_10"),
+          (coalesce(col("h1"), lit(0L)).cast("double") / 10.0).as("recall_probed_at_10"))
         .orderBy("qid")
     }),
 
@@ -1376,6 +1394,25 @@ object SparkEntry {
         |  FROM p)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
+    // Multi-probe re-derived: query side also visits the 3 Hamming-1
+    // low-bit-flip buckets (xor with 1<<(probe-1)); DISTINCT dedups pairs
+    // reached via several probes.
+    "ann_lsh_probe" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${duckBucket("embedding", 6)} AS bucket FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qe,
+        |  CASE WHEN probe = 0 THEN bucket
+        |       ELSE xor(bucket, 1 << (probe - 1)) END AS bucket
+        |  FROM b, (SELECT unnest(range(0, 4)) AS probe) WHERE vec_id < 50),
+        |c AS (SELECT vec_id AS nid, embedding AS ce, bucket FROM b),
+        |p AS (SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM q JOIN c USING (bucket) WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     // IVF cells = 16-plane bucket mod 32; otherwise identical shape.
     "ann_ivf" ->
       s"""WITH b AS (SELECT vec_id, embedding,
@@ -1406,19 +1443,29 @@ object SparkEntry {
         |  FROM p)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
-    // Recall@10 of banded LSH vs brute force: both pipelines re-derived
-    // here, so the reported accuracy numbers are themselves oracle-checked.
+    // Recall@10 of banded LSH (plain + 2-probe) vs brute force: all three
+    // pipelines re-derived here, so the reported accuracy numbers are
+    // themselves oracle-checked.
     "ann_lsh_recall" ->
       s"""WITH b AS (SELECT vec_id, embedding, tbl,
         |  ${duckBucket("embedding", 4, "tbl*4")} AS bucket
         |  FROM embeddings, (SELECT unnest(range(0, 8)) AS tbl)),
         |q AS (SELECT vec_id AS qid, embedding AS qe, tbl, bucket FROM b WHERE vec_id < 50),
+        |qp AS (SELECT qid, qe, tbl,
+        |  CASE WHEN probe = 0 THEN bucket
+        |       ELSE xor(bucket, 1 << (probe - 1)) END AS bucket
+        |  FROM q, (SELECT unnest(range(0, 3)) AS probe)),
         |c AS (SELECT vec_id AS nid, embedding AS ce, tbl, bucket FROM b),
         |lp AS (SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS cosine
         |  FROM q JOIN c USING (tbl, bucket) WHERE nid <> qid),
         |lsh AS (SELECT qid, nid FROM (
         |  SELECT qid, nid, row_number() OVER (
         |    PARTITION BY qid ORDER BY cosine DESC, nid) AS r FROM lp) WHERE r <= 10),
+        |pp AS (SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS cosine
+        |  FROM qp JOIN c USING (tbl, bucket) WHERE nid <> qid),
+        |plsh AS (SELECT qid, nid FROM (
+        |  SELECT qid, nid, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid) AS r FROM pp) WHERE r <= 10),
         |qv AS (SELECT DISTINCT qid, qe FROM q),
         |cv AS (SELECT DISTINCT nid, ce FROM c),
         |bp AS (SELECT qid, nid, ${duckCosine("qe", "ce")} AS cosine
@@ -1427,9 +1474,13 @@ object SparkEntry {
         |  SELECT qid, nid, row_number() OVER (
         |    PARTITION BY qid ORDER BY cosine DESC, nid) AS r FROM bp) WHERE r <= 10),
         |hits AS (SELECT l.qid, COUNT(*) AS h FROM lsh l
+        |  JOIN brute br ON l.qid = br.qid AND l.nid = br.nid GROUP BY 1),
+        |phits AS (SELECT l.qid, COUNT(*) AS h FROM plsh l
         |  JOIN brute br ON l.qid = br.qid AND l.nid = br.nid GROUP BY 1)
-        |SELECT qv.qid, CAST(COALESCE(h, 0) AS DOUBLE) / 10.0 AS recall_at_10
-        |FROM qv LEFT JOIN hits ON qv.qid = hits.qid ORDER BY qv.qid""".stripMargin,
+        |SELECT qv.qid, CAST(COALESCE(hits.h, 0) AS DOUBLE) / 10.0 AS recall_at_10,
+        |  CAST(COALESCE(phits.h, 0) AS DOUBLE) / 10.0 AS recall_probed_at_10
+        |FROM qv LEFT JOIN hits ON qv.qid = hits.qid
+        |  LEFT JOIN phits ON qv.qid = phits.qid ORDER BY qv.qid""".stripMargin,
 
     // The sketch accuracy contract: exact cardinalities recomputed, bound
     // flags must all be true (a sketch out of bounds flips one to false).

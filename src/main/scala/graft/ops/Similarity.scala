@@ -103,10 +103,21 @@ object Similarity {
     * still never shuffled and never all-paired; candidates come only from
     * (table, bucket) equi-join collisions, so the 100 TB cost envelope is
     * bounded by bucket occupancy, exactly like a single table. Recall for
-    * per-plane agreement prob. p is 1-(1-p^r)^L instead of p^r. */
+    * per-plane agreement prob. p is 1-(1-p^r)^L instead of p^r.
+    *
+    * `probes > 0` adds MULTI-PROBE: the query side also looks in the
+    * `probes` Hamming-1 neighbor buckets of each table (low bit flips —
+    * the planes most likely to have mis-signed a near neighbor flip one at
+    * a time). Recall rises at the same table count for a query-side-only
+    * (probes+1)x key fan-out; the corpus is untouched, so at 100 TB scale
+    * this is the cheap knob — probing costs O(queries), tables cost
+    * O(corpus). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, numPlanes: Int = 8,
-              excludeSelf: Boolean = true, numTables: Int = 1): DataFrame = {
+              excludeSelf: Boolean = true, numTables: Int = 1,
+              probes: Int = 0): DataFrame = {
+    require(probes >= 0 && probes <= numPlanes,
+      s"probes must be in [0, numPlanes=$numPlanes], got $probes")
     val tbl = explode(sequence(lit(0), lit(numTables - 1)))
     def bucketed(df: DataFrame, id: String, v: String): DataFrame =
       df.select(col(idCol).as(id), asDouble(col(vecCol)).as(v))
@@ -115,16 +126,31 @@ object Similarity {
           lshBucket(col(v), numPlanes, col("tbl") * numPlanes))
         .withColumn(s"${v}n", l2Norm(col(v)))
     val c = bucketed(corpus, "nid", "cv")
-    val q = bucketed(queries, "qid", "qv")
+    val q0 = bucketed(queries, "qid", "qv")
+    val q =
+      if (probes == 0) q0
+      else {
+        // probe j flips bit j-1 (LSB side; bits are packed acc*2+b so the
+        // LAST planes sit in the low bits) — a static when-chain keeps the
+        // whole expansion inside codegen, no pow/shift-by-column
+        val probed = (1 to probes).foldLeft(
+          when(col("__probe") === 0, col("bucket"))) { (acc, j) =>
+          acc.when(col("__probe") === j,
+            col("bucket").bitwiseXOR(lit(1L << (j - 1))))
+        }
+        q0.withColumn("__probe", explode(sequence(lit(0), lit(probes))))
+          .withColumn("bucket", probed)
+          .drop("__probe")
+      }
     val scored = c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(if (excludeSelf) col("nid") =!= col("qid") else lit(true))
       .select(col("qid"), col("nid"),
         when(col("qvn") * col("cvn") > 0,
           dot(col("qv"), col("cv")) / (col("qvn") * col("cvn")))
           .otherwise(lit(0.0)).as("cosine"))
-    // a pair colliding in several tables yields identical rows -> distinct
-    // is deterministic and dedups the candidate set
-    val cand = if (numTables > 1) scored.distinct() else scored
+    // a pair colliding in several tables (or probes) yields identical rows
+    // -> distinct is deterministic and dedups the candidate set
+    val cand = if (numTables > 1 || probes > 0) scored.distinct() else scored
     val w = Window.partitionBy("qid")
       .orderBy(col("cosine").desc, col("nid"))
     cand.withColumn("rank", row_number().over(w))

@@ -98,6 +98,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.contains(4L))
   }
 
+  test("multi-probe LSH: candidates are a superset, recall never drops") {
+    val qs = vecs.filter(col("vec_id") < 2)
+    def pairs(probes: Int) = Similarity.lshTopK(vecs, qs, "vec_id",
+        "embedding", k = 4, numPlanes = 4, probes = probes)
+      .select("qid", "nid").as[(Long, Long)].collect().toSet
+    val plain = pairs(0)
+    val probed = pairs(2)
+    // probing only ADDS candidate buckets, so every plain result whose rank
+    // survives must still be reachable; at k >= corpus size the probed
+    // result is a strict superset-or-equal
+    assert(plain.subsetOf(probed))
+    // probes beyond numPlanes are rejected
+    intercept[IllegalArgumentException] {
+      Similarity.lshTopK(vecs, qs, "vec_id", "embedding", k = 4,
+        numPlanes = 4, probes = 5)
+    }
+  }
+
   test("embedding-cosine near-dup: exact and LSH paths find the planted pair") {
     val exact = Similarity.cosinePairsAbove(vecs, "vec_id", "embedding", 0.99)
       .select("idA", "idB").as[(Long, Long)].collect().toSet
