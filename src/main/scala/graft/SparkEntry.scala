@@ -728,6 +728,30 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Training-data CHUNKING: 64-token context windows with 16-token
+    // overlap — one row per window; generator + codegen'd array slices,
+    // zero shuffle. Oracle re-slices the same token lists in DuckDB.
+    "chunk_docs" -> ((s, dir) => {
+      Chunking.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          chunkSize = 64, overlap = 16)
+        .select(col("doc_id"), col("chunk_idx"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
+    // Training-data PACKING: per-source token-budget bins via exclusive
+    // running sum (stratum-partitioned window — no global sort, one
+    // shuffle on the stratum key; the 100 TB-safe packing shape).
+    "pack_docs" -> ((s, dir) => {
+      Chunking.packByBudget(t(s, dir, "documents"), Seq("source"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 2048)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("__tok").as("sum_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    }),
+
     // Sketch aggregates: HLL distinct + approx quantiles. The sketch values
     // are engine-specific, so the ORACLED output is the accuracy contract:
     // exact cardinalities (DuckDB recomputes them) plus within-error-bound
@@ -1481,6 +1505,37 @@ object SparkEntry {
         |  CAST(COALESCE(phits.h, 0) AS DOUBLE) / 10.0 AS recall_probed_at_10
         |FROM qv LEFT JOIN hits ON qv.qid = hits.qid
         |  LEFT JOIN phits ON qv.qid = phits.qid ORDER BY qv.qid""".stripMargin,
+
+    // Token-window chunking re-derived: same \S+ token lists, same integer
+    // chunk-count arithmetic, same 1-based inclusive slices.
+    "chunk_docs" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '\S+') AS toks FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS nt FROM d),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN nt <= 64 THEN 1 ELSE ((nt - 64 + 47) // 48) + 1 END AS nchunks
+        |  FROM n),
+        |e AS (SELECT doc_id, toks, unnest(range(0, nchunks)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  CAST(len(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64)) AS BIGINT)
+        |    AS n_tokens,
+        |  md5(array_to_string(list_slice(toks, chunk_idx*48 + 1, chunk_idx*48 + 64), ' '))
+        |    AS chunk_md5
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // Per-source budget packing re-derived: exclusive running sum over the
+    // same doc order, integer-divided by the 2048-token budget.
+    "pack_docs" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |b AS (SELECT source, doc_id, tok,
+        |  CAST(COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT)
+        |    AS bin FROM d)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The sketch accuracy contract: exact cardinalities recomputed, bound
     // flags must all be true (a sketch out of bounds flips one to false).

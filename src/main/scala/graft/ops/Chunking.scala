@@ -1,0 +1,67 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Context-window chunking and sequence packing for training-data
+  * pipelines: split documents into fixed-token windows with overlap, and
+  * pack documents into token-budget bins.
+  *
+  * Extends the reference (which has no text pipeline) per the engine brief,
+  * alongside TextAnalysis. Both operators are generator + column
+  * expressions — whole-stage codegen, no UDFs; chunking needs no shuffle at
+  * all, packing shuffles once on the stratum key (never a global sort):
+  * at 100 TB a single-partition running sum would serialize the world, so
+  * packing is defined PER STRATUM (e.g. per source shard), which is also
+  * what a real pretraining mix does.
+  */
+object Chunking {
+
+  /** Token windows of `chunkSize` with `overlap` tokens shared between
+    * consecutive chunks (stride = chunkSize - overlap); the last chunk may
+    * be short, and every token is covered. Output: one row per chunk with
+    * `chunk_idx`, `n_tokens`, `chunk_text`.
+    *
+    * Chunk count is pure integer arithmetic — n <= chunkSize gives 1,
+    * otherwise (n - chunkSize + stride - 1) div stride + 1 — so an external
+    * SQL oracle reproduces it exactly; no doubles, no ceil. */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    chunkSize: Int, overlap: Int): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // `/` is double division in Spark SQL; floor() is exact here (counts
+    // are far below 2^52, where doubles are integral-exact)
+    val nChunks = when(col("__n") <= chunkSize, lit(1L)).otherwise(
+      floor((col("__n") - chunkSize + (stride - 1)).cast("double") / stride)
+        .cast("long") + 1L)
+    val start = col("chunk_idx").cast("int") * stride + 1
+    val window = slice(col("__toks"), start, lit(chunkSize))
+    toks
+      .withColumn("chunk_idx", explode(sequence(lit(0L), nChunks - 1)))
+      .select(col(idCol), col("chunk_idx"),
+        size(window).as("n_tokens"),
+        array_join(window, " ").as("chunk_text"))
+  }
+
+  /** Sequence packing: within each stratum (ordered by `idCol`), assign
+    * documents to consecutive token-budget bins by exclusive running sum —
+    * bin = floor(tokens_before_this_doc / budget). Deterministic, one
+    * shuffle (the stratum-partitioned window), no global order. */
+  def packByBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
+                   tokenCountCol: Column, budget: Int): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(strataCols.map(col): _*)
+      .orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(strataCols.map(col) :+ col(idCol) :+
+        tokenCountCol.cast("long").as("__tok"): _*)
+      .withColumn("bin",
+        floor(coalesce(sum(col("__tok")).over(w), lit(0L)).cast("double") / budget)
+          .cast("long"))
+  }
+}

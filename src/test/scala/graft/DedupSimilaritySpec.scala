@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{Dedup, Similarity}
+import graft.ops.{Chunking, Dedup, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Self-consistency tests for the approximate operators (the DuckDB oracle
@@ -40,6 +40,39 @@ class DedupSimilaritySpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
     assert(!kept.contains(2L))
+  }
+
+  test("chunking: overlap windows cover every token, last chunk short") {
+    val doc = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Chunking.chunkByTokens(doc, "doc_id", "text",
+        chunkSize = 4, overlap = 1).orderBy("chunk_idx")
+      .select("chunk_idx", "n_tokens", "chunk_text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    // stride 3 over 10 tokens: [0,4) [3,7) [6,10) -> 3 chunks, all size 4
+    assert(out.length == 3)
+    assert(out(0) == (0L, 4, "w1 w2 w3 w4"))
+    assert(out(1) == (1L, 4, "w4 w5 w6 w7"))
+    assert(out(2) == (2L, 4, "w7 w8 w9 w10"))
+    // short doc: single chunk, short tail
+    val one = Chunking.chunkByTokens(
+        Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 4, 1)
+      .collect()
+    assert(one.length == 1 &&
+      one.head.getAs[String]("chunk_text") == "a b")
+  }
+
+  test("packing: exclusive running sum bins per stratum, deterministic") {
+    val d = Seq(
+      ("a", 1L, "x " * 100), ("a", 2L, "x " * 100), ("a", 3L, "x " * 100),
+      ("b", 1L, "x " * 50)).map { case (s0, i, t0) => (s0, i, t0.trim) }
+      .toDF("source", "doc_id", "text")
+    val out = Chunking.packByBudget(d, Seq("source"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 150)
+      .select("source", "doc_id", "bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // a: cumsum-excl 0,100,200 -> bins 0,0,1; b: 0 -> bin 0
+    assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("b", 1L, 0L)))
   }
 
   test("jaccard: identical shingle sets -> 1.0, disjoint -> 0.0") {
