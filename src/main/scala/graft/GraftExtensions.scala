@@ -1,10 +1,10 @@
 package graft
 
-import graft.expressions.CosineSimilarity
+import graft.expressions.{CosineSimilarity, LshBucket}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
-import org.apache.spark.sql.types.{ArrayType, DoubleType}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * Catalyst expressions into the session's function registry so they are
@@ -28,6 +28,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case _ => Cast(e, ArrayType(DoubleType))
         }
         CosineSimilarity(toDouble(children.head), toDouble(children(1)))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3, "lsh_bucket(vec, numPlanesLiteral, offset)")
+        val planes = children(1) match {
+          case Literal(v: Int, IntegerType) => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket: numPlanes must be an integer literal, got $other")
+        }
+        val vec = children.head.dataType match {
+          case ArrayType(DoubleType, _) => children.head
+          case _ => Cast(children.head, ArrayType(DoubleType))
+        }
+        val offset = children(2).dataType match {
+          case LongType => children(2)
+          case _ => Cast(children(2), LongType)
+        }
+        LshBucket(vec, offset, planes)
       }))
   }
 }

@@ -79,8 +79,18 @@ object Similarity {
   /** `numPlanes`-bit LSH bucket of a vector: bit p = sign of dot(v, r_g),
     * g = planeOffset + p. The offset selects an independent hash table from
     * the same plane family (table t of width r uses planes t*r .. t*r+r-1),
-    * which is what banding amplification needs. */
-  def lshBucket(vec: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column = {
+    * which is what banding amplification needs.
+    *
+    * Dispatches to the native codegen expression
+    * ([[graft.expressions.LshBucket]], registered by GraftExtensions) —
+    * the planes×dims loop is the hot inner kernel of every LSH scan and the
+    * HOF formulation runs interpreted. Bit-identical to [[lshBucketHof]]. */
+  def lshBucket(vec: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column =
+    call_function("lsh_bucket", vec, lit(numPlanes), planeOffset.cast("long"))
+
+  /** Reference HOF formulation of [[lshBucket]] (interpreted; kept as the
+    * executable spec the native expression is cross-checked against). */
+  def lshBucketHof(vec: Column, numPlanes: Int, planeOffset: Column = lit(0)): Column = {
     val v = asDouble(vec)
     val bits = transform(sequence(lit(0), lit(numPlanes - 1)), p => {
       val d = aggregate(

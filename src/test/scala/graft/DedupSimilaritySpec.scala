@@ -131,6 +131,17 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.contains(4L))
   }
 
+  test("native lsh_bucket expression is bit-identical to the HOF spec") {
+    for (planes <- Seq(1, 4, 6, 16); off <- Seq(0, 8, 24)) {
+      val both = vecs.select(
+        Similarity.lshBucket(col("embedding"), planes, lit(off)).as("native"),
+        Similarity.lshBucketHof(col("embedding"), planes, lit(off)).as("hof"))
+        .collect()
+      assert(both.forall(r => r.getLong(0) == r.getLong(1)),
+        s"mismatch at planes=$planes offset=$off")
+    }
+  }
+
   test("multi-probe LSH: candidates are a superset, recall never drops") {
     val qs = vecs.filter(col("vec_id") < 2)
     def pairs(probes: Int) = Similarity.lshTopK(vecs, qs, "vec_id",
