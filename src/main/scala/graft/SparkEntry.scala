@@ -574,7 +574,7 @@ object SparkEntry {
               (cfg.tableName, canon, Seq(snake))
           }
         }
-        runner.runAllParallel(datasets, parallelism = 8)
+        runner.runAllParallel(datasets, parallelism = 13)
         new EngineApi(s, store).panelFull()
           .filter(col("date").between("2020-01-01", "2024-12-31"))
           .orderBy("date")
@@ -726,6 +726,26 @@ object SparkEntry {
       Sampling.hashSplit(t(s, dir, "documents"), "doc_id", 0.1, 0.1)
         .groupBy("split").agg(count(lit(1)).as("n"))
         .orderBy("split")
+    }),
+
+    // Embedding int8 QUANTIZATION round-trip contract: per vector, the
+    // cosine between original and dequantized embedding and the max
+    // absolute reconstruction error — the 4x-compression fidelity check a
+    // training pipeline runs before swapping storage formats. Everything
+    // (scale, rounding, reconstruction, cosine) is re-derived in DuckDB.
+    "embed_quantize" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").filter(col("vec_id") < 200)
+      val withScale = emb.select(col("vec_id"),
+        Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("scale", Similarity.quantizeScale(col("v")))
+      val deq = withScale.withColumn("dv",
+        Similarity.dequantizeInt8(
+          Similarity.quantizeInt8(col("v"), col("scale")), col("scale")))
+      deq.select(col("vec_id"),
+          round(Similarity.cosine(col("v"), col("dv")), 6).as("cos_roundtrip"),
+          round(array_max(zip_with(col("v"), col("dv"),
+            (a, b) => abs(a - b))), 6).as("max_abs_err"))
+        .orderBy("vec_id")
     }),
 
     // Training-data CHUNKING: 64-token context windows with 16-token
@@ -1505,6 +1525,23 @@ object SparkEntry {
         |  CAST(COALESCE(phits.h, 0) AS DOUBLE) / 10.0 AS recall_probed_at_10
         |FROM qv LEFT JOIN hits ON qv.qid = hits.qid
         |  LEFT JOIN phits ON qv.qid = phits.qid ORDER BY qv.qid""".stripMargin,
+
+    // Quantization round-trip re-derived: same scale, same HALF_UP round,
+    // same left-associative double arithmetic and fold order.
+    "embed_quantize" ->
+      s"""WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings WHERE vec_id < 200),
+        |s AS (SELECT vec_id, v,
+        |  list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |d AS (SELECT vec_id, v,
+        |  list_transform(v, x -> CASE WHEN scale > 0
+        |    THEN round(x / scale * 127) * scale / 127 ELSE 0.0 END) AS dv
+        |  FROM s)
+        |SELECT vec_id, round(${duckCosine("v", "dv")}, 6) AS cos_roundtrip,
+        |  round(list_max(list_transform(range(1, len(v) + 1),
+        |    i -> abs(v[i] - dv[i]))), 6) AS max_abs_err
+        |FROM d ORDER BY vec_id""".stripMargin,
 
     // Token-window chunking re-derived: same \S+ token lists, same integer
     // chunk-count arithmetic, same 1-based inclusive slices.

@@ -168,6 +168,20 @@ object Similarity {
       .select("qid", "nid", "rank", "cosine")
   }
 
+  /** Symmetric int8 quantization of an embedding (scale = max |component|):
+    * q_i = round(v_i / scale * 127) — the 4x storage compression every
+    * embedding corpus ships with at scale. Pure column expressions; the
+    * round is HALF_UP (ties away from zero) in both Spark and the DuckDB
+    * oracle, so quantized values are engine-portable. */
+  def quantizeScale(v: Column): Column = array_max(transform(v, x => abs(x)))
+
+  def quantizeInt8(v: Column, scale: Column): Column =
+    transform(v, x =>
+      when(scale > 0, round(x / scale * 127)).otherwise(lit(0.0)).cast("int"))
+
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale / 127)
+
   /** Embedding-cosine near-duplicate pairs, exact: all pairs (idA < idB)
     * with cosine >= threshold. O(n^2) — for bounded subsets and as the
     * oracle baseline; the scale path is embeddingNearDupLsh. */

@@ -131,6 +131,24 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out.contains(4L))
   }
 
+  test("int8 quantization: reconstruction error <= half a quant step") {
+    val df = (vecs.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).toArray)).toSeq :+
+        (9L, Array(0.0f, 0.0f, 0.0f))) // zero vector: scale 0 path
+      .toDF("vec_id", "embedding")
+    val out = df.select(Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("scale", Similarity.quantizeScale(col("v")))
+      .withColumn("dv", Similarity.dequantizeInt8(
+        Similarity.quantizeInt8(col("v"), col("scale")), col("scale")))
+      .select(col("scale"),
+        array_max(zip_with(col("v"), col("dv"), (a, b) => abs(a - b))).as("err"))
+      .collect()
+    out.foreach { r =>
+      val (scale, err) = (r.getDouble(0), r.getDouble(1))
+      assert(err <= scale / 254.0 + 1e-12, s"err $err exceeds half-step for scale $scale")
+    }
+  }
+
   test("native lsh_bucket expression is bit-identical to the HOF spec") {
     for (planes <- Seq(1, 4, 6, 16); off <- Seq(0, 8, 24)) {
       val both = vecs.select(
