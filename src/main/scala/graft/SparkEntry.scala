@@ -517,8 +517,9 @@ object SparkEntry {
         val store = new TableStore(s, dir)
         val runner = new Runner(s, store,
           () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
-        val datasets = Seq("auto_sales" -> "edb_auto_sales.csv",
-            "gas_price" -> "edb_gas_price.csv")
+        // real workbook bytes (.xlsx twins of the CSV fixtures) — same cells
+        val datasets = Seq("auto_sales" -> "edb_auto_sales.xlsx",
+            "gas_price" -> "edb_gas_price.xlsx")
           .map { case (name, file) =>
             val cfg = Registry.edbConfigs.find(_.name == name).get
             val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
