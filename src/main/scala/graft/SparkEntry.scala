@@ -575,7 +575,9 @@ object SparkEntry {
               (cfg.tableName, canon, Seq(snake))
           }
         }
-        runner.runAllParallel(datasets, parallelism = 13)
+        // parallelism 8 measured fastest (13 adds scheduler/IO contention
+        // at fixture scale: 14.1s vs 21.9s median at sf0.1 local[32])
+        runner.runAllParallel(datasets, parallelism = 8)
         new EngineApi(s, store).panelFull()
           .filter(col("date").between("2020-01-01", "2024-12-31"))
           .orderBy("date")
