@@ -920,6 +920,33 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"))
     }),
 
+    // Structured Streaming stateful DEDUP under at-least-once delivery:
+    // the same documents file arrives through TWO stream sources (unioned
+    // — a replayed-backlog double delivery), and dropDuplicates state
+    // passes each doc_id exactly once to the downstream aggregate. Oracle:
+    // the single-delivery batch aggregate.
+    "stream_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      def src() = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val deduped = graft.streaming.StreamIngest.dedupExact(
+        src().union(src()), Seq("doc_id"))
+      val agg = deduped.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val qn = "graft_stream_dedup"
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("source")
+    }),
+
     // Structured Streaming SESSIONIZATION: the flatMapGroupsWithState
     // custom-state operator over a file-stream of the events table. A
     // far-future sentinel event per user is unioned in as a second stream
@@ -1746,6 +1773,12 @@ object SparkEntry {
     "stream_ingest_docs" ->
       """SELECT COUNT(*) AS n, CAST(SUM(n_chars) AS DOUBLE) AS sum_chars
         |FROM documents""".stripMargin,
+
+    // double delivery collapses to the single-delivery aggregate
+    "stream_dedup" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -78,6 +78,16 @@ object StreamIngest {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Stateful streaming exact-dedup: drop re-deliveries of the same key —
+    * the operator an at-least-once source (replayed files, redelivered
+    * queue messages) needs in front of any downstream aggregate. Spark
+    * keeps one state entry per key; bound the state with
+    * `withWatermark` + `dropDuplicatesWithinWatermark` when the key space
+    * is unbounded (event streams), or use plain `dropDuplicates` for
+    * bounded catalogs (document corpora). */
+  def dedupExact(stream: DataFrame, keys: Seq[String]): DataFrame =
+    stream.dropDuplicates(keys)
+
   // ------------------------------------------------------------ sessions
 
   final case class Ev(userId: Long, ts: Timestamp, eventType: String)
