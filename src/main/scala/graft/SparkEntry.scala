@@ -609,6 +609,19 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // Transitive near-dup CLUSTERS over the minhash pairs: iterative
+    // min-label propagation (bounded-round equi-join + groupBy shuffles),
+    // so A~B, B~C collapse to one representative even when A!~C directly.
+    // Oracle: recursive min-label reachability over the same pairs.
+    "dedup_cluster" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDupPairs(t(s, dir, "documents"),
+        "doc_id", "text", shingleWords = 3, numHashes = 64, bands = 16,
+        threshold = 0.7)
+      Dedup.clusterPairs(pairs)
+        .select(col("id").as("doc_id"), col("rep"))
+        .orderBy("doc_id")
+    }),
+
     // LLM dedup: SimHash near-dup pairs (quartered fingerprint blocking)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1060,6 +1073,36 @@ object SparkEntry {
       s"(list_transform([(73856093*(($offset) + p) + 19349663*(i-1)) % 1000003], " +
       s"h -> CAST((h*h + h) % 1000003 AS DOUBLE) / 500000.0 - 1.0)[1]))) >= 0 " +
       s"THEN (1 << (${np - 1} - p)) ELSE 0 END))"
+
+  /** Shared CTE chain deriving the banded MinHash-LSH near-dup pairs in
+    * DuckDB (word-3-gram shingles, md5-seeded universal-hash 64-min
+    * signatures, 16 bands of 4, exact-Jaccard verify) — ends at `v`
+    * (idA, idB, j). Used by the dedup_minhash and dedup_cluster oracles. */
+  private val minhashPairCtes: String =
+    """sh AS (SELECT doc_id AS id,
+      |    list_filter(list_distinct(list_transform(
+      |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
+      |      i -> array_to_string(
+      |        (regexp_extract_all(lower(text), '\S+'))[i:i+2], ' '))),
+      |      s -> s <> '') AS s
+      |  FROM documents),
+      |xs AS (SELECT id, unnest(s) AS shingle FROM sh),
+      |x2 AS (SELECT id,
+      |    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+      |      % 2147483647 AS x FROM xs),
+      |mh AS (SELECT id, i,
+      |    MIN((x*(2*i + 1) + 12345*i + 1) % 2147483647) AS h
+      |  FROM x2, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1, 2),
+      |sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
+      |bk AS (SELECT id, b,
+      |    md5(array_to_string(sig[b*4 + 1:b*4 + 4], ',')) AS bucket
+      |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+      |cand AS (SELECT DISTINCT a.id AS idA, c.id AS idB FROM bk a JOIN bk c
+      |  ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id),
+      |v AS (SELECT idA, idB,
+      |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
+      |      len(list_distinct(list_concat(x.s, y.s))) AS j
+      |  FROM cand JOIN sh x ON x.id = idA JOIN sh y ON y.id = idB)""".stripMargin
 
   /** DuckDB cosine between two list columns, same fold order as
     * Similarity.dot/l2Norm (ascending index, double accumulation). */
@@ -1616,32 +1659,27 @@ object SparkEntry {
     // md5-seeded universal-hash signatures (64 mins), 16 bands of 4 hashed
     // to md5 buckets, distinct collision pairs, exact-Jaccard verify.
     "dedup_minhash" ->
-      """WITH sh AS (SELECT doc_id AS id,
-        |    list_filter(list_distinct(list_transform(
-        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
-        |      i -> array_to_string(
-        |        (regexp_extract_all(lower(text), '\S+'))[i:i+2], ' '))),
-        |      s -> s <> '') AS s
-        |  FROM documents),
-        |xs AS (SELECT id, unnest(s) AS shingle FROM sh),
-        |x2 AS (SELECT id,
-        |    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
-        |      % 2147483647 AS x FROM xs),
-        |mh AS (SELECT id, i,
-        |    MIN((x*(2*i + 1) + 12345*i + 1) % 2147483647) AS h
-        |  FROM x2, (SELECT unnest(range(0, 64)) AS i) GROUP BY 1, 2),
-        |sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
-        |bk AS (SELECT id, b,
-        |    md5(array_to_string(sig[b*4 + 1:b*4 + 4], ',')) AS bucket
-        |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
-        |cand AS (SELECT DISTINCT a.id AS idA, c.id AS idB FROM bk a JOIN bk c
-        |  ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id),
-        |v AS (SELECT idA, idB,
-        |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
-        |      len(list_distinct(list_concat(x.s, y.s))) AS j
-        |  FROM cand JOIN sh x ON x.id = idA JOIN sh y ON y.id = idB)
+      s"""WITH $minhashPairCtes
         |SELECT idA, idB, round(j, 4) AS jaccard FROM v
         |WHERE j >= 0.7 ORDER BY idA, idB""".stripMargin,
+
+    // Transitive near-dup clusters over the same pair list: recursive
+    // min-label reachability (edges made symmetric; UNION dedups, so the
+    // recursion reaches fixpoint) — each doc in a duplicate group maps to
+    // the group's min id, exactly the Spark min-label propagation result.
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT idA, idB FROM v WHERE j >= 0.7),
+        |nodes AS (SELECT idA AS id FROM pairs UNION SELECT idB FROM pairs),
+        |edges AS (SELECT idA AS a, idB AS b FROM pairs
+        |  UNION SELECT idB AS a, idA AS b FROM pairs),
+        |reach AS (
+        |  SELECT id AS node, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS node, reach.r AS r
+        |  FROM reach JOIN edges e ON reach.node = e.a)
+        |SELECT node AS doc_id, MIN(r) AS rep
+        |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Full re-derivation of quartered SimHash: 64 portable md5 bits per
     // token, per-bit vote sums, 16-bit MSB-first quarter packing,

@@ -182,6 +182,46 @@ object Dedup {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** Connected components over a near-dup pair list: every doc in a
+    * transitively-connected duplicate group maps to the group's MIN id —
+    * the cluster step fuzzy dedup needs when groups are bigger than pairs
+    * (A~B, B~C must collapse to one representative even if A!~C directly).
+    *
+    * Iterative min-label propagation: each round, every node takes the
+    * minimum label among itself and its neighbors; converges in
+    * graph-diameter rounds (near-dup graphs are clique-ish, so 2-3). Each
+    * round is one equi-join + one groupBy on the edge list — at 100 TB
+    * this is the standard bounded-round shuffle shape; the driver only
+    * sees the single changed-count aggregate per round, never data.
+    * Returns (id, rep) for every node that appears in `pairs`. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
+      .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id")).cache()
+    labels.count()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val neighborReps = edges
+        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
+        .select(col("src").as("id"), col("rep"))
+      val next = neighborReps.unionByName(labels)
+        .groupBy("id").agg(min("rep").as("newRep"))
+      val joined = labels.join(next, Seq("id")).cache()
+      changed = joined.filter(col("newRep") < col("rep")).count()
+      val old = labels
+      labels = joined.select(col("id"), col("newRep").as("rep")).cache()
+      labels.count()
+      old.unpersist(false)
+      joined.unpersist(false)
+      it += 1
+    }
+    edges.unpersist(false)
+    labels
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens, represented as FOUR 16-bit quarter

@@ -75,6 +75,14 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("b", 1L, 0L)))
   }
 
+  test("clusterPairs: transitive chains collapse to the min-id rep") {
+    // chain 1-2-3 (1~2, 2~3 but no 1~3 edge) plus isolated pair 7-9
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("idA", "idB")
+    val reps = Dedup.clusterPairs(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("jaccard: identical shingle sets -> 1.0, disjoint -> 0.0") {
     val out = docs.select(
         Dedup.jaccard(Dedup.wordShingles(col("text"), 2),
