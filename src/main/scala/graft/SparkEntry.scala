@@ -1037,6 +1037,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Decode ROBUSTNESS contract: a third of the payloads are valid WAV,
+    // a third are corrupt (RIFF/WAVE magic, lying chunk sizes, no data
+    // chunk), a third are opaque bytes (raw-byte kernel). Corruption must
+    // surface as per-row status='error' with null features — never a
+    // failed task. Oracle: id-arithmetic over the same payload recipe.
+    "mm_decode_robust" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val payload: Array[Byte] = (id % 3) match {
+            case 0 => Multimodal.encodeWav(Array.tabulate((16 + id % 8).toInt)(
+              i => ((id * 13 + i * 7) % 2001 - 1000).toShort))
+            case 1 => "RIFFxxxxWAVE".getBytes("US-ASCII") ++
+              Array.tabulate(20)(i => ((id + i) % 251).toByte)
+            case _ => Array.tabulate((24 + id % 16).toInt)(
+              i => ((id * 17 + i * 3) % 256).toByte)
+          }
+          Multimodal.MediaRow(id, payload)
+        }
+      Multimodal.decodeFeaturesSafe(media, dims = 4).toDF()
+        .select(col("id"), col("status"),
+          col("byteLen").cast("long").as("byte_len"),
+          col("features").isNotNull.as("has_features"))
+        .orderBy("id")
+    }),
+
     // LLM multimodal: REAL 24-bpp BMP decode (bottom-up rows, 4-byte row
     // padding, channel-mean luminance) through the same kernel. Image of
     // doc d is (8 + d%8) x 6 with gray(x,y) = (d*7 + x*11 + y*5) % 256;
@@ -1854,6 +1881,17 @@ object SparkEntry {
         |  md5(text) AS content_md5,
         |  least(octet_length(encode(text)), 8) AS n_frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // robustness contract re-derived from the payload recipe: WAV ids have
+    // the 44-byte header + 2 bytes/sample; corrupt ids are the 32-byte
+    // poisoned header (always 'error'); raw ids are 24 + id%16 bytes.
+    "mm_decode_robust" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 3 = 1 THEN 'error' ELSE 'ok' END AS status,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 44 + 2*(16 + doc_id % 8)
+        |       WHEN 1 THEN 32 ELSE 24 + doc_id % 16 END AS BIGINT) AS byte_len,
+        |  doc_id % 3 <> 1 AS has_features
+        |FROM documents ORDER BY id""".stripMargin,
 
     // First-principles re-derivation of the WAV kernel's features: the same
     // generative sample formula, windowed by integer division, averaged in

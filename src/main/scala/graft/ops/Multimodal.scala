@@ -21,6 +21,8 @@ object Multimodal {
   /** Media row shape used by the typed decode path. */
   final case class MediaRow(id: Long, payload: Array[Byte])
   final case class MediaFeatures(id: Long, byteLen: Int, features: Array[Float])
+  final case class MediaFeaturesSafe(id: Long, byteLen: Int, status: String,
+                                     features: Option[Array[Float]])
 
   /** Wrap a string column as an opaque binary payload (stand-in for real
     * media bytes in the fixture tables). */
@@ -221,6 +223,25 @@ object Multimodal {
     media.mapPartitions { rows =>
       rows.map { r =>
         MediaFeatures(r.id, r.payload.length, decodeBytes(r.payload, dims))
+      }
+    }
+  }
+
+  /** Error-isolating variant of [[decodeFeatures]]: a malformed payload
+    * (truncated header, lying chunk sizes, missing data chunk) yields a
+    * per-row `status = "error"` with null features instead of failing the
+    * task — the contract a 100 TB corpus of crawled media requires, where
+    * some fraction of every batch is always corrupt. */
+  def decodeFeaturesSafe(media: Dataset[MediaRow],
+                         dims: Int = 8): Dataset[MediaFeaturesSafe] = {
+    implicit val enc = Encoders.product[MediaFeaturesSafe]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try MediaFeaturesSafe(r.id, r.payload.length, "ok",
+          Some(decodeBytes(r.payload, dims)))
+        catch { case _: Exception =>
+          MediaFeaturesSafe(r.id, r.payload.length, "error", None)
+        }
       }
     }
   }
