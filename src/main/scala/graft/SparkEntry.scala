@@ -622,6 +622,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Test-set DECONTAMINATION: docs with doc_id % 50 == 0 stand in for a
+    // benchmark suite; every other doc is flagged if it shares any word
+    // 3-gram with the benchmark (shared-shingle count included). The
+    // benchmark shingle set broadcasts; the corpus never shuffles.
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.decontaminate(
+          docs.filter(col("doc_id") % 50 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0),
+          "doc_id", "text", shingleWords = 3)
+        .orderBy("doc_id")
+    }),
+
     // LLM dedup: SimHash near-dup pairs (quartered fingerprint blocking)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -1707,6 +1720,26 @@ object SparkEntry {
         |  FROM reach JOIN edges e ON reach.node = e.a)
         |SELECT node AS doc_id, MIN(r) AS rep
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Decontamination re-derived: same distinct word-3-gram shingles, same
+    // benchmark split by id arithmetic, COUNT(DISTINCT shared shingle).
+    "decontaminate" ->
+      """WITH sh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM documents),
+        |b AS (SELECT DISTINCT unnest(s) AS shg FROM sh WHERE id % 50 = 0),
+        |tr AS (SELECT id, unnest(s) AS shg FROM sh WHERE id % 50 <> 0),
+        |hits AS (SELECT tr.id, COUNT(DISTINCT tr.shg) AS n_shared
+        |  FROM tr JOIN b ON tr.shg = b.shg GROUP BY 1)
+        |SELECT t2.id AS doc_id,
+        |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT id FROM sh WHERE id % 50 <> 0) t2
+        |LEFT JOIN hits h ON t2.id = h.id ORDER BY 1""".stripMargin,
 
     // Full re-derivation of quartered SimHash: 64 portable md5 bits per
     // token, per-bit vote sums, 16-bit MSB-first quarter packing,

@@ -55,6 +55,27 @@ object Dedup {
     array_distinct(transform(idx, i => t.substr(i + 1, lit(k))))
   }
 
+  /** Test-set decontamination: flag every training doc that shares at
+    * least one word n-gram with the benchmark set, with the shared-shingle
+    * count — the pipeline stage that keeps evaluation data out of a
+    * training corpus. Candidates come only from the shingle equi-join and
+    * the benchmark shingle set is broadcast (benchmark suites are tiny
+    * next to a training corpus, so the corpus never shuffles). */
+  def decontaminate(train: DataFrame, benchmark: DataFrame, idCol: String,
+                    textCol: String, shingleWords: Int = 3): DataFrame = {
+    val trSh = train.select(col(idCol),
+      explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+    val bSh = benchmark
+      .select(explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .distinct()
+    val hits = trSh.join(broadcast(bSh), Seq("sh"))
+      .groupBy(idCol).agg(countDistinct(col("sh")).as("n_shared"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** n-gram Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
