@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level text statistics for training-data curation: repetition
+  * signals (the Gopher-style "repetitious document" filters) and TF-IDF
+  * salient-term extraction.
+  *
+  * These are DataFrame-level operators (they aggregate across tokens and
+  * across the corpus), unlike the per-row Column expressions in
+  * [[TextAnalysis]]. Both are engine extensions beyond the reference
+  * (which has no text analytics) per the engine brief.
+  *
+  * Scale design: every aggregation is an explode + hash-aggregate on
+  * `(doc, gram)` / `(term)` keys — map-side partial aggregation applies,
+  * and nothing ever materializes a per-document map on the driver. The
+  * per-document top-k uses `row_number` over a per-doc window, which Spark
+  * plans as WindowGroupLimit (top-k pushdown) rather than a full sort.
+  */
+object Corpus {
+
+  /** Token n-grams as a space-joined string array; empty array when the
+    * document has fewer than `n` tokens (guards Spark's `sequence`, which
+    * would otherwise count DOWN for start > stop). */
+  def ngrams(toks: Column, n: Int): Column = {
+    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signals per document:
+    *   - `top2gram_frac`: occurrences of the single most frequent word
+    *     2-gram over total 2-grams — boilerplate and template spam score
+    *     high;
+    *   - `dup3gram_frac`: fraction of 3-gram occurrences whose 3-gram
+    *     appears more than once — near-loop text scores high.
+    * Documents with fewer than 3 tokens are dropped (no 3-gram exists).
+    * Two explode→hash-agg passes joined on the doc key; candidate
+    * fractions are rounded to 6 digits (portable across engines).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .where(size(col("__toks")) >= 3)
+
+    def gramCounts(n: Int): DataFrame = base
+      .select(col(idCol), explode(ngrams(col("__toks"), n)).as("__g"))
+      .groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__n"))
+
+    val top2 = gramCounts(2)
+      .groupBy(idCol).agg(max("__n").as("__mx"), sum("__n").as("__tot"))
+      .select(col(idCol), round(col("__mx") / col("__tot"), 6).as("top2gram_frac"))
+    val dup3 = gramCounts(3)
+      .groupBy(idCol).agg(
+        sum(when(col("__n") > 1, col("__n")).otherwise(0L)).as("__dup"),
+        sum("__n").as("__tot"))
+      .select(col(idCol), round(col("__dup") / col("__tot"), 6).as("dup3gram_frac"))
+    top2.join(dup3, idCol)
+  }
+
+  /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf
+    * (N/df instead of ln(N/df)) scaled to parts-per-million:
+    *
+    *   score_ppm = floor(cnt * 1e6 * N / (total_doc_tokens * df))
+    *
+    * The rational form keeps the entire score in exact integer/IEEE-double
+    * arithmetic (numerator < 2^52), so the ranking — and the score itself —
+    * is bit-identical in any engine; ln() differs in the last ulp across
+    * libm implementations and would make cross-engine top-k flaky. Ties
+    * break on the term string.
+    */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("__cnt"))
+    val totals = tf.groupBy(col(idCol)).agg(sum("__cnt").as("__total"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("__df"))
+    val nDocs = df.select(col(idCol)).agg(count(lit(1)).as("__n_docs"))
+
+    val scored = tf
+      .join(totals, idCol)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_ppm",
+        floor(col("__cnt") * lit(1000000L) * col("__n_docs") /
+          (col("__total") * col("__df"))))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_ppm").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("term"), col("score_ppm"))
+  }
+}
