@@ -1097,6 +1097,35 @@ object SparkEntry {
           element_at(col("features"), 3).cast("double").as("f2"),
           element_at(col("features"), 4).cast("double").as("f3"))
         .orderBy("id")
+    }),
+
+    // Corpus curation: Gopher-style repetition signals — per-doc fraction of
+    // the single most frequent word 2-gram, and fraction of 3-gram
+    // occurrences whose 3-gram repeats. Two explode -> hash-agg passes; the
+    // oracle re-derives both from the same tokenizer in DuckDB.
+    "corpus_repetition" -> ((s, dir) => {
+      Corpus.repetitionSignals(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // Corpus curation: top-5 salient terms per doc by TF-IDF with the
+    // RATIONAL ppm-integer score (floor(cnt*1e6*N/(total*df))) — exact
+    // integer/double arithmetic, so score AND ranking are engine-portable
+    // (ln() would differ in the last ulp across libms). Ties break on term.
+    "corpus_tfidf" -> ((s, dir) => {
+      Corpus.tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rk")
+    }),
+
+    // One-scan column profiling (null count / exact NDV / min / max for all
+    // K columns in a single aggregate + stack reshape). Exact NDV costs a
+    // K+1-projection Expand on any engine; exact=false is the HLL path for
+    // 100 TB. Oracle: per-column aggregates unioned.
+    "profile_table" -> ((s, dir) => {
+      Profile.numericProfile(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+            "l_orderkey"))
+        .orderBy("col_name")
     })
   )
 
@@ -1963,6 +1992,70 @@ object SparkEntry {
         |  MAX(CASE WHEN band = 1 THEN m END) AS f1,
         |  MAX(CASE WHEN band = 2 THEN m END) AS f2,
         |  MAX(CASE WHEN band = 3 THEN m END) AS f3
-        |FROM f GROUP BY 1, 2 ORDER BY id""".stripMargin
+        |FROM f GROUP BY 1, 2 ORDER BY id""".stripMargin,
+
+    // Same tokenizer (\S+ on lower(text)), same n-gram windows (1-based
+    // inclusive list slices = the Spark sequence/element_at windows), same
+    // >=3-token guard, same round-6 fractions.
+    "corpus_repetition" ->
+      """WITH base AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(lower(text), '\S+')) >= 3),
+        |c2 AS (SELECT doc_id, g, COUNT(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t)),
+        |      i -> array_to_string(t[i:i+1], ' '))) AS g FROM base)
+        |  GROUP BY 1, 2),
+        |top2 AS (SELECT doc_id,
+        |    round(CAST(MAX(n) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+        |      AS top2gram_frac
+        |  FROM c2 GROUP BY 1),
+        |c3 AS (SELECT doc_id, g, COUNT(*) AS n FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+        |      i -> array_to_string(t[i:i+2], ' '))) AS g FROM base)
+        |  GROUP BY 1, 2),
+        |dup3 AS (SELECT doc_id,
+        |    round(CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS DOUBLE) /
+        |          CAST(SUM(n) AS DOUBLE), 6) AS dup3gram_frac
+        |  FROM c3 GROUP BY 1)
+        |SELECT top2.doc_id, top2.top2gram_frac, dup3.dup3gram_frac
+        |FROM top2 JOIN dup3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // The ppm score is one IEEE division of two exact (<2^52) integer
+    // products, then floor — bit-identical across engines by construction.
+    "corpus_tfidf" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |totals AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS total
+        |  FROM tf GROUP BY 1),
+        |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term,
+        |    CAST(floor(CAST(tf.cnt * 1000000 * nd.n_docs AS DOUBLE) /
+        |      CAST(totals.total * dfreq.df AS DOUBLE)) AS BIGINT) AS score_ppm
+        |  FROM tf JOIN totals USING (doc_id) JOIN dfreq USING (term)
+        |  CROSS JOIN nd),
+        |rk AS (SELECT doc_id, term, score_ppm,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score_ppm DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, rk, term, score_ppm FROM rk
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    // Independent per-column aggregates unioned (DuckDB COUNT(DISTINCT)
+    // also ignores NULLs, matching Spark's countDistinct).
+    "profile_table" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
+          "l_orderkey")
+        .map(c =>
+          s"""SELECT '$c' AS col_name,
+             |  CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_nulls,
+             |  CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             |  CAST(MIN($c) AS DOUBLE) AS min_val,
+             |  CAST(MAX($c) AS DOUBLE) AS max_val
+             |FROM lineitem""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
   )
 }

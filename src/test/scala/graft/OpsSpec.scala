@@ -171,4 +171,54 @@ class OpsSpec extends SparkSuite {
       Reshape.promoteHeaderAndMelt(grid, "Month")
     }
   }
+
+  // --------------------------------------------------------------- Corpus
+  test("repetitionSignals: fractions + short-doc guard") {
+    val docs = Seq(
+      (1L, "a b a b a b"),  // 2-grams: "a b"x3, "b a"x2; 3-grams all dup'd
+      (2L, "x y z"),        // top 2-gram 1/2; single 3-gram, no dups
+      (3L, "one two"))      // 2 tokens -> dropped (no 3-gram exists)
+      .toDF("doc_id", "text")
+    val out = Corpus.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    assert(out.toSeq == Seq((1L, 0.6, 1.0), (2L, 0.5, 0.0)))
+  }
+
+  test("ngrams: fewer tokens than n yields an empty array, not a crash") {
+    val out = Seq("a b", "").toDF("t")
+      .select(size(Corpus.ngrams(TextAnalysis.tokens(col("t")), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == Seq(0, 0))
+  }
+
+  test("tfidfTopTerms: ppm scores and tie-break on term") {
+    val docs = Seq((1L, "b a"), (2L, "c c")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 5)
+      .orderBy("doc_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // doc 1: a and b tie at floor(1*1e6*2/(2*1)) = 1000000 -> term order a, b
+    // doc 2: c = floor(2*1e6*2/(2*1)) = 2000000
+    assert(out.toSeq == Seq(
+      (1L, 1, "a", 1000000L), (1L, 2, "b", 1000000L),
+      (2L, 1, "c", 2000000L)))
+  }
+
+  // -------------------------------------------------------------- Profile
+  test("numericProfile: nulls/ndv/min/max in one scan, exact and approx") {
+    val df = Seq(
+      (Some(1.0), 5L), (Some(2.0), 5L), (None, 5L), (Some(2.0), 5L))
+      .toDF("x", "y")
+    val out = Profile.numericProfile(df, Seq("x", "y"))
+      .orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      ("x", 1L, 2L, 1.0, 2.0), ("y", 0L, 1L, 5.0, 5.0)))
+    // HLL path: same shape, same min/max, NDV within its error bound
+    val approx = Profile.numericProfile(df, Seq("x", "y"), exact = false)
+      .orderBy("col_name")
+      .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
+    assert(approx.length == 2 && approx(0)._2 >= 1 && approx(0)._3 == 1.0)
+  }
 }
