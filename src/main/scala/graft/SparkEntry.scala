@@ -119,12 +119,14 @@ object SparkEntry {
         autoC.withColumn(autoS, when(col("date") === "2015-07-01",
           col(autoS) + 500).otherwise(col(autoS)))
       else autoC
-      // gas_price and NYU read REAL workbook bytes (.xlsx fixtures) through
-      // XlsxReader — same cells as the CSV twins, so counts are unchanged
+      // gas_price and NYU read REAL workbook bytes (.xlsx) through
+      // XlsxReader; quarterly_loans reads legacy BIFF8 bytes (.xls — the
+      // format of every production EDB file, core_local/config.py:32-116)
+      // through XlsReader — same cells as the CSV twins, counts unchanged
       val (gasC, gasS) = GridSource.canonicalize(GridSource.processMonthly(
         GridSource.readGrid(s, s"$fx/edb_gas_price.xlsx", gas.dataLocation), gas), gas)
       val (loanC, loanS) = GridSource.canonicalize(GridSource.processQuarterly(
-        GridSource.readGrid(s, s"$fx/edb_quarterly_loans.csv", loans.dataLocation), loans), loans)
+        GridSource.readGrid(s, s"$fx/edb_quarterly_loans.xls", loans.dataLocation), loans), loans)
       val (ffrC, ffrS) = FredSource.canonicalize(FredSource.process(
         FredSource.readObservations(s, s"$fx/fred_federal_funds_rate.json"), ffr), ffr)
       val (gdpC, gdpS) = FredSource.canonicalize(FredSource.process(
@@ -517,9 +519,10 @@ object SparkEntry {
         val store = new TableStore(s, dir)
         val runner = new Runner(s, store,
           () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
-        // real workbook bytes (.xlsx twins of the CSV fixtures) — same cells
+        // real workbook bytes, one per format (.xlsx ECMA-376 and legacy
+        // .xls BIFF8 twins of the CSV fixtures) — same cells
         val datasets = Seq("auto_sales" -> "edb_auto_sales.xlsx",
-            "gas_price" -> "edb_gas_price.xlsx")
+            "gas_price" -> "edb_gas_price.xls")
           .map { case (name, file) =>
             val cfg = Registry.edbConfigs.find(_.name == name).get
             val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)

@@ -42,12 +42,17 @@ object GridSource {
     *
     * Dispatches on extension: `.xlsx` goes through the real workbook-byte
     * parser ([[XlsxReader.readFirstSheet]] — the reference reads actual
-    * Excel bytes, azure_common_scrapers.py:66-79); anything else is the
-    * comma-separated fixture dialect. Both yield the same sliced grid. */
+    * Excel bytes, azure_common_scrapers.py:66-79); `.xls` through the
+    * legacy BIFF8 parser ([[XlsReader.readFirstSheet]] — the reference's
+    * 15 production EDB files are all `.XLS`, core_local/config.py:32-116);
+    * anything else is the comma-separated fixture dialect. All yield the
+    * same sliced grid. */
   def readGrid(spark: SparkSession, path: String, dataLocation: String): DataFrame = {
     val (r1, c1, r2, c2) = parseRange(dataLocation)
+    val lower = path.toLowerCase
     val rows: Vector[Vector[String]] =
-      if (path.toLowerCase.endsWith(".xlsx")) XlsxReader.readFirstSheet(path)
+      if (lower.endsWith(".xlsx")) XlsxReader.readFirstSheet(path)
+      else if (lower.endsWith(".xls")) XlsReader.readFirstSheet(path)
       else {
         val lines = scala.io.Source.fromFile(path)
         try lines.getLines().toVector.map(_.split(",", -1).toVector)

@@ -1,11 +1,13 @@
 package graft.tools
 
-import graft.sources.XlsxWriter
+import graft.sources.{XlsWriter, XlsxWriter}
 
-/** Regenerates the checked-in `.xlsx` fixture workbooks from their CSV
-  * twins (same cells, real ECMA-376 bytes), so the test suite and the e2e
-  * pipeline exercise the genuine workbook-byte read path the reference uses
-  * (core_local/azure_common_scrapers.py:66-79, azure_nyu_scraper.py:86).
+/** Regenerates the checked-in workbook fixtures from their CSV twins
+  * (same cells, real bytes), so the test suite and the e2e pipeline
+  * exercise the genuine workbook-byte read paths the reference uses:
+  * `.xlsx` ECMA-376 packages (azure_nyu_scraper.py:86) AND legacy `.xls`
+  * BIFF8 containers — the format of all 15 production EDB files
+  * (core_local/config.py:32-116, azure_common_scrapers.py:66-79).
   *
   * Run: `sbt "runMain graft.tools.FixtureGen [fixturesDir]"`.
   */
@@ -14,8 +16,9 @@ object FixtureGen {
     val dir = args.headOption.getOrElse("fixtures")
     Seq("edb_auto_sales", "edb_gas_price", "edb_quarterly_loans", "nyu_erp")
       .foreach { base =>
-        val out = XlsxWriter.fromCsv(s"$dir/$base.csv", s"$dir/$base.xlsx")
-        println(s"wrote $out")
+        println("wrote " + XlsxWriter.fromCsv(s"$dir/$base.csv", s"$dir/$base.xlsx"))
+        if (base.startsWith("edb_")) // EDB production files are legacy .XLS
+          println("wrote " + XlsWriter.fromCsv(s"$dir/$base.csv", s"$dir/$base.xls"))
       }
   }
 }

@@ -1,15 +1,17 @@
 package graft.tools
 
 import graft.config.Registry
-import graft.sources.XlsxWriter
+import graft.sources.{XlsWriter, XlsxWriter}
 import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths}
 import java.time.LocalDate
 
 /** Deterministic synthetic fixtures for the FULL 26-dataset registry — 15
-  * EDB workbook grids (real .xlsx bytes), 10 FRED observation JSONs, 1 NYU
-  * sheet — generated from closed-form value formulas so a DuckDB oracle can
-  * recompute every stored value from first principles.
+  * EDB workbook grids (real legacy `.xls` BIFF8 bytes, the format of every
+  * production EDB file: core_local/config.py:32-116), 10 FRED observation
+  * JSONs, 1 NYU `.xlsx` sheet — generated from closed-form value formulas
+  * so a DuckDB oracle can recompute every stored value from first
+  * principles.
   *
   * The formulas are the spec; the engine must reproduce them THROUGH its
   * whole ingestion stack (workbook parse -> A1 slice -> header promotion ->
@@ -91,8 +93,10 @@ object RegistryFixtures {
             Vector("SYNTHETIC REGISTRY FIXTURE"),
             Vector(cfg.fileName + " / " + cfg.sheetName),
             Vector.empty[String], Vector.empty[String], Vector.empty[String])
-          val file = s"edb_${cfg.name}.xlsx"
-          XlsxWriter.write(s"$dir/$file", filler ++ (header +: body))
+          // production EDB files are legacy .XLS BIFF8 workbooks
+          // (core_local/config.py:32-116: I_AUTO.XLS, I_BANKRUPT.XLS, ...)
+          val file = s"edb_${cfg.name}.xls"
+          XlsWriter.write(s"$dir/$file", filler ++ (header +: body))
           cfg.name -> file
         case Registry.Fred =>
           val months =
