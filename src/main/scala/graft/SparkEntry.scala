@@ -620,7 +620,18 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDupPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleWords = 3, numHashes = 64, bands = 16,
         threshold = 0.7)
-      Dedup.clusterPairs(pairs)
+      // the propagation loop shuffles the EDGE LIST (orders of magnitude
+      // smaller than the corpus) several times; size the shuffle to that
+      // edge list — at bench scale a handful of partitions, at 100 TB
+      // whatever holds the near-dup pairs — instead of paying dozens of
+      // near-empty-task scheduling rounds at the session default
+      val matPairs = pairs.localCheckpoint(true) // pair-gen at full parallelism
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val clusters =
+        try Dedup.clusterPairs(matPairs)
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      clusters
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
     }),

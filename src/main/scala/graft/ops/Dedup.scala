@@ -220,23 +220,36 @@ object Dedup {
       .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
       .distinct().cache()
     var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).cache()
-    labels.count()
+      .withColumn("rep", col("id")).localCheckpoint(true)
     var changed = 1L
     var it = 0
+    var prev: DataFrame = null
     while (changed > 0 && it < maxIter) {
+      // one shuffle round: neighbor reps + tagged self rows fused into a
+      // single groupBy that carries BOTH the node's old rep (via the self
+      // tag) and the new min rep — so ONE action computes the changed
+      // count AND materializes the next labels, instead of the former
+      // join + two counts over two cached frames per round
       val neighborReps = edges
         .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
-        .select(col("src").as("id"), col("rep"))
-      val next = neighborReps.unionByName(labels)
-        .groupBy("id").agg(min("rep").as("newRep"))
-      val joined = labels.join(next, Seq("id")).cache()
-      changed = joined.filter(col("newRep") < col("rep")).count()
-      val old = labels
-      labels = joined.select(col("id"), col("newRep").as("rep")).cache()
-      labels.count()
-      old.unpersist(false)
-      joined.unpersist(false)
+        .select(col("src").as("id"), col("rep"), lit(false).as("self"))
+      val merged = neighborReps
+        .unionByName(labels.select(col("id"), col("rep"), lit(true).as("self")))
+        .groupBy("id")
+        .agg(min("rep").as("newRep"),
+          min(when(col("self"), col("rep"))).as("oldRep"))
+        .cache()
+      changed = merged.filter(col("newRep") < col("oldRep")).count()
+      if (prev != null) prev.unpersist(false)
+      prev = merged
+      labels = merged.select(col("id"), col("newRep").as("rep"))
+      // truncate the growing iterative lineage every few rounds so plan
+      // compilation stays O(1) per round (graph diameter can reach maxIter)
+      if (changed > 0 && (it + 1) % 3 == 0) {
+        labels = labels.localCheckpoint(true)
+        prev.unpersist(false)
+        prev = null
+      }
       it += 1
     }
     edges.unpersist(false)
