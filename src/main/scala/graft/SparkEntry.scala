@@ -1140,6 +1140,27 @@ object SparkEntry {
           Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax",
             "l_orderkey"))
         .orderBy("col_name")
+    }),
+
+    // Exact-substring dedup at 10-word segment granularity (the scalable
+    // stand-in for Lee et al.'s suffix-array ExactSubstr): one copy of
+    // every distinct segment survives corpus-wide (first occurrence by
+    // (doc_id, seg_idx)), docs rebuilt from surviving segments. One
+    // row_number window on the segment hash + one doc-key aggregate.
+    "dedup_segments" -> ((s, dir) => {
+      Dedup.segmentDedup(t(s, dir, "documents"), "doc_id", "text",
+          segWords = 10)
+        .orderBy("doc_id")
+    }),
+
+    // DSIR-style target-domain importance weights (source 'src0' stands in
+    // for the target distribution): per-token p_target/p_corpus ratio in
+    // ppm (rational surrogate of the log-likelihood ratio — ln() is not
+    // engine-portable), summed per doc over exact int64 arithmetic.
+    "importance_weights" -> ((s, dir) => {
+      Corpus.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
+          col("source") === "src0")
+        .orderBy("doc_id")
     })
   )
 
@@ -2070,6 +2091,70 @@ object SparkEntry {
              |  CAST(MIN($c) AS DOUBLE) AS min_val,
              |  CAST(MAX($c) AS DOUBLE) AS max_val
              |FROM lineitem""".stripMargin)
-        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // Same segmentation (split on single space, 10-word windows), same
+    // keeper election (first (doc_id, seg_idx) per segment hash), same
+    // ordered rebuild — re-derived relationally from the raw table.
+    "dedup_segments" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+        |  FROM words),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |    array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') AS seg
+        |  FROM idx),
+        |kept AS (
+        |  SELECT doc_id, seg_idx, seg FROM (
+        |    SELECT doc_id, seg_idx, seg,
+        |      row_number() OVER (PARTITION BY md5(seg)
+        |                         ORDER BY doc_id, seg_idx) AS rk
+        |    FROM segs) WHERE rk = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_segs
+        |  FROM words)
+        |SELECT t.doc_id, t.n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // Laplace-smoothed unigram ratio weights in ppm (integer division on
+    // BIGINT, matching Spark's DIV), target = source 'src0'.
+    "importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |stats AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_c,
+        |    CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS cnt_t
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
+        |    CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM stats),
+        |wts AS (
+        |  SELECT tok,
+        |    (1000000 * (cnt_t + 1) * (n_c + v)) // ((cnt_c + 1) * (n_t + v))
+        |      AS w_ppm
+        |  FROM stats, tot),
+        |dt AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+        |  CAST(SUM(cnt * w_ppm) AS BIGINT) AS score_ppm,
+        |  CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
+        |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
+        |FROM dt JOIN wts USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

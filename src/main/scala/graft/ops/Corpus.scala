@@ -92,4 +92,55 @@ object Corpus {
       .filter(col("rk") <= k)
       .select(col(idCol), col("rk"), col("term"), col("score_ppm"))
   }
+
+  /** DSIR-style importance weights for target-domain data selection
+    * (Xie et al. 2023): score every document by how much its unigram
+    * distribution favors a target subcorpus over the full corpus.
+    *
+    * Per token, with Laplace smoothing over the joint vocabulary V:
+    *
+    *   w_ppm(tok) = (1e6 * (cnt_target+1) * (N_corpus+V))
+    *                  DIV ((cnt_corpus+1) * (N_target+V))
+    *
+    * i.e. the RATIO p_target/p_corpus in parts-per-million — the rational
+    * surrogate of DSIR's per-token log-likelihood ratio (same per-token
+    * ordering; ln() differs in the last ulp across libms and would make
+    * the result engine-dependent, the same reason [[tfidfTopTerms]] uses
+    * rational idf). Per document:
+    *
+    *   score_ppm     = sum(cnt_doc(tok) * w_ppm(tok))   — exact int64
+    *   score_avg_ppm = score_ppm DIV n_toks             — length-normalized
+    *
+    * Scale shape: two hash-aggregates over the exploded token stream
+    * ((token) and (doc, token) keys, both map-side partial), a 3-long
+    * broadcast of the totals, and a token-keyed join of per-doc counts
+    * against the weight table (auto-broadcast when the vocabulary is
+    * small; a plain shuffle join on the token key otherwise — per-doc
+    * counts are already collapsed, so stopword skew is bounded by
+    * distinct docs, not token occurrences). Int64 holds exactly while
+    * 1e6 * (N+V)^2-ish products stay under 2^63 — beyond that (corpora
+    * past ~10^12 tokens) switch the weight computation to DECIMAL(38,0);
+    * the per-doc sums remain int64-safe far longer.
+    */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+                        targetPred: Column): DataFrame = {
+    val toks = df.select(col(idCol), targetPred.as("__is_t"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val stats = toks.groupBy("tok").agg(
+      count(lit(1)).as("__cnt_c"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__cnt_t"))
+    val totals = stats.agg(
+      sum("__cnt_c").as("__n_c"), sum("__cnt_t").as("__n_t"),
+      count(lit(1)).as("__v"))
+    val weights = stats.crossJoin(broadcast(totals))
+      .select(col("tok"), expr(
+        """(1000000L * (__cnt_t + 1) * (__n_c + __v))
+          | DIV ((__cnt_c + 1) * (__n_t + __v))""".stripMargin).as("__w_ppm"))
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__cnt"))
+      .join(weights, "tok")
+      .groupBy(col(idCol))
+      .agg(sum("__cnt").as("n_toks"),
+        sum(col("__cnt") * col("__w_ppm")).as("score_ppm"))
+      .withColumn("score_avg_ppm", expr("score_ppm DIV n_toks"))
+  }
 }

@@ -256,6 +256,51 @@ object Dedup {
     labels
   }
 
+  // ----------------------------------------------------- segment-level
+
+  /** Exact-substring dedup at fixed word-window granularity (the scalable
+    * approximation of Lee et al. 2021's suffix-array ExactSubstr, as used
+    * by production corpus pipelines): split every document into
+    * consecutive `segWords`-word segments, keep exactly ONE copy of every
+    * distinct segment corpus-wide (the globally first occurrence by
+    * (docId, segIdx)), and rebuild each document from its surviving
+    * segments.
+    *
+    * Returns (id, n_segs, n_kept, clean_text) — docs whose every segment
+    * was already seen elsewhere come back with n_kept = 0 and empty text.
+    *
+    * Scale shape: segments are built with per-row array ops (no shuffle),
+    * the keeper election is ONE shuffle — a row_number window partitioned
+    * by the 32-char segment hash (cardinality ~ corpus segments, no skew
+    * beyond true duplication) — and the rebuild is one hash-aggregate on
+    * the doc key. Nothing touches the driver; the full text never
+    * shuffles twice (only hash + segment strings do).
+    */
+  def segmentDedup(df: DataFrame, idCol: String, textCol: String,
+                   segWords: Int = 10): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
+    val segs = df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), nSegs - 1),
+          i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords)))))
+          .as(Seq("seg_idx", "seg")))
+    val keeperW = Window.partitionBy(md5(col("seg")))
+      .orderBy(col(idCol), col("seg_idx"))
+    val kept = segs
+      .withColumn("__rk", row_number().over(keeperW))
+      .filter(col("__rk") === 1)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+          s => s.getField("seg"))).as("clean_text"))
+    df.select(col(idCol), nSegs.cast("long").as("n_segs"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol), col("n_segs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens, represented as FOUR 16-bit quarter

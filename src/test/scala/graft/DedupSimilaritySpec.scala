@@ -279,4 +279,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(fps(1L) != fps(2L))  // reordered tokens -> different
     assert(fps.values.forall(v => v >= 0 && v < 2147483647L))
   }
+
+  test("segmentDedup: first occurrence survives, docs rebuilt in order") {
+    import spark.implicits._
+    val w = (1 to 10).map(i => s"w$i").mkString(" ")       // one full segment
+    val u = (1 to 10).map(i => s"u$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$w $u tail words"),          // segs: w, u, "tail words"
+      (2L, s"$u extra"),                  // u duplicates doc 1 -> dropped
+      (3L, s"$w $u tail words")           // full duplicate of doc 1 -> empty
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 10)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out(0) == ((1L, 3L, 3L, s"$w $u tail words")))
+    assert(out(1) == ((2L, 2L, 1L, "extra")))
+    assert(out(2) == ((3L, 3L, 0L, "")))
+  }
+
+  test("segmentDedup: within-doc repeated segment keeps only the first") {
+    import spark.implicits._
+    val w = (1 to 10).map(i => s"r$i").mkString(" ")
+    val docs = Seq((7L, s"$w $w")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segWords = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.head == ((2L, 1L, w)))
+  }
 }

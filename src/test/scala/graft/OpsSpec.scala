@@ -221,4 +221,19 @@ class OpsSpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(2), r.getDouble(3)))
     assert(approx.length == 2 && approx(0)._2 >= 1 && approx(0)._3 == 1.0)
   }
+
+  test("importanceWeights: ppm ratio weights, exact integer per-doc sums") {
+    val docs = Seq((1L, "a a b", "t"), (2L, "a c", "o"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.importanceWeights(docs, "doc_id", "text",
+        col("source") === "t")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // stats: a (cnt_c=3, cnt_t=2), b (1,1), c (1,0); N_c=5, N_t=3, V=3
+    // w(a) = 1e6*3*8 div (4*6)  = 1000000
+    // w(b) = 1e6*2*8 div (2*6)  = 1333333
+    // w(c) = 1e6*1*8 div (2*6)  = 666666
+    assert(out(0) == ((1L, 3L, 2L * 1000000L + 1333333L, 1111111L)))
+    assert(out(1) == ((2L, 2L, 1000000L + 666666L, 833333L)))
+  }
 }
