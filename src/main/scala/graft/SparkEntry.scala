@@ -987,6 +987,34 @@ object SparkEntry {
       s.table(qn).orderBy("source")
     }),
 
+    // Structured Streaming STREAM-STREAM INTERVAL JOIN: views and clicks
+    // (two filtered streams off the events file-stream) joined per user
+    // on an event-time range — click attributed to views in the preceding
+    // 30 min. Both sides watermarked, so join state is bounded by the
+    // lookback window (the property that makes this runnable at stream
+    // scale). Oracle: the identical interval self-join in batch SQL at
+    // Spark's microsecond comparison precision.
+    "stream_attribution" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val raw = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val joined = graft.streaming.StreamIngest.attributionJoin(ev, 30)
+      val qn = "graft_stream_attr"
+      val q = joined.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("user_id", "view_id", "click_id")
+    }),
+
     // Structured Streaming SESSIONIZATION: the flatMapGroupsWithState
     // custom-state operator over a file-stream of the events table. A
     // far-future sentinel event per user is unioned in as a second stream
@@ -1952,6 +1980,25 @@ object SparkEntry {
     // operator's `t - last <= gap` same-session rule); millisecond grain on
     // both sides (epoch_ms truncates micros exactly like the engine's
     // nanos-div-10^6)
+    // Batch re-derivation of the stream-stream interval join, at Spark's
+    // microsecond timestamp precision (epoch_ns // 1000 mirrors the
+    // engine's nanos->micros truncation before comparing).
+    "stream_attribution" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS us
+        |  FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, us AS v_us
+        |      FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS c_us
+        |      FROM e WHERE event_type = 'click')
+        |SELECT user_id, view_id, click_id,
+        |  CAST(v_us // 1000 AS BIGINT) AS view_ms,
+        |  CAST(c_us // 1000 AS BIGINT) AS click_ms
+        |FROM v JOIN c USING (user_id)
+        |WHERE v_us <= c_us AND v_us >= c_us - 1800000000
+        |ORDER BY user_id, view_id, click_id""".stripMargin,
+
     "sessionize" ->
       """WITH e AS (
         |  SELECT user_id, ts,

@@ -78,6 +78,39 @@ object StreamIngest {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"))
 
+  /** Stream-stream INTERVAL JOIN: attribute each click to the same user's
+    * views in the preceding `lookbackMinutes` — the canonical two-stream
+    * correlation (attribution, fraud pairing, request/response stitching).
+    *
+    * Both sides carry a watermark and the join condition is an EVENT-TIME
+    * range over the watermarked columns — exactly what lets Spark bound
+    * the join state: a buffered view is evictable once the click-side
+    * watermark passes view_ts + lookback, so state is O(events in the
+    * lookback window), not O(stream history). At 100 TB/day that bound is
+    * the difference between a runnable join and an OOM. Append output
+    * mode; inner join, so no null-padding timing concerns.
+    */
+  def attributionJoin(events: DataFrame,
+                      lookbackMinutes: Int = 30): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", s"$lookbackMinutes minutes")
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("click_user"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", s"$lookbackMinutes minutes")
+    views
+      .join(clicks,
+        col("user_id") === col("click_user") &&
+          col("view_ts") <= col("click_ts") &&
+          col("view_ts") >= col("click_ts") -
+            expr(s"INTERVAL $lookbackMinutes MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        unix_millis(col("view_ts")).as("view_ms"),
+        unix_millis(col("click_ts")).as("click_ms"))
+  }
+
   /** Stateful streaming exact-dedup: drop re-deliveries of the same key —
     * the operator an at-least-once source (replayed files, redelivered
     * queue messages) needs in front of any downstream aggregate. Spark

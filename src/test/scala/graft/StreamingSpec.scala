@@ -94,4 +94,23 @@ class StreamingSpec extends SparkSuite {
     assert(out.contains((1L, "2025-06-01 10:00:00.0", 2L)))
     assert(out.contains((1L, "2025-06-01 13:00:00.0", 1L)))
   }
+
+  test("attributionJoin: per-user interval pairs, lookback enforced") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2025-06-01 10:00:00", 7L, "view"),   // 25 min before click: in
+      (2L, "2025-06-01 09:20:00", 7L, "view"),   // 65 min before: out
+      (3L, "2025-06-01 10:25:00", 7L, "click"),
+      (4L, "2025-06-01 10:30:00", 7L, "view"),   // after the click: out
+      (5L, "2025-06-01 10:24:00", 8L, "view"),   // other user: out
+      (6L, "2025-06-01 10:25:00", 8L, "click")   // pairs with 5 only
+    ).toDF("event_id", "ts_s", "user_id", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s")))
+    // withWatermark is a no-op on batch frames, so batch application gives
+    // the join's exact semantics (what the streaming query must reproduce)
+    val out = StreamIngest.attributionJoin(ev, lookbackMinutes = 30)
+      .orderBy("user_id", "view_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((7L, 1L, 3L), (8L, 5L, 6L)))
+  }
 }
