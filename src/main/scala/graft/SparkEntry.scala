@@ -1189,6 +1189,41 @@ object SparkEntry {
       Corpus.importanceWeights(t(s, dir, "documents"), "doc_id", "text",
           col("source") === "src0")
         .orderBy("doc_id")
+    }),
+
+    // The COMPOSED curation funnel an LLM data pipeline actually runs:
+    // language gate -> quality gate -> exact dedup -> MinHash near-dup
+    // drop, reported as per-source survivor counts at every stage. Each
+    // stage is the already-oracled operator; composing them proves the
+    // operators chain without re-materialization (one flags frame + two
+    // survivor-id semi/left joins — corpus text never shuffles twice).
+    "curate_corpus" -> ((s, dir) => {
+      val txt = col("text")
+      val langOk = TextAnalysis.langIdHeuristic(txt) === "en"
+      val qOk = length(txt).between(20, 20000) &&
+        TextAnalysis.punctRatio(txt) < 0.2 &&
+        TextAnalysis.meanWordLength(txt).between(2.0, 14.0)
+      val flags = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        txt, langOk.as("lang_ok"), (langOk && qOk).as("cand_ok"))
+      val cand = flags.filter(col("cand_ok"))
+        .select("doc_id", "source", "text")
+      val exact = Dedup.exactDedup(cand, "doc_id", "text")
+      val exKeep = exact.select("doc_id").withColumn("ex_ok", lit(true))
+      val ndDrop = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
+          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7)
+        .select(col("idB").as("doc_id")).distinct()
+        .withColumn("nd_drop", lit(true))
+      flags
+        .join(exKeep, Seq("doc_id"), "left")
+        .join(ndDrop, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang"),
+          sum(when(col("cand_ok"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("ex_ok"), 1L).otherwise(0L)).as("n_exact"),
+          sum(when(col("ex_ok") && col("nd_drop").isNull, 1L).otherwise(0L))
+            .as("n_final"))
+        .orderBy("source")
     })
   )
 
@@ -1209,15 +1244,16 @@ object SparkEntry {
   /** Shared CTE chain deriving the banded MinHash-LSH near-dup pairs in
     * DuckDB (word-3-gram shingles, md5-seeded universal-hash 64-min
     * signatures, 16 bands of 4, exact-Jaccard verify) — ends at `v`
-    * (idA, idB, j). Used by the dedup_minhash and dedup_cluster oracles. */
-  private val minhashPairCtes: String =
-    """sh AS (SELECT doc_id AS id,
+    * (idA, idB, j). `rel` is the (doc_id, text) relation to pair over.
+    * Used by the dedup_minhash, dedup_cluster, and curate_corpus oracles. */
+  private def minhashPairCtesFrom(rel: String): String =
+    s"""sh AS (SELECT doc_id AS id,
       |    list_filter(list_distinct(list_transform(
-      |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
+      |      range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 2)),
       |      i -> array_to_string(
-      |        (regexp_extract_all(lower(text), '\S+'))[i:i+2], ' '))),
+      |        (regexp_extract_all(lower(text), '\\S+'))[i:i+2], ' '))),
       |      s -> s <> '') AS s
-      |  FROM documents),
+      |  FROM $rel),
       |xs AS (SELECT id, unnest(s) AS shingle FROM sh),
       |x2 AS (SELECT id,
       |    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
@@ -1235,6 +1271,8 @@ object SparkEntry {
       |    CAST(len(list_intersect(x.s, y.s)) AS DOUBLE) /
       |      len(list_distinct(list_concat(x.s, y.s))) AS j
       |  FROM cand JOIN sh x ON x.id = idA JOIN sh y ON y.id = idB)""".stripMargin
+
+  private val minhashPairCtes: String = minhashPairCtesFrom("documents")
 
   /** DuckDB cosine between two list columns, same fold order as
     * Similarity.dot/l2Norm (ascending index, double accumulation). */
@@ -2202,6 +2240,60 @@ object SparkEntry {
         |  CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
         |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
         |FROM dt JOIN wts USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // The full funnel re-derived relationally: langid CASE + quality
+    // predicate, row_number exact dedup, and the shared MinHash pair CTE
+    // chain applied to the deduped corpus.
+    "curate_corpus" ->
+      s"""WITH pred AS (
+        |  SELECT doc_id, source, text,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['el','la','de','que','y','en','los','una'], t))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['le','la','de','et','les','des','une','est'], t))) AS fr,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        |  FROM documents),
+        |flags AS (
+        |  SELECT doc_id, source, text,
+        |    (CASE WHEN cjk > 0 THEN 'zh'
+        |          WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+        |          WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+        |          WHEN fr > 0 AND fr >= de THEN 'fr'
+        |          WHEN de > 0 THEN 'de'
+        |          ELSE 'und' END) = 'en' AS lang_ok,
+        |    (length(text) BETWEEN 20 AND 20000
+        |      AND CAST(len(regexp_extract_all(text, '[[:punct:]]')) AS DOUBLE) /
+        |        greatest(length(text), 1) < 0.2
+        |      AND CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) /
+        |        greatest(len(regexp_extract_all(lower(text), '\\S+')), 1)
+        |        BETWEEN 2.0 AND 14.0) AS q_ok
+        |  FROM pred),
+        |ex AS (
+        |  SELECT doc_id, source, text,
+        |    row_number() OVER (
+        |      PARTITION BY md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rk
+        |  FROM flags WHERE lang_ok AND q_ok),
+        |corpus AS (SELECT doc_id, text FROM ex WHERE rk = 1),
+        |${minhashPairCtesFrom("corpus")},
+        |drops AS (SELECT DISTINCT idB AS doc_id FROM v WHERE j >= 0.7)
+        |SELECT f.source,
+        |  CAST(COUNT(*) AS BIGINT) AS n_raw,
+        |  CAST(SUM(CASE WHEN f.lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+        |  CAST(SUM(CASE WHEN f.lang_ok AND f.q_ok THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_quality,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_exact,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND d.doc_id IS NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM flags f
+        |LEFT JOIN corpus c ON f.doc_id = c.doc_id
+        |LEFT JOIN drops d ON f.doc_id = d.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
