@@ -1006,12 +1006,21 @@ object SparkEntry {
       val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val joined = graft.streaming.StreamIngest.attributionJoin(ev, 30)
       val qn = "graft_stream_attr"
-      val q = joined.writeStream
-        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
-        .format("memory").queryName(qn)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // a stream-stream join keeps TWO keyed state stores PER shuffle
+      // partition; at the session's 32 partitions that is 64 store
+      // instances of checkpoint/commit overhead for one micro-batch.
+      // Size partitions to the per-batch state (user-key cardinality),
+      // exactly as a production job tunes state-store parallelism.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = joined.writeStream
+          .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+          .format("memory").queryName(qn)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(qn).orderBy("user_id", "view_id", "click_id")
     }),
 
