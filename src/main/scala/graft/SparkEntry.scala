@@ -706,6 +706,15 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // JL-style random projection to 8 dims with the portable regenerable
+    // plane family — no projection matrix to store or broadcast; the
+    // whole reduction lives inside the scan stage (zero shuffle).
+    "embed_project" -> ((s, dir) => {
+      Similarity.randomProject(t(s, dir, "embeddings"), "vec_id",
+          "embedding", outDims = 8)
+        .orderBy("vec_id", "dim")
+    }),
+
     // Banded (multi-table) LSH top-k: L=8 independent 4-plane tables, union
     // of bucket collisions as candidates — the tunable-recall scale path.
     "ann_lsh_multi" -> ((s, dir) => {
@@ -1722,6 +1731,18 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // Same (plane, dim) -> component integer arithmetic as the Spark
+    // side (and as duckBucket), summed in ascending-index fold order.
+    "embed_project" ->
+      """SELECT vec_id, CAST(p AS INT) AS dim,
+        |  round(list_sum(list_transform(range(1, len(embedding) + 1),
+        |    i -> CAST(embedding[i] AS DOUBLE) *
+        |      (list_transform([(73856093*p + 19349663*(i-1)) % 1000003],
+        |        h -> CAST((h*h + h) % 1000003 AS DOUBLE) / 500000.0 - 1.0)[1]))), 6)
+        |    AS value
+        |FROM embeddings, (SELECT unnest(range(0, 8)) AS p)
+        |ORDER BY vec_id, dim""".stripMargin,
 
     // Banded LSH pipeline re-derived: 8 tables x 4 planes, union of
     // collisions (DISTINCT), exact cosine rank.

@@ -76,6 +76,27 @@ object Similarity {
     (pmod(h * h + h, lit(1000003L)).cast("double") / 500000.0) - 1.0
   }
 
+  /** Random-projection dimensionality reduction (Johnson-Lindenstrauss
+    * style): y_p = dot(v, r_p) for `outDims` pseudo-random directions
+    * r_p drawn from the SAME portable integer-arithmetic plane family as
+    * [[lshBucket]] — components are regenerated from (plane, dim) on any
+    * engine, so there is NO projection matrix to store, broadcast, or
+    * keep consistent across a 1000-executor cluster; the "matrix" is two
+    * multiplies and a mod per component, inside the scan stage, zero
+    * shuffle. Values round to 6 decimals (the repo's portable-double
+    * contract). Output exploded as (id, dim, value) rows.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    outDims: Int, planeOffset: Int = 0): DataFrame = {
+    val v = asDouble(col(vecCol))
+    val proj = transform(sequence(lit(0), lit(outDims - 1)), p =>
+      round(aggregate(
+        zip_with(v, sequence(lit(0), size(v) - 1),
+          (x, i) => x * planeComponent(lit(planeOffset) + p, i)),
+        lit(0.0), (acc, x) => acc + x), 6))
+    df.select(col(idCol), posexplode(proj).as(Seq("dim", "value")))
+  }
+
   /** `numPlanes`-bit LSH bucket of a vector: bit p = sign of dot(v, r_g),
     * g = planeOffset + p. The offset selects an independent hash table from
     * the same plane family (table t of width r uses planes t*r .. t*r+r-1),

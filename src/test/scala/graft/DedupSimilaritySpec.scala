@@ -305,4 +305,22 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
     assert(out.head == ((2L, 1L, w)))
   }
+
+  test("randomProject: hand-derived plane components, exploded shape") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding", outDims = 2)
+      .orderBy("vec_id", "dim")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // plane 0, dim 0: h = 0            -> (0 + 0) % M / 5e5 - 1   = -1.0
+    // plane 0, dim 1: h = 19349663 % 1000003 = 349606
+    //   (349606^2 + 349606) % 1000003 = 338170 -> 338170/5e5 - 1 = -0.32366
+    assert(out(0) == ((1L, 0, -1.0)))
+    assert(out(2) == ((2L, 0, -0.32366)))
+    assert(out.length == 4)
+    // unit basis vectors read the component directly, so each projected
+    // value is in the plane family's [-1, 1) range
+    assert(out.forall { case (_, _, v) => v >= -1.0 && v < 1.0 })
+  }
 }
