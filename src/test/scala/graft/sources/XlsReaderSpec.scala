@@ -121,4 +121,53 @@ class XlsReaderSpec extends AnyFunSuite {
     val padded = back.map(r => r.padTo(width, null))
     assert(padded == expect.map(_.padTo(width, null)))
   }
+
+  test("SST rich-text runs and extended data are skipped without desync") {
+    // real Excel files carry formatting runs (grbit 0x08) and far-east
+    // extension blocks (grbit 0x04) in SST strings; the reader must skip
+    // both or every later LABELSST index resolves to the wrong string
+    val sst = rec(0x00FC, le32(3) ++ le32(3) ++
+      (le16(5) ++ Array[Byte](0x00) ++ "plain".getBytes("ISO-8859-1")) ++
+      (le16(4) ++ Array[Byte](0x08) ++ le16(1) ++                  // rich, 1 run
+        "bold".getBytes("ISO-8859-1") ++ Array[Byte](0, 0, 1, 0)) ++ // run data
+      (le16(3) ++ Array[Byte](0x04) ++ le32(2) ++                  // ext, 2 bytes
+        "ext".getBytes("ISO-8859-1") ++ Array[Byte](9, 9)))
+    val bofG = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val name = "S".getBytes("ISO-8859-1")
+    val boundsheetLen = 4 + 4 + 2 + 2 + name.length
+    val plyPos = bofG.length + boundsheetLen + sst.length + eof.length
+    val boundsheet = rec(0x0085, le32(plyPos) ++ le16(0) ++ Array[Byte](name.length.toByte, 0) ++ name)
+    val bofS = rec(0x0809, le16(0x0600) ++ le16(0x0010) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0))
+    val cells = (0 until 3).map(c =>
+      rec(0x00FD, le16(0) ++ le16(c) ++ le16(15) ++ le32(c))).reduce(_ ++ _)
+    val stream = bofG ++ boundsheet ++ sst ++ eof ++ bofS ++ cells ++ eof
+    val path = tmpXls()
+    Files.write(java.nio.file.Paths.get(path),
+      XlsWriter.cfbContainer("Workbook", stream))
+    val grid = XlsReader.readFirstSheet(path)
+    assert(grid(0) == Vector("plain", "bold", "ext"))
+  }
+
+  test("BIFF5 workbook: Book stream, byte-string LABELs, no SST") {
+    // pre-97 files: stream is named "Book", vers 0x0500, labels carry
+    // 8-bit byte strings inline (no shared-string table)
+    val bofG = rec(0x0809, le16(0x0500) ++ le16(0x0005) ++ le16(0) ++ le16(0))
+    val eof = rec(0x000A, Array.emptyByteArray)
+    val name = "S".getBytes("ISO-8859-1")
+    val boundsheetLen = 4 + 4 + 2 + 2 + name.length
+    val plyPos = bofG.length + boundsheetLen + eof.length
+    val boundsheet = rec(0x0085, le32(plyPos) ++ le16(0) ++ Array[Byte](name.length.toByte, 0) ++ name)
+    val bofS = rec(0x0809, le16(0x0500) ++ le16(0x0010) ++ le16(0) ++ le16(0))
+    val label = rec(0x0204, le16(0) ++ le16(0) ++ le16(15) ++
+      le16(5) ++ "hello".getBytes("ISO-8859-1"))
+    val num = rec(0x0203, le16(0) ++ le16(1) ++ le16(15) ++ f64(12.5))
+    val rk = rec(0x027E, le16(1) ++ le16(0) ++ le16(15) ++ le32((42 << 2) | 2))
+    val stream = bofG ++ boundsheet ++ eof ++ bofS ++ label ++ num ++ rk ++ eof
+    val path = tmpXls()
+    Files.write(java.nio.file.Paths.get(path),
+      XlsWriter.cfbContainer("Book", stream))
+    val grid = XlsReader.readFirstSheet(path)
+    assert(grid == Vector(Vector("hello", "12.5"), Vector("42", null)))
+  }
 }
