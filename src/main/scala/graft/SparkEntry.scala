@@ -1209,6 +1209,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text -> token ids (the tensorization step): top-100 frequency
+    // vocabulary with deterministic contiguous ids, OOV -> 0. Generate +
+    // broadcast vocab join; the corpus never shuffles.
+    "tokenize_ids" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.tokenizeToIds(docs, "doc_id", "text",
+          Corpus.vocabulary(docs, "text", topK = 100))
+        .orderBy("doc_id", "pos")
+    }),
+
     // The COMPOSED curation funnel an LLM data pipeline actually runs:
     // language gate -> quality gate -> exact dedup -> MinHash near-dup
     // drop, reported as per-source survivor counts at every stage. Each
@@ -2271,6 +2281,26 @@ object SparkEntry {
         |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
         |FROM dt JOIN wts USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same tokenizer, same (count desc, token asc) vocabulary ranking,
+    // same OOV -> 0 convention.
+    "tokenize_ids" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS token,
+        |    generate_subscripts(regexp_extract_all(lower(text), '\S+'), 1) - 1
+        |      AS pos
+        |  FROM documents),
+        |vocab AS (
+        |  SELECT token,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INT)
+        |      AS token_id
+        |  FROM (SELECT token, COUNT(*) AS cnt FROM toks GROUP BY token
+        |        ORDER BY cnt DESC, token LIMIT 100))
+        |SELECT t.doc_id, CAST(t.pos AS INT) AS pos,
+        |  COALESCE(v.token_id, 0) AS token_id
+        |FROM toks t LEFT JOIN vocab v USING (token)
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // The full funnel re-derived relationally: langid CASE + quality
     // predicate, row_number exact dedup, and the shared MinHash pair CTE

@@ -93,6 +93,35 @@ object Corpus {
       .select(col(idCol), col("rk"), col("term"), col("score_ppm"))
   }
 
+  /** Frequency-ranked vocabulary: the `topK` most frequent tokens with
+    * contiguous ids 1..topK (rank by count desc, token asc — fully
+    * deterministic). The global top-K is a TakeOrdered (scales: partial
+    * top-K per partition, K-row merge on the driver-side reducer); the
+    * row_number that assigns ids runs on those K rows ONLY, so the
+    * single-partition window is bounded by K, never by corpus size. */
+  def vocabulary(df: DataFrame, textCol: String, topK: Int): DataFrame = {
+    val counts = df
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(topK)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("cnt").desc, col("token"))))
+  }
+
+  /** Tokenize documents to vocabulary ids — the text -> tensor step a
+    * training pipeline runs last: (id, pos, token_id) per token in
+    * document order, out-of-vocabulary tokens mapped to 0 (the
+    * conventional UNK id). One generate + one broadcast join against the
+    * K-row vocabulary; the corpus never shuffles. */
+  def tokenizeToIds(df: DataFrame, idCol: String, textCol: String,
+                    vocab: DataFrame): DataFrame =
+    df.select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vocab.select(col("token"), col("token_id"))),
+        Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("token_id"), lit(0)).as("token_id"))
+
   /** DSIR-style importance weights for target-domain data selection
     * (Xie et al. 2023): score every document by how much its unigram
     * distribution favors a target subcorpus over the full corpus.

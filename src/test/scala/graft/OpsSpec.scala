@@ -236,4 +236,20 @@ class OpsSpec extends SparkSuite {
     assert(out(0) == ((1L, 3L, 2L * 1000000L + 1333333L, 1111111L)))
     assert(out(1) == ((2L, 2L, 1000000L + 666666L, 833333L)))
   }
+
+  test("vocabulary + tokenizeToIds: rank ids, tie-break, OOV -> 0") {
+    val docs = Seq((1L, "b a b"), (2L, "a c zzz")).toDF("doc_id", "text")
+    val vocab = Corpus.vocabulary(docs, "text", topK = 3)
+      .collect().map(r => (r.getAs[String]("token"), r.getAs[Int]("token_id"))).toMap
+    // counts: a=2, b=2, c=1, zzz=1 -> ids: a=1, b=2 (tie on count, token
+    // order), c=3; zzz falls off topK
+    assert(vocab == Map("a" -> 1, "b" -> 2, "c" -> 3))
+    val ids = Corpus.tokenizeToIds(docs, "doc_id", "text",
+        Corpus.vocabulary(docs, "text", topK = 3))
+      .orderBy("doc_id", "pos")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(ids.toSeq == Seq(
+      (1L, 0, 2), (1L, 1, 1), (1L, 2, 2),
+      (2L, 0, 1), (2L, 1, 3), (2L, 2, 0)))  // zzz -> OOV id 0
+  }
 }
