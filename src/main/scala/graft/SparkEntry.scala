@@ -1209,6 +1209,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Z-order (Morton) layout key over (l_orderkey, l_partkey): the bit
+    // interleave that clusters a table so parquet min-max stats prune
+    // scans filtered on EITHER column. Pure static shift/and expressions
+    // (codegen, ANSI-safe distinct powers of two). First 1000 cells of
+    // the curve — deterministic ties broken by the raw keys.
+    "zorder_key" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          graft.ops.Layout.zOrderKey(col("l_orderkey"), col("l_partkey"))
+            .as("zkey"))
+        .orderBy("zkey", "l_orderkey", "l_partkey")
+        .limit(1000)
+    }),
+
     // Text -> token ids (the tensorization step): top-100 frequency
     // vocabulary with deterministic contiguous ids, OOV -> 0. Generate +
     // broadcast vocab join; the corpus never shuffles.
@@ -2281,6 +2295,24 @@ object SparkEntry {
         |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
         |FROM dt JOIN wts USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same clamp + bit-interleave arithmetic re-derived with integer
+    // shifts; DuckDB's >>/<</& match Spark's on non-negative BIGINTs.
+    "zorder_key" ->
+      """WITH k AS (
+        |  SELECT
+        |    least(greatest(CAST(l_orderkey AS BIGINT), 0), (1::BIGINT << 21) - 1) AS a,
+        |    least(greatest(CAST(l_partkey AS BIGINT), 0), (1::BIGINT << 21) - 1) AS b,
+        |    l_orderkey, l_partkey
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_partkey,
+        |  CAST(list_sum(list_transform(range(0, 21),
+        |      i -> (((a >> CAST(i AS INT)) & 1) << (2*CAST(i AS INT) + 1)) +
+        |           (((b >> CAST(i AS INT)) & 1) << (2*CAST(i AS INT))))) AS BIGINT)
+        |    AS zkey
+        |FROM k
+        |ORDER BY zkey, l_orderkey, l_partkey
+        |LIMIT 1000""".stripMargin,
 
     // Same tokenizer, same (count desc, token asc) vocabulary ranking,
     // same OOV -> 0 convention.

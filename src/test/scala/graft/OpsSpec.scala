@@ -252,4 +252,44 @@ class OpsSpec extends SparkSuite {
       (1L, 0, 2), (1L, 1, 1), (1L, 2, 2),
       (2L, 0, 1), (2L, 1, 3), (2L, 2, 0)))  // zzz -> OOV id 0
   }
+
+  test("zOrderKey: hand-derived interleave, clamping, locality") {
+    import org.apache.spark.sql.Row
+    val df = Seq((1L, 0L), (0L, 1L), (3L, 1L), (-5L, 1L << 40))
+      .toDF("a", "b")
+    val out = df.select(Layout.zOrderKey(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == 2L)   // a bit0 -> position 1
+    assert(out(1) == 1L)   // b bit0 -> position 0
+    assert(out(2) == 11L)  // a bits {0,1} -> 2+8; b bit0 -> 1
+    // clamping: negative -> 0, overflow -> 2^21-1 (all odd... even positions)
+    val bMax = (0 until 21).map(i => 1L << (2 * i)).sum
+    assert(out(3) == bMax)
+    // locality: neighbors in (a,b) space stay within a small key range
+    val z = (a: Long, b: Long) =>
+      Seq((a, b)).toDF("a", "b")
+        .select(Layout.zOrderKey(col("a"), col("b"))).head().getLong(0)
+    assert(math.abs(z(10, 10) - z(10, 11)) <= 3)
+    assert(math.abs(z(10, 10) - z(11, 10)) <= 6)
+  }
+
+  test("clusterByZOrder: rectangle filter touches few files, not all") {
+    val n = 4096
+    val df = spark.range(n).selectExpr(
+      "id % 64 AS a", "CAST(id / 64 AS LONG) AS b", "id AS payload")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    Layout.clusterByZOrder(df, "a", "b", numFiles = 8).write
+      .mode("overwrite").parquet(s"$dir/clustered")
+    df.repartition(8).write.mode("overwrite").parquet(s"$dir/shuffled")
+    def filesHit(path: String): Long =
+      spark.read.parquet(path)
+        .filter(col("a").between(0, 7) && col("b").between(0, 7))
+        .select(input_file_name()).distinct().count()
+    val clustered = filesHit(s"$dir/clustered")
+    val shuffled = filesHit(s"$dir/shuffled")
+    // the 8x8 rectangle is one corner of the Z-curve: the clustered
+    // layout confines it to a file or two; hash layout scatters it
+    assert(clustered <= 2, s"clustered layout hit $clustered files")
+    assert(shuffled >= 7, s"hash layout unexpectedly clustered: $shuffled")
+  }
 }
