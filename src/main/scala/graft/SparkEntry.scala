@@ -1159,6 +1159,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Multimodal RESIZE: decode the same synthetic BMPs, nearest-neighbor
+    // downscale to 4x4, band means over the resized grid — the
+    // decode+resize+extract chain, oracled from the closed-form pixel
+    // formula sampled at the resize stride (pure integer arithmetic).
+    "mm_resize" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val w = (8 + id % 8).toInt
+          Multimodal.MediaRow(id, Multimodal.encodeBmp(w, 6,
+            (x, y) => ((id * 7 + x * 11 + y * 5) % 256).toInt))
+        }
+      Multimodal.resizeFeatures(media, w2 = 4, h2 = 4, dims = 4).toDF()
+        .select(col("id"), col("byteLen").cast("long").as("byte_len"),
+          element_at(col("features"), 1).cast("double").as("f0"),
+          element_at(col("features"), 2).cast("double").as("f1"),
+          element_at(col("features"), 3).cast("double").as("f2"),
+          element_at(col("features"), 4).cast("double").as("f3"))
+        .orderBy("id")
+    }),
+
     // Corpus curation: Gopher-style repetition signals — per-doc fraction of
     // the single most frequent word 2-gram, and fraction of 3-gram
     // occurrences whose 3-gram repeats. Two explode -> hash-agg passes; the
@@ -2162,6 +2184,25 @@ object SparkEntry {
         |      FROM v GROUP BY 1, 2)
         |SELECT id,
         |  CAST(54 + 6 * (((3*(8 + id % 8)) + 3) // 4 * 4) AS BIGINT) AS byte_len,
+        |  MAX(CASE WHEN band = 0 THEN m END) AS f0,
+        |  MAX(CASE WHEN band = 1 THEN m END) AS f1,
+        |  MAX(CASE WHEN band = 2 THEN m END) AS f2,
+        |  MAX(CASE WHEN band = 3 THEN m END) AS f3
+        |FROM f GROUP BY 1, 2 ORDER BY id""".stripMargin,
+
+    // Closed-form pixels sampled at the nearest-neighbor resize stride
+    // (srcx = x2*w//4, srcy = y2*6//4); 4x4 target makes band = x2.
+    "mm_resize" ->
+      """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, 6 AS h FROM documents),
+        |xs AS (SELECT id, w, h, unnest(range(0, 4)) AS x2 FROM d),
+        |px AS (SELECT id, w, h, x2, unnest(range(0, 4)) AS y2 FROM xs),
+        |v AS (SELECT id, w, x2 AS band,
+        |        (id*7 + ((x2*w)//4)*11 + ((y2*h)//4)*5) % 256 AS gray FROM px),
+        |f AS (SELECT id, w, band,
+        |        CAST(CAST(AVG(gray) AS REAL) AS DOUBLE) AS m
+        |      FROM v GROUP BY 1, 2, 3)
+        |SELECT id,
+        |  CAST(54 + 6 * (((3*w) + 3) // 4 * 4) AS BIGINT) AS byte_len,
         |  MAX(CASE WHEN band = 0 THEN m END) AS f0,
         |  MAX(CASE WHEN band = 1 THEN m END) AS f1,
         |  MAX(CASE WHEN band = 2 THEN m END) AS f2,

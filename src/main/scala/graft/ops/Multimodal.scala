@@ -227,6 +227,48 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize of a gray pixel grid — the downscale every
+    * image prep stage runs before feature extraction / model input.
+    * Source pixel of (x2, y2) is (x2*w/w2, y2*h/h2): pure integer
+    * arithmetic, bit-identical on any engine. */
+  private[graft] def resizeGray(w: Int, h: Int, px: Array[Int],
+                                w2: Int, h2: Int): Array[Int] =
+    Array.tabulate(h2 * w2) { i =>
+      val y2 = i / w2
+      val x2 = i % w2
+      px((y2 * h / h2) * w + (x2 * w / w2))
+    }
+
+  /** Decode BMP -> nearest-neighbor resize to (w2, h2) -> per-band mean
+    * luminance over the RESIZED grid: the decode+resize+extract chain of
+    * a real image pipeline, partition-parallel like [[decodeFeatures]]
+    * (mapPartitions is the mapInPandas-shaped stage Spark cannot express
+    * as a column expression). */
+  def resizeFeatures(media: Dataset[MediaRow], w2: Int, h2: Int,
+                     dims: Int = 4): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, gray) = decodeBmpGray(r.payload)
+        val rz = resizeGray(w, h, gray, w2, h2)
+        val acc = new Array[Double](dims)
+        val cnt = new Array[Int](dims)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            val b = x * dims / w2
+            acc(b) += rz(y * w2 + x).toDouble; cnt(b) += 1; x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.id, r.payload.length,
+          Array.tabulate(dims)(j =>
+            if (cnt(j) > 0) (acc(j) / cnt(j)).toFloat else 0f))
+      }
+    }
+  }
+
   /** Error-isolating variant of [[decodeFeatures]]: a malformed payload
     * (truncated header, lying chunk sizes, missing data chunk) yields a
     * per-row `status = "error"` with null features instead of failing the

@@ -116,4 +116,14 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(out(2L) == List(5f, 25f))
     assert(out(3L).length == 2) // raw fallback still produces features
   }
+
+  test("resizeGray: nearest-neighbor stride, hand-checked") {
+    // 4x2 source, downscale to 2x2: src x of {0,1} -> {0, 2}; src y -> {0, 1}
+    val px = Array(0, 10, 20, 30,
+                   40, 50, 60, 70)
+    val out = Multimodal.resizeGray(4, 2, px, 2, 2)
+    assert(out.toSeq == Seq(0, 20, 40, 60))
+    // upscale 1x1 -> 2x2 replicates the single pixel
+    assert(Multimodal.resizeGray(1, 1, Array(9), 2, 2).toSeq == Seq(9, 9, 9, 9))
+  }
 }
