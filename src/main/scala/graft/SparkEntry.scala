@@ -617,20 +617,24 @@ object SparkEntry {
     // so A~B, B~C collapse to one representative even when A!~C directly.
     // Oracle: recursive min-label reachability over the same pairs.
     "dedup_cluster" -> ((s, dir) => {
+      // materialize = pair-gen runs (and the shingle cache is released)
+      // at full parallelism BEFORE the scoped shuffle-partition change
       val pairs = Dedup.minhashNearDupPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleWords = 3, numHashes = 64, bands = 16,
-        threshold = 0.7)
+        threshold = 0.7, materialize = true)
       // the propagation loop shuffles the EDGE LIST (orders of magnitude
       // smaller than the corpus) several times; size the shuffle to that
       // edge list — at bench scale a handful of partitions, at 100 TB
       // whatever holds the near-dup pairs — instead of paying dozens of
       // near-empty-task scheduling rounds at the session default
-      val matPairs = pairs.localCheckpoint(true) // pair-gen at full parallelism
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val clusters =
-        try Dedup.clusterPairs(matPairs)
-        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try Dedup.clusterPairs(pairs)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          pairs.unpersist(false) // clusterPairs returns a checkpointed frame
+        }
       clusters
         .select(col("id").as("doc_id"), col("rep"))
         .orderBy("doc_id")
@@ -996,6 +1000,94 @@ object SparkEntry {
       s.table(qn).orderBy("source")
     }),
 
+    // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
+    // per-key state only within the watermark window, then EVICTS it — the
+    // form an unbounded event stream needs (plain dropDuplicates state
+    // grows with the key space forever). The doubled delivery arrives
+    // within the watermark, so output still collapses to the
+    // single-delivery aggregate; StreamingSpec proves the eviction side
+    // (a re-delivery BEYOND the watermark passes through again).
+    "stream_dedup_watermark" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val rawSchema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def src() = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dd = graft.streaming.StreamIngest.dedupWithinWatermark(
+        src().union(src()), Seq("event_id"), "ts", "2 hours")
+      val qn = "graft_stream_dedup_wm"
+      val q = dd.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("event_id")).as("sum_ids"))
+        .orderBy("event_type")
+    }),
+
+    // Structured Streaming PARTITIONED INGEST — the 100 TB layout: each
+    // micro-batch runs the batch partitioned merge
+    // (Runner.runDatasetPartitioned -> dynamic partition overwrite), so a
+    // batch touching one year reads and rewrites ONE year partition, never
+    // the table (StreamingSpec asserts untouched partitions stay
+    // byte-identical). Two staged files with ordered mtimes +
+    // maxFilesPerTrigger=1 force two micro-batches: the base series (one
+    // dated obs per doc), then a +1000 revision of one doc in ten. Oracle
+    // re-derives the merged values from documents; n_revised proves the
+    // CDC revision fan-out landed per year.
+    "stream_ingest_partitioned" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val obs0 = t(s, dir, "documents").select(col("doc_id"),
+        date_format(date_add(lit("2000-01-01").cast("date"),
+          col("doc_id").cast("int")), "yyyy-MM-dd").as("date"),
+        col("n_chars").cast("double").as("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft-sip").toString
+      obs0.select("date", "value").coalesce(1).write.parquet(s"$root/b1")
+      obs0.filter(col("doc_id") % 10 === 0)
+        .select(col("date"), (col("value") + lit(1000.0)).as("value"))
+        .coalesce(1).write.parquet(s"$root/b2")
+      val inDir = java.nio.file.Files.createDirectory(
+        java.nio.file.Paths.get(root, "in"))
+      def stage(src: String, name: String, mtime: Long): Unit = {
+        val it = java.nio.file.Files.list(java.nio.file.Paths.get(root, src))
+        try {
+          val part = it.filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = inDir.resolve(name)
+          java.nio.file.Files.copy(part, dst)
+          java.nio.file.Files.setLastModifiedTime(dst,
+            java.nio.file.attribute.FileTime.fromMillis(mtime))
+        } finally it.close()
+      }
+      stage("b1", "00_base.parquet", 1700000000000L)
+      stage("b2", "01_revised.parquet", 1700000060000L)
+      val schema = StructType(Seq(StructField("date", StringType),
+        StructField("value", DoubleType)))
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val store = new graft.store.TableStore(s, s"$root/store")
+      val q = graft.streaming.StreamIngest.ingestPartitioned(stream, store,
+        "docs_dated", "value", s"$root/_ckpt",
+        () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
+      q.awaitTermination()
+      val perYear = store.read("docs_dated")
+        .groupBy(col("__year").as("year"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      val revs = store.read(graft.config.Registry.RevisionsTable)
+        .groupBy(substring(col("data_date"), 1, 4).cast("int").as("year"))
+        .agg(count(lit(1)).as("n_revised"))
+      perYear.join(revs, Seq("year"), "left")
+        .select(col("year"), col("n"), col("sum_value"),
+          coalesce(col("n_revised"), lit(0L)).as("n_revised"))
+        .orderBy("year")
+    }),
+
     // Structured Streaming STREAM-STREAM INTERVAL JOIN: views and clicks
     // (two filtered streams off the events file-stream) joined per user
     // on an event-time range — click attributed to views in the preceding
@@ -1274,7 +1366,8 @@ object SparkEntry {
       val exact = Dedup.exactDedup(cand, "doc_id", "text")
       val exKeep = exact.select("doc_id").withColumn("ex_ok", lit(true))
       val ndDrop = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
-          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7)
+          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
+          materialize = true)
         .select(col("idB").as("doc_id")).distinct()
         .withColumn("nd_drop", lit(true))
       flags
@@ -2083,6 +2176,28 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the within-watermark double delivery also collapses to the
+    // single-delivery aggregate (event_id is unique in the events table)
+    "stream_dedup_watermark" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(event_id) AS BIGINT) AS sum_ids
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // merged table re-derived from first principles: base value = n_chars
+    // at date 2000-01-01 + doc_id, one doc in ten revised to +1000 by the
+    // second micro-batch; n_revised = CDC rows per year
+    "stream_ingest_partitioned" ->
+      """WITH obs AS (
+        |  SELECT year(DATE '2000-01-01' + CAST(doc_id AS INTEGER)) AS y,
+        |    CAST(n_chars AS DOUBLE) +
+        |      CASE WHEN doc_id % 10 = 0 THEN 1000.0 ELSE 0.0 END AS value,
+        |    (doc_id % 10 = 0) AS revised
+        |  FROM documents)
+        |SELECT CAST(y AS INTEGER) AS year, COUNT(*) AS n,
+        |  SUM(value) AS sum_value,
+        |  CAST(COUNT(*) FILTER (WHERE revised) AS BIGINT) AS n_revised
+        |FROM obs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stream_window_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,

@@ -157,7 +157,8 @@ object Dedup {
     */
   def minhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           shingleWords: Int = 3, numHashes: Int = 64,
-                          bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+                          bands: Int = 16, threshold: Double = 0.7,
+                          materialize: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     // shingle arrays feed the signature build AND both sides of the verify
@@ -180,15 +181,18 @@ object Dedup {
     val verified = withShingles
       .select(col("idA"), col("idB"), jaccard(col("shA"), col("shB")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .persist()
-    // materialize the (threshold-bounded) result while the shingle cache is
-    // hot, then RELEASE the shingle cache — it is a large multiple of the
-    // result and must not linger in the shared session competing with later
-    // queries' memory. Re-persisting an identical plan reuses the existing
-    // cache entry, so repeated calls don't accumulate.
-    verified.count()
-    sh.unpersist(false)
-    verified
+    if (materialize) {
+      // materialize the (threshold-bounded) result while the shingle cache
+      // is hot, then RELEASE the shingle cache — it is a large multiple of
+      // the result and must not linger in a shared session competing with
+      // later work's memory. Callers that iterate over the pairs
+      // (clustering, curation funnels) want this; one-shot callers keep the
+      // default lazy plan and pay no extra action.
+      val out = verified.persist()
+      out.count()
+      sh.unpersist(false)
+      out
+    } else verified
   }
 
   /** Near-dedup survivors: drop every doc that matches a LOWER id at or
@@ -253,7 +257,16 @@ object Dedup {
       it += 1
     }
     edges.unpersist(false)
-    labels
+    // hand back a frame with no live cache behind it: unless the final
+    // round happened to end on the periodic-checkpoint branch (prev ==
+    // null, labels already checkpointed), `labels` is a lazy select over
+    // the last round's cached `merged` — checkpoint it and release that
+    // cache so callers don't hold a block they can't unpersist
+    if (prev != null) {
+      val out = labels.localCheckpoint(true)
+      prev.unpersist(false)
+      out
+    } else labels
   }
 
   // ----------------------------------------------------- segment-level

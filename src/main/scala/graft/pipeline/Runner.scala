@@ -179,6 +179,18 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         changedSum).head()
       def g(i: Int) = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
       val counts = SmartUpdate.MergeCounts(g(0), g(1), g(2))
+      // CDC rows MUST be materialized BEFORE the partition overwrite: their
+      // plan reads the very files the write replaces, and Spark recaches
+      // every cached plan registered on the output path after an insert
+      // (CacheManager.recacheByPath) — so even the cached `cls` would be
+      // recomputed from the post-merge files, where old == new and the
+      // revision log comes out empty. localCheckpoint pins the rows to
+      // executor storage, immune to the refresh.
+      val revsOpt =
+        if (counts.revisions > 0)
+          Some(SmartUpdate.revisionsFromClassified(
+            cls, "date", valueFields, tableName, ts).localCheckpoint(true))
+        else None
       if (counts.newRows > 0 || counts.updated > 0) {
         // partitions to rewrite = years that actually gained or changed a
         // row; a full re-download with nothing new writes NOTHING (the
@@ -198,12 +210,10 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         store.overwritePartitions(tableName,
           keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*)),
           Seq("__year"))
+        newOrUpdatedKeys.unpersist(false)
       }
-      if (counts.revisions > 0) {
-        val revs = SmartUpdate.revisionsFromClassified(
-          cls, "date", valueFields, tableName, ts)
-        store.append(Registry.RevisionsTable, revs, maxFiles = 1)
-      }
+      revsOpt.foreach(r => store.append(Registry.RevisionsTable, r, maxFiles = 1))
+      cls.unpersist(false)
       setLastRun(tableName, ts)
       DatasetResult(tableName, "success", counts.newRows, counts.updated,
         counts.revisions)

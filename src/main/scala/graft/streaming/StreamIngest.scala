@@ -35,7 +35,14 @@ object StreamIngest {
   /** Stream ingest into the keyed store: every micro-batch runs the exact
     * batch smart_update (full parity — tolerance, NaN skip, last-wins,
     * revision fan-out), so a restart replays from the checkpoint into an
-    * idempotent keyed merge. */
+    * idempotent keyed merge.
+    *
+    * This variant rewrites the WHOLE table per batch (read-merge-swap,
+    * one output file) — right for the reference's tiny control-table-sized
+    * series (26 series x <=1000 rows, where one file per table IS the
+    * correct layout), wrong for a large keyed store: use
+    * [[ingestPartitioned]] there, which reads and rewrites only the year
+    * partitions a micro-batch touches. */
   def ingest(obs: DataFrame, store: TableStore, table: String,
              valueField: String, checkpointDir: String,
              now: () => Timestamp,
@@ -58,6 +65,41 @@ object StreamIngest {
           if (counts.revisions > 0)
             store.append(Registry.RevisionsTable, revs, maxFiles = 1)
         }
+        ()
+      }
+      .start()
+  }
+
+  /** Stream ingest at the large-table layout: every micro-batch runs the
+    * SAME partitioned merge the batch scale path uses
+    * (`Runner.runDatasetPartitioned` -> `TableStore.overwritePartitions`) —
+    * the existing side is read with a partition filter on the years the
+    * batch touches (directory pruning: untouched years are never read),
+    * and only year partitions that actually gained or changed a row are
+    * rewritten via dynamic partition overwrite. A micro-batch touching one
+    * year reads one year and writes one year: per-batch cost is O(touched
+    * partitions), not O(table) — the property that keeps a long-lived
+    * stream over a 100 TB keyed store runnable. Merge semantics are
+    * identical to `ingest` (tolerance, NaN skip, last-wins, CDC revisions
+    * appended); gateHours=0 because micro-batch cadence IS the gate. */
+  def ingestPartitioned(obs: DataFrame, store: TableStore, table: String,
+                        valueField: String, checkpointDir: String,
+                        now: () => Timestamp,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // one Runner for the query's lifetime: its write-through metadata cache
+    // stays coherent across micro-batches (one tiny table read at start,
+    // not one per batch)
+    val runner = new graft.pipeline.Runner(obs.sparkSession, store, now)
+    obs.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val canonical = batch.select(
+          col("date").cast("string").as("date"),
+          col("value").cast("double").as(valueField))
+        runner.runDatasetPartitioned(table, canonical, Seq(valueField),
+          gateHours = 0)
         ()
       }
       .start()
@@ -120,6 +162,19 @@ object StreamIngest {
     * bounded catalogs (document corpora). */
   def dedupExact(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.dropDuplicates(keys)
+
+  /** Bounded-state streaming exact-dedup: dedup state per key is kept only
+    * while the key's event time is within the watermark, then EVICTED —
+    * the form an unbounded event stream needs (plain `dropDuplicates`
+    * state grows with the key space forever; this grows with the watermark
+    * window). The documented trade: a re-delivery arriving more than
+    * `watermark` after the original is no longer remembered and passes
+    * through again — at-least-once is restored to exactly-once only within
+    * the delay an operator can afford to remember. */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+                           tsCol: String, watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
 
   // ------------------------------------------------------------ sessions
 

@@ -90,6 +90,14 @@ class RunnerSpec extends SparkSuite {
     val r2 = runner.runDatasetPartitioned(cfg.tableName, revised, Seq(snake))
     assert(r2.newRows == 0 && r2.updated == 1 && r2.revisions == 1)
     assert(partFiles(2020) == files2020Before) // untouched partition intact
+    // the CDC rows themselves landed (not just the pre-write count): the
+    // revision frame must be materialized BEFORE the partition overwrite,
+    // or the post-insert cache refresh re-derives it from the merged files
+    val prevs = store.read(Registry.RevisionsTable).collect()
+    assert(prevs.length == 1)
+    assert(prevs.head.getAs[String]("data_date") == "2015-07-01")
+    assert(prevs.head.getAs[Double]("new_value") -
+      prevs.head.getAs[Double]("old_value") == 7.0)
 
     // read back: partition pruning on __year, revised value present,
     // unchanged values preserved

@@ -42,6 +42,69 @@ class StreamingSpec extends SparkSuite {
     assert(revs.head.getAs[Double]("new_value") == 110.0)
   }
 
+  test("partitioned stream ingest: a micro-batch rewrites only touched year partitions") {
+    val dir = Files.createTempDirectory("graft-streampart").toString
+    val store = new TableStore(spark, dir)
+    val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Obs]
+    val q = StreamIngest.ingestPartitioned(mem.toDF(), store, "sales", "sales",
+      s"$dir/_ckpt", () => ts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 1: two years land as two partitions
+    mem.addData(StreamIngest.Obs("2024-03-01", 1.0),
+      StreamIngest.Obs("2024-06-01", 2.0), StreamIngest.Obs("2025-01-01", 3.0))
+    q.processAllAvailable()
+    val tableDir = new java.io.File(store.path("sales"))
+    def partFiles(year: Int) =
+      new java.io.File(tableDir, s"__year=$year").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val files2024 = partFiles(2024)
+    assert(files2024.nonEmpty)
+    // batch 2 touches 2025 only: one new row + one revision; the 2024
+    // partition's files must come through byte-identical (same names,
+    // mtimes, sizes — never read, never rewritten)
+    mem.addData(StreamIngest.Obs("2025-02-01", 4.0),
+      StreamIngest.Obs("2025-01-01", 30.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(partFiles(2024) == files2024)
+    val rows = store.read("sales").orderBy("date").collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[Double]("sales"))).toSeq
+    assert(rows == Seq("2024-03-01" -> 1.0, "2024-06-01" -> 2.0,
+      "2025-01-01" -> 30.0, "2025-02-01" -> 4.0))
+    // batch parity for the CDC log: the revision row itself landed
+    val revs = store.read(Registry.RevisionsTable).collect()
+    assert(revs.length == 1)
+    assert(revs.head.getAs[Double]("old_value") == 3.0)
+    assert(revs.head.getAs[Double]("new_value") == 30.0)
+  }
+
+  test("dedupWithinWatermark: state evicted past the watermark, live within it") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val dd = StreamIngest.dedupWithinWatermark(
+      mem.toDF().toDF("id", "ts"), Seq("id"), "ts", "10 minutes")
+    val q = dd.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_wm").start()
+    // batch 1: id 1 expires at 10:10, id 2 at 12:09; the post-batch
+    // watermark (11:59 - 10 min = 11:49) evicts id 1's state
+    mem.addData((1L, Timestamp.valueOf("2025-06-01 10:00:00")),
+      (2L, Timestamp.valueOf("2025-06-01 11:59:00")))
+    q.processAllAvailable()
+    // batch 2: both keys re-delivered at a fresh event time — id 1's state
+    // is gone (re-emitted: the documented beyond-the-delay duplicate),
+    // id 2's is live (suppressed)
+    mem.addData((1L, Timestamp.valueOf("2025-06-01 11:58:00")),
+      (2L, Timestamp.valueOf("2025-06-01 11:58:00")))
+    q.processAllAvailable()
+    val out = spark.table("dedup_wm").collect()
+      .map(_.getAs[Long]("id")).toSeq.sorted
+    q.stop()
+    assert(out == Seq(1L, 1L, 2L))
+  }
+
   test("watermarked windowed counts over an event stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
