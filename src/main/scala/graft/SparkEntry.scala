@@ -539,6 +539,49 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // Panel ANALYSIS-CSV EXPORT (the reference's documented export_data.py
+    // surface): ingest two real workbooks, export panelFull() as a headered
+    // date-sorted CSV, then RE-READ the CSV — the result must hash-match
+    // the api_store_sql panel values, proving the export round-trips
+    // (Spark's shortest-repr double formatting parses back bit-identical).
+    "panel_export_csv" -> ((s, _) => {
+      import graft.api.EngineApi
+      import graft.config.Registry
+      import graft.pipeline.Runner
+      import graft.sources.GridSource
+      import graft.store.TableStore
+      import org.apache.spark.sql.types._
+      val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
+        "fixtures" else "/root/repo/fixtures"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("graft-csv-q").toString
+        val store = new TableStore(s, dir)
+        val runner = new Runner(s, store,
+          () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
+        val datasets = Seq("auto_sales" -> "edb_auto_sales.xlsx",
+            "gas_price" -> "edb_gas_price.xls")
+          .map { case (name, file) =>
+            val cfg = Registry.edbConfigs.find(_.name == name).get
+            val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
+            val (canon, snake) = GridSource.canonicalize(
+              GridSource.processMonthly(grid, cfg), cfg)
+            (cfg.tableName, canon, Seq(snake))
+          }
+        runner.runAllParallel(datasets)
+        val out = new EngineApi(s, store).exportPanelCsv()
+        val schema = StructType(Seq(StructField("date", StringType),
+          StructField("autosales", DoubleType),
+          StructField("gasprice", DoubleType)))
+        s.read.schema(schema).option("header", "true").csv(out)
+          .filter(col("date") >= "2020-01-01")
+          .select(col("date"), col("autosales").as("sales"),
+            col("gasprice").as("price"))
+          .orderBy("date")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // J2 at the FULL 26-dataset registry: synthesize all 15 EDB workbooks
     // (real .xlsx bytes), 10 FRED JSONs, and the NYU sheet from closed-form
     // value formulas, ingest every one through its complete source pipeline
@@ -1439,6 +1482,82 @@ object SparkEntry {
       s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
       s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
 
+  /** Pinned fixture panel window (autosales x gasprice, 2020+): the
+    * oracle for BOTH api_store_sql (SQL view join) and panel_export_csv
+    * (the CSV round-trip of panelFull over the same two workbooks). */
+  private val panelWindowOracle: String =
+    """SELECT CAST(date AS VARCHAR) AS date, CAST(sales AS DOUBLE) AS sales,
+        |  CAST(price AS DOUBLE) AS price
+        |FROM (VALUES
+        |  ('2020-01-01', 7979.0, 0.61),
+        |  ('2020-02-01', 8642.0, 0.6),
+        |  ('2020-03-01', 7860.0, 0.58),
+        |  ('2020-04-01', 2461.0, 0.55),
+        |  ('2020-05-01', 6297.0, 0.53),
+        |  ('2020-06-01', 8802.0, 0.56),
+        |  ('2020-07-01', 7970.0, 0.59),
+        |  ('2020-08-01', 8610.0, 0.6),
+        |  ('2020-09-01', 9962.0, 0.6),
+        |  ('2020-10-01', 10490.0, 0.62),
+        |  ('2020-11-01', 9075.0, 0.63),
+        |  ('2020-12-01', 10628.0, 0.66),
+        |  ('2021-01-01', 9231.0, 0.7),
+        |  ('2021-02-01', 9523.0, 0.74),
+        |  ('2021-03-01', 12336.0, 0.79),
+        |  ('2021-04-01', 12009.0, 0.83),
+        |  ('2021-05-01', 11919.0, 0.87),
+        |  ('2021-06-01', 12159.0, 0.9),
+        |  ('2021-07-01', 10023.0, 0.75),
+        |  ('2021-08-01', 10119.0, 0.81),
+        |  ('2021-09-01', 9661.0, 0.78),
+        |  ('2021-10-01', 10028.0, 0.83),
+        |  ('2021-11-01', 10353.0, 0.86),
+        |  ('2021-12-01', 12361.0, 0.84),
+        |  ('2022-01-01', 9121.0, 0.88),
+        |  ('2022-02-01', 9241.0, 0.95),
+        |  ('2022-03-01', 10864.0, 1.12),
+        |  ('2022-04-01', 10107.0, 1.05),
+        |  ('2022-05-01', 10436.0, 0.99),
+        |  ('2022-06-01', 10957.0, 0.94),
+        |  ('2022-07-01', 9328.0, 0.92),
+        |  ('2022-08-01', 9877.0, 0.95),
+        |  ('2022-09-01', 9479.0, 0.96),
+        |  ('2022-10-01', 10112.0, 0.93),
+        |  ('2022-11-01', 10537.0, 0.9),
+        |  ('2022-12-01', 12239.0, 0.88),
+        |  ('2023-01-01', 9021.0, 0.86),
+        |  ('2023-02-01', 9345.0, 0.84),
+        |  ('2023-03-01', 11026.0, 0.82),
+        |  ('2023-04-01', 10337.0, 0.8),
+        |  ('2023-05-01', 10702.0, 0.81),
+        |  ('2023-06-01', 11100.0, 0.83),
+        |  ('2023-07-01', 9517.0, 0.85),
+        |  ('2023-08-01', 10095.0, 0.83),
+        |  ('2023-09-01', 9913.0, 0.82),
+        |  ('2023-10-01', 10563.0, 0.81),
+        |  ('2023-11-01', 10689.0, 0.8),
+        |  ('2023-12-01', 12477.0, 0.79),
+        |  ('2024-01-01', 9141.0, 0.78),
+        |  ('2024-02-01', 9770.0, 0.77),
+        |  ('2024-03-01', 11444.0, 0.76),
+        |  ('2024-04-01', 10576.0, 0.75),
+        |  ('2024-05-01', 10918.0, 0.74),
+        |  ('2024-06-01', 11464.0, 0.75),
+        |  ('2024-07-01', 9922.0, 0.81),
+        |  ('2024-08-01', 10549.0, 0.8),
+        |  ('2024-09-01', 10261.0, 0.79),
+        |  ('2024-10-01', 11003.0, 0.78),
+        |  ('2024-11-01', 11121.0, 0.77),
+        |  ('2024-12-01', 13007.0, 0.76),
+        |  ('2025-01-01', 9532.0, 0.75),
+        |  ('2025-02-01', 10168.0, 0.74),
+        |  ('2025-03-01', 11903.0, 0.73),
+        |  ('2025-04-01', 11019.0, NULL),
+        |  ('2025-05-01', 11364.0, NULL),
+        |  ('2025-06-01', 11923.0, 0.72))
+        |  AS t(date, sales, price)
+        |ORDER BY date""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
 
     "q01_agg" ->
@@ -1698,82 +1817,15 @@ object SparkEntry {
         |  AS t(dataset, phase, status, new_rows, updated, revisions)
         |ORDER BY phase, dataset""".stripMargin,
 
-    "api_store_sql" ->
-      """SELECT CAST(date AS VARCHAR) AS date, CAST(sales AS DOUBLE) AS sales,
-        |  CAST(price AS DOUBLE) AS price
-        |FROM (VALUES
-        |  ('2020-01-01', 7979.0, 0.61),
-        |  ('2020-02-01', 8642.0, 0.6),
-        |  ('2020-03-01', 7860.0, 0.58),
-        |  ('2020-04-01', 2461.0, 0.55),
-        |  ('2020-05-01', 6297.0, 0.53),
-        |  ('2020-06-01', 8802.0, 0.56),
-        |  ('2020-07-01', 7970.0, 0.59),
-        |  ('2020-08-01', 8610.0, 0.6),
-        |  ('2020-09-01', 9962.0, 0.6),
-        |  ('2020-10-01', 10490.0, 0.62),
-        |  ('2020-11-01', 9075.0, 0.63),
-        |  ('2020-12-01', 10628.0, 0.66),
-        |  ('2021-01-01', 9231.0, 0.7),
-        |  ('2021-02-01', 9523.0, 0.74),
-        |  ('2021-03-01', 12336.0, 0.79),
-        |  ('2021-04-01', 12009.0, 0.83),
-        |  ('2021-05-01', 11919.0, 0.87),
-        |  ('2021-06-01', 12159.0, 0.9),
-        |  ('2021-07-01', 10023.0, 0.75),
-        |  ('2021-08-01', 10119.0, 0.81),
-        |  ('2021-09-01', 9661.0, 0.78),
-        |  ('2021-10-01', 10028.0, 0.83),
-        |  ('2021-11-01', 10353.0, 0.86),
-        |  ('2021-12-01', 12361.0, 0.84),
-        |  ('2022-01-01', 9121.0, 0.88),
-        |  ('2022-02-01', 9241.0, 0.95),
-        |  ('2022-03-01', 10864.0, 1.12),
-        |  ('2022-04-01', 10107.0, 1.05),
-        |  ('2022-05-01', 10436.0, 0.99),
-        |  ('2022-06-01', 10957.0, 0.94),
-        |  ('2022-07-01', 9328.0, 0.92),
-        |  ('2022-08-01', 9877.0, 0.95),
-        |  ('2022-09-01', 9479.0, 0.96),
-        |  ('2022-10-01', 10112.0, 0.93),
-        |  ('2022-11-01', 10537.0, 0.9),
-        |  ('2022-12-01', 12239.0, 0.88),
-        |  ('2023-01-01', 9021.0, 0.86),
-        |  ('2023-02-01', 9345.0, 0.84),
-        |  ('2023-03-01', 11026.0, 0.82),
-        |  ('2023-04-01', 10337.0, 0.8),
-        |  ('2023-05-01', 10702.0, 0.81),
-        |  ('2023-06-01', 11100.0, 0.83),
-        |  ('2023-07-01', 9517.0, 0.85),
-        |  ('2023-08-01', 10095.0, 0.83),
-        |  ('2023-09-01', 9913.0, 0.82),
-        |  ('2023-10-01', 10563.0, 0.81),
-        |  ('2023-11-01', 10689.0, 0.8),
-        |  ('2023-12-01', 12477.0, 0.79),
-        |  ('2024-01-01', 9141.0, 0.78),
-        |  ('2024-02-01', 9770.0, 0.77),
-        |  ('2024-03-01', 11444.0, 0.76),
-        |  ('2024-04-01', 10576.0, 0.75),
-        |  ('2024-05-01', 10918.0, 0.74),
-        |  ('2024-06-01', 11464.0, 0.75),
-        |  ('2024-07-01', 9922.0, 0.81),
-        |  ('2024-08-01', 10549.0, 0.8),
-        |  ('2024-09-01', 10261.0, 0.79),
-        |  ('2024-10-01', 11003.0, 0.78),
-        |  ('2024-11-01', 11121.0, 0.77),
-        |  ('2024-12-01', 13007.0, 0.76),
-        |  ('2025-01-01', 9532.0, 0.75),
-        |  ('2025-02-01', 10168.0, 0.74),
-        |  ('2025-03-01', 11903.0, 0.73),
-        |  ('2025-04-01', 11019.0, NULL),
-        |  ('2025-05-01', 11364.0, NULL),
-        |  ('2025-06-01', 11923.0, 0.72))
-        |  AS t(date, sales, price)
-        |ORDER BY date""".stripMargin,
+    "api_store_sql" -> panelWindowOracle,
 
     // recomputes the 26-dataset panel window from the same closed-form
     // formulas that generated the fixtures (graft.tools.RegistryFixtures)
     "panel_all" -> graft.tools.RegistryFixtures.oracleSql,
+
+    // the CSV round-trip must reproduce the exact panel values the
+    // api_store_sql oracle pins (same two fixture workbooks, same window)
+    "panel_export_csv" -> panelWindowOracle,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

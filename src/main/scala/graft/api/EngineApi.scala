@@ -106,6 +106,20 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     RevisionHistory.query(revs, dataset, date, field, limit)
   }
 
+  /** Analysis-CSV export of the full panel — the reference's documented
+    * "merges all datasets with date alignment" analysis file
+    * (documentation/economic_indicators.md:116-126, export_data.py):
+    * panelFull(), date-sorted, one headered CSV. One file by contract —
+    * the export is the human/BI hand-off, not a lake table (the panel is
+    * series x months, small by construction even when the keyed store
+    * behind it is huge). Returns the written directory. */
+  def exportPanelCsv(name: String = "exports/panel_csv"): String = {
+    val target = store.path(name)
+    panelFull().orderBy("date")
+      .coalesce(1).write.mode("overwrite").option("header", "true").csv(target)
+    target
+  }
+
   /** S11: run-summary JSON sink (`logs/run_summary_{ts}.json`,
     * main_azure.py:214-234) — one JSON file per run under the store root. */
   def saveRunSummaryJson(summary: DataFrame, runStamp: String): String = {

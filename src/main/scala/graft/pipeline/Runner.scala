@@ -98,6 +98,21 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     } finally canonical.unpersist()
   }
 
+  /** The per-dataset fetch-failure contract (main_azure.py:136-152 +
+    * azure_common_scrapers.py:35-64): `parse` turns fetched bytes into the
+    * canonical frame; a failed fetch (None) records status "error" for
+    * THIS dataset and the run continues — callers loop over datasets and
+    * summarize() reports the mixed statuses, exactly the reference's
+    * behavior when one source site is down. */
+  def runFetched(tableName: String, fetched: Option[Array[Byte]],
+                 parse: Array[Byte] => DataFrame, valueFields: Seq[String],
+                 gateHours: Int = 24): DatasetResult =
+    fetched match {
+      case None => DatasetResult(tableName, "error", 0, 0, 0)
+      case Some(bytes) =>
+        runDataset(tableName, parse(bytes), valueFields, gateHours)
+    }
+
   def runDataset(tableName: String, canonical0: DataFrame,
                  valueFields: Seq[String], gateHours: Int = 24): DatasetResult = {
     val (result, revs) = mergeCore(tableName, canonical0, valueFields, gateHours)
