@@ -233,7 +233,7 @@ object XlsReader {
 
   /** Decode an RKRec value: 30-bit payload, bit0 = divide by 100, bit1 =
     * payload is a signed int (else the high 30 bits of an IEEE double). */
-  private def rkText(rk: Int): String = {
+  private[sources] def rkText(rk: Int): String = {
     val div100 = (rk & 1) != 0
     if ((rk & 2) != 0) {
       val i = rk >> 2 // arithmetic shift keeps the sign
@@ -247,10 +247,14 @@ object XlsReader {
   }
 
   /** Shortest lexical form for a double: integral values without the
-    * trailing ".0" (what the CSV/xlsx fixture dialect stores). */
+    * trailing ".0", and ALWAYS plain (non-scientific) notation — Excel
+    * text semantics and the CSV/xlsx fixture dialect both have no "1.0E20"
+    * form, so the fallback re-expands the shortest repr via BigDecimal
+    * (trailing zeros stripped) instead of echoing Double.toString. */
   def numText(d: Double): String =
     if (d == math.rint(d) && math.abs(d) < 1e15) d.toLong.toString
-    else d.toString
+    else if (d.isNaN || d.isInfinite) d.toString
+    else new java.math.BigDecimal(d.toString).stripTrailingZeros.toPlainString
 
   /** Read the first worksheet of a legacy `.xls` workbook as a dense
     * row-major grid (null = empty cell) — same contract as

@@ -73,6 +73,21 @@ object XlsWriter {
     }
   }
 
+  /** True iff the reader's decode of a numeric encoding reproduces `v`
+    * EXACTLY: only such cells are RK/NUMBER-encoded. Anything else —
+    * "0.50", "2016.0", "007", scientific notation the plain form can't
+    * echo — stays text via LABELSST, so a grid-to-xls conversion is a
+    * faithful text round-trip, never a silent "0.50" -> "0.5" rewrite. */
+  private def numericRoundTrips(v: String): Boolean =
+    NumericCell.pattern.matcher(v).matches() && {
+      rkEncode(v) match {
+        case Some(rk) => XlsReader.rkText(rk) == v
+        case None =>
+          try XlsReader.numText(v.toDouble) == v
+          catch { case _: NumberFormatException => false }
+      }
+    }
+
   /** XLUnicodeRichExtendedString body (no rich/ext data): cch, flags,
     * chars — compressed 8-bit when the text is pure Latin-1, UTF-16LE
     * otherwise, so the reader sees both forms in practice. */
@@ -106,21 +121,29 @@ object XlsWriter {
       val body = unicodeStringBytes(s)
       if (curLen + body.length <= MaxRecData) { cur ++= body; curLen += body.length }
       else {
-        val room = MaxRecData - curLen
-        // split mid-characters only if the 3-byte header plus at least one
-        // whole character fits; otherwise break at the string boundary
+        // split mid-characters, REPEATEDLY if the remainder still exceeds
+        // a record (a single string body can span several CONTINUEs): the
+        // first chunk carries the 3-byte cch+flags header, every continued
+        // chunk reopens with the repeated flags byte, and EVERY chunk must
+        // fit under the cap ([MS-XLS] 2.5.293) or Excel rejects the file.
         val wide = body(2) == 0x01
         val charBytes = if (wide) 2 else 1
-        if (room >= 3 + charBytes) {
-          val nFit = (room - 3) / charBytes
-          cur ++= java.util.Arrays.copyOfRange(body, 0, 3 + nFit * charBytes)
-          flush()
-          cur += body(2) // repeated flags byte opens the continued chars
-          cur ++= java.util.Arrays.copyOfRange(body, 3 + nFit * charBytes, body.length)
-          curLen = 1 + (body.length - 3 - nFit * charBytes)
-        } else {
-          flush()
-          cur ++= body; curLen = body.length
+        var pos = 0 // bytes of `body` emitted so far (0 = header pending)
+        while (pos == 0 || pos < body.length) {
+          val head = if (pos == 0) 3 else 1
+          if (MaxRecData - curLen < head + charBytes) flush()
+          val nFit = math.min((MaxRecData - curLen - head) / charBytes,
+            (body.length - math.max(pos, 3)) / charBytes)
+          if (pos == 0) {
+            cur ++= java.util.Arrays.copyOfRange(body, 0, 3 + nFit * charBytes)
+            curLen += 3 + nFit * charBytes
+            pos = 3 + nFit * charBytes
+          } else {
+            cur += body(2) // repeated flags byte opens the continued chars
+            cur ++= java.util.Arrays.copyOfRange(body, pos, pos + nFit * charBytes)
+            curLen += 1 + nFit * charBytes
+            pos += nFit * charBytes
+          }
         }
       }
     }
@@ -137,7 +160,7 @@ object XlsWriter {
     val sstIndex = mutable.LinkedHashMap.empty[String, Int]
     var totalRefs = 0
     rows.foreach(_.foreach { v =>
-      if (v != null && v.nonEmpty && !NumericCell.pattern.matcher(v).matches()) {
+      if (v != null && v.nonEmpty && !numericRoundTrips(v)) {
         totalRefs += 1
         sstIndex.getOrElseUpdate(v, sstIndex.size)
       }
@@ -156,7 +179,7 @@ object XlsWriter {
       // split the row into runs of RK-encodable numbers vs everything else
       val encoded: Seq[(Int, Either[Int, String])] = cells.zipWithIndex.collect {
         case (v, c) if v != null && v.nonEmpty =>
-          if (NumericCell.pattern.matcher(v).matches())
+          if (numericRoundTrips(v))
             c -> rkEncode(v).map(Left(_)).getOrElse(Right(v))
           else c -> Right(v)
       }
@@ -179,7 +202,7 @@ object XlsWriter {
               i += 1
             }
           case (c, Right(v)) =>
-            if (NumericCell.pattern.matcher(v).matches())
+            if (numericRoundTrips(v))
               sheet ++= record(0x0203, // NUMBER: not RK-exact
                 new Rec().u16(r).u16(c).u16(0x000F).f64(v.toDouble).result())
             else

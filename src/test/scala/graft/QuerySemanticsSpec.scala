@@ -1,0 +1,104 @@
+package graft
+
+import graft.ops.{Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Fixed-input pins for the operators that were previously proven only by
+  * the harness oracle (VERDICT r9 item 7: ann_ivf, text_langid,
+  * text_quality, q24_percentile, q25_rollup) — a refactor can no longer
+  * change their semantics between harness runs without a local test
+  * going red. */
+class QuerySemanticsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ivfTopK: identical vector is rank-1 cosine 1.0; self excluded; ranks dense") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f)),   // exact copy of the query vector
+      (3L, Array(0.8f, 0.6f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f)),
+      (5L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(corpus, corpus.filter(col("vec_id") === 1L),
+        "vec_id", "embedding", k = 10, nCells = 4)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty)
+    assert(!out.exists(_.getAs[Long]("nid") == 1L)) // self never returned
+    // the duplicate vector shares the query's cell BY CONSTRUCTION (the
+    // cell id is a function of the vector) and must lead at cosine 1.0
+    val first = out.head
+    assert(first.getAs[Long]("nid") == 2L && first.getAs[Int]("rank") == 1)
+    assert(math.abs(first.getAs[Double]("cosine") - 1.0) < 1e-9)
+    assert(out.map(_.getAs[Int]("rank")).toSeq == (1 to out.length))
+    val cosines = out.map(_.getAs[Double]("cosine")).toSeq
+    assert(cosines == cosines.sorted.reverse) // non-increasing
+  }
+
+  test("langIdHeuristic: marker languages, CJK override, en tie-break, und") {
+    val cases = Seq(
+      "the cat and the dog is in a house that works" -> "en",
+      "el perro y la casa de que los gatos en una" -> "es",
+      "le chat et les chiens est une belle maison" -> "fr",
+      "der hund und die katze ist nicht ein haus mit" -> "de",
+      "mixed text with the 中文 characters" -> "zh", // CJK wins outright
+      "the el" -> "en",                              // tie -> fixed order
+      "xyzzy plugh qwerty" -> "und")
+    val out = cases.map(_._1).toDF("text")
+      .select(TextAnalysis.langIdHeuristic(col("text")))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == cases.map(_._2))
+  }
+
+  test("quality signals: punct ratio, mean word length, stopword ratio, score") {
+    def one(s: String) = Seq(s).toDF("text").select(
+      TextAnalysis.punctRatio(col("text")),
+      TextAnalysis.meanWordLength(col("text")),
+      TextAnalysis.stopwordRatio(col("text")),
+      TextAnalysis.qualityScore(col("text"))).head()
+    val r = one("the cat sat on the mat with a hat")
+    assert(r.getDouble(0) == 0.0)
+    // 25 non-space chars / 9 tokens
+    assert(math.abs(r.getDouble(1) - 25.0 / 9) < 1e-9)
+    assert(math.abs(r.getDouble(2) - 3.0 / 9) < 1e-9) // the, the, a
+    assert(r.getDouble(3) == 1.0) // all three gates pass
+    // short (len 11) + punct-heavy: fails length and punct gates, but the
+    // mean word length (9 chars / 3 tokens = 3.0) is in band -> score 1/3
+    val junk = one("!!! ??? ***")
+    assert(junk.getDouble(0) > 0.2)
+    assert(math.abs(junk.getDouble(3) - 1.0 / 3) < 1e-9)
+    // exactly one gate failing scores 2/3: long enough, sane words, but
+    // punct ratio over the 0.2 line
+    val semi = one("aa bb!! cc!! dd!! ee!! ff gg hh") // 8/30 punct
+    assert(math.abs(semi.getDouble(3) - 2.0 / 3) < 1e-9)
+  }
+
+  test("percentile: Spark's interpolated exact percentile on a pinned group") {
+    val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("B", 10.0))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(expr("percentile(v, 0.5)").as("p50"),
+        expr("percentile(v, 0.95)").as("p95"))
+      .orderBy("g").collect()
+    assert(out(0).getDouble(1) == 2.5)                      // (2+3)/2
+    assert(math.abs(out(0).getDouble(2) - 3.85) < 1e-9)     // 1 + 3*0.95
+    assert(out(1).getDouble(1) == 10.0 && out(1).getDouble(2) == 10.0)
+  }
+
+  test("rollup: per-pair rows, per-flag subtotals, grand total with nulls") {
+    val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
+      .toDF("f", "s", "qty")
+    val out = df.rollup("f", "s")
+      .agg(count(lit(1)).as("n"), sum("qty").as("sum_qty"))
+      .orderBy(col("f").asc_nulls_first, col("s").asc_nulls_first)
+      .collect()
+      .map(r => (r.getAs[String]("f"), r.getAs[String]("s"),
+        r.getAs[Long]("n"), r.getAs[Double]("sum_qty"))).toSeq
+    assert(out == Seq(
+      (null, null, 3L, 7.0),  // grand total
+      ("A", null, 2L, 3.0),   // subtotal A
+      ("A", "x", 1L, 1.0),
+      ("A", "y", 1L, 2.0),
+      ("B", null, 1L, 4.0),   // subtotal B
+      ("B", "x", 1L, 4.0)))
+  }
+}

@@ -67,6 +67,34 @@ class XlsReaderSpec extends AnyFunSuite {
     assert(back == grid)
   }
 
+  test("non-canonical numeric text survives as text; plain-form large doubles") {
+    // cells whose numeric decode would NOT reproduce the original text are
+    // kept as LABELSST strings, never silently rewritten by a round-trip
+    val grid = Vector(
+      Vector("0.50", "2016.0", "007", "1e3"),
+      Vector("1.0E20", "0.5", "2016", "100000000000000000000"))
+    val path = tmpXls()
+    XlsWriter.write(path, grid)
+    assert(XlsReader.readFirstSheet(path) == grid)
+    // the non-integral fallback is plain notation (no "1.0E20" text)
+    assert(XlsReader.numText(1.0e20) == "100000000000000000000")
+    assert(XlsReader.numText(1.5e16) == "15000000000000000")
+    assert(XlsReader.numText(1.0e-7) == "0.0000001")
+    assert(XlsReader.numText(0.5) == "0.5")
+  }
+
+  test("a single SST string spanning several CONTINUE records round-trips") {
+    // one 20k-char Latin-1 string (~20KB body) must split across >=2
+    // CONTINUEs after the SST record itself; a wide (UTF-16) sibling of
+    // 12k chars (~24KB) splits repeatedly on 2-byte boundaries
+    val narrow = Iterator.continually("abcdefgh").flatten.take(20000).mkString
+    val wide = ("日本語テキスト" * 2000).take(12000)
+    val grid = Vector(Vector(narrow), Vector(wide), Vector("tail"))
+    val path = tmpXls()
+    XlsWriter.write(path, grid)
+    assert(XlsReader.readFirstSheet(path) == grid)
+  }
+
   test("FORMULA cached results, STRING, BOOLERR, inline LABEL records") {
     // globals: BOF + BOUNDSHEET(plyPos) + EOF; sheet: hand-crafted records
     val bofG = rec(0x0809, le16(0x0600) ++ le16(0x0005) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(0))
