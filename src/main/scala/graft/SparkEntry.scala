@@ -649,6 +649,8 @@ object SparkEntry {
     // LLM dedup: MinHash-LSH near-dup pairs (banded; fully oracled — the
     // portable md5-seeded hash family lets DuckDB re-derive the pipeline)
     "dedup_minhash" -> ((s, dir) => {
+      // default LAZY form (VERDICT r9 item 2): no extra action inside the
+      // operator; repeated same-plan use hits the operator's own caches
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7)
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
@@ -1086,6 +1088,13 @@ object SparkEntry {
     // CDC revision fan-out landed per year.
     "stream_ingest_partitioned" -> ((s, dir) => {
       import org.apache.spark.sql.types._
+      // the whole streaming query runs inside this lambda (awaitTermination
+      // below), so the scoped shuffle sizing applies to every micro-batch
+      // merge: a few thousand keyed rows per batch need a handful of
+      // partitions, not the session's 32 (production sizes this per stream)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      try {
       val obs0 = t(s, dir, "documents").select(col("doc_id"),
         date_format(date_add(lit("2000-01-01").cast("date"),
           col("doc_id").cast("int")), "yyyy-MM-dd").as("date"),
@@ -1129,6 +1138,7 @@ object SparkEntry {
         .select(col("year"), col("n"), col("sum_value"),
           coalesce(col("n_revised"), lit(0L)).as("n_revised"))
         .orderBy("year")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
     // Structured Streaming STREAM-STREAM INTERVAL JOIN: views and clicks

@@ -192,7 +192,12 @@ object Dedup {
       out.count()
       sh.unpersist(false)
       out
-    } else verified
+    } else verified.persist()
+    // lazy path: persist WITHOUT forcing an action — the first action pays
+    // the pipeline once and every subsequent same-plan use (re-running the
+    // query, joining the pairs twice downstream) reads the small pair list
+    // from cache instead of recomputing 64 hashes x every shingle.
+    // Re-persisting an identical plan reuses the entry — no accumulation.
   }
 
   /** Near-dedup survivors: drop every doc that matches a LOWER id at or

@@ -84,6 +84,66 @@ class QuerySemanticsSpec extends SparkSuite {
     assert(out(1).getDouble(1) == 10.0 && out(1).getDouble(2) == 10.0)
   }
 
+  test("resample to month/quarter grain: avg + count per bucket") {
+    val df = Seq(("2024-01-05", 10.0), ("2024-01-20", 20.0),
+      ("2024-02-10", 7.0), ("2024-05-01", 1.0)).toDF("d", "v")
+      .withColumn("d", to_date(col("d")))
+    val m = graft.ops.Analytics.resampleMonthlyAvg(df, "d", "v")
+      .orderBy("month").collect()
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getLong(2))).toSeq
+    assert(m == Seq(("2024-01-01", 15.0, 2L), ("2024-02-01", 7.0, 1L),
+      ("2024-05-01", 1.0, 1L)))
+    val q = graft.ops.Analytics.resampleQuarterlyAvg(df, "d", "v")
+      .orderBy("quarter").collect()
+      .map(r => (r.get(0).toString, r.getDouble(1), r.getLong(2))).toSeq
+    assert(q == Seq(("2024-01-01", 37.0 / 3, 3L), ("2024-04-01", 1.0, 1L)))
+  }
+
+  test("window analytics: lag change, rolling mean, YoY on a pinned series") {
+    val df = Seq(("s", "2024-01-01", 10.0), ("s", "2024-02-01", 12.0),
+      ("s", "2024-03-01", 9.0), ("s", "2025-01-01", 25.0))
+      .toDF("series", "date", "v")
+    val pc = graft.ops.Analytics.periodChange(df, Seq("series"), "date", "v")
+      .orderBy("date").collect()
+    assert(pc(0).isNullAt(pc(0).fieldIndex("change")))
+    assert(pc(1).getAs[Double]("change") == 2.0)
+    assert(math.abs(pc(1).getAs[Double]("pct_change") - 0.2) < 1e-9)
+    assert(pc(2).getAs[Double]("change") == -3.0)
+    val rm = graft.ops.Analytics.rollingMean(df, Seq("series"), "date", "v", 2)
+      .orderBy("date").collect().map(_.getAs[Double]("rolling_mean_2")).toSeq
+    assert(rm == Seq(10.0, 11.0, 10.5, 17.0))
+    val yoy = graft.ops.Analytics.yoyChange(df, Seq("series"), "date", "v",
+      periodsPerYear = 3).orderBy("date").collect()
+    assert(yoy(3).getAs[Double]("yoy_change") == 15.0) // 25 - lag3(10)
+  }
+
+  test("decontaminate: shared 3-gram flags the doc, clean doc passes") {
+    val train = Seq((1L, "the quick brown fox jumps high"),
+      (2L, "completely unrelated corpus text here")).toDF("doc_id", "text")
+    val bench = Seq((100L, "quick brown fox elsewhere")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shared"),
+        r.getAs[Boolean]("contaminated"))).toSeq
+    assert(out == Seq((1L, 1L, true), (2L, 0L, false)))
+  }
+
+  test("salted aggregate and join: identical results to the unsalted forms") {
+    val large = Seq(("k1", 1.0), ("k1", 2.0), ("k1", 3.0), ("k2", 10.0))
+      .toDF("k", "v")
+    val agg = graft.ops.Skew.saltedSumCount(large, Seq("k"), "v", salts = 4)
+      .orderBy("k").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("sum_v"), r.getAs[Long]("cnt"))).toSeq
+    assert(agg == Seq(("k1", 6.0, 3L), ("k2", 10.0, 1L)))
+    val small = Seq(("k1", "a"), ("k2", "b")).toDF("k", "tag")
+    val j = graft.ops.Skew.saltedJoin(large, small, Seq("k"), salts = 4)
+      .orderBy("k", "v").collect().map(r => (r.getString(0),
+        r.getAs[Double]("v"), r.getString(2))).toSeq
+    val expected = large.join(small, Seq("k")).orderBy("k", "v")
+      .collect().map(r => (r.getString(0), r.getAs[Double]("v"), r.getString(2))).toSeq
+    assert(j == expected && j.length == 4)
+  }
+
   test("rollup: per-pair rows, per-flag subtotals, grand total with nulls") {
     val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
       .toDF("f", "s", "qty")
