@@ -158,7 +158,17 @@ object SmartUpdate {
       : (DataFrame, DataFrame, MergeCounts) = {
     val incoming = dedupeLastWins(incoming0, keyCol)
     val existingPruned = pruneToKeyRange(existing, incoming, keyCol)
-    val cls = classify(incoming, existingPruned, keyCol, valueFields).cache()
+    // localCheckpoint, not cache: the classified rows back an RDD with NO
+    // file source in the plan, so (a) the returned `revs` stays correct
+    // after the caller overwrites the very files `existing` read — a
+    // cached plan would be refreshed/recomputed from the post-merge table
+    // (empty CDC) or chase deleted pre-swap files on eviction — and (b)
+    // nothing is registered with the CacheManager, so per-dataset merges
+    // don't accumulate cache entries the caller can't release (the RDD is
+    // GC'd with the frame). The merge is already eager (counts aggregate
+    // below), so this adds no extra action.
+    val cls = classify(incoming, existingPruned, keyCol, valueFields)
+      .localCheckpoint(true)
     val newOrUpdatedKeys = cls.filter(col("status").isin("new", "updated"))
       .select(col(keyCol))
     // unchanged + existing_only + out-of-range rows stay as stored originals

@@ -184,8 +184,14 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         if (store.exists(tableName))
           store.read(tableName).filter(col("__year").isin(years: _*))
         else canonical.limit(0)
+      // localCheckpoint, not cache (same reasoning as SmartUpdate.merge):
+      // the classify result must survive the partition overwrite below —
+      // a cached plan still references the table files and gets refreshed
+      // from the POST-merge data (CacheManager.recacheByPath), which would
+      // empty the CDC log; an RDD-backed checkpoint has no file source.
       val cls = SmartUpdate.classify(canonical.drop("__year"),
-        existingTouched.drop("__year"), "date", valueFields).cache()
+        existingTouched.drop("__year"), "date", valueFields)
+        .localCheckpoint(true)
       val changedSum = valueFields.map(f =>
         sum(col(s"${f}_changed").cast("long"))).reduce(_ + _)
       val cRow = cls.agg(
@@ -194,26 +200,15 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         changedSum).head()
       def g(i: Int) = if (cRow.isNullAt(i)) 0L else cRow.getLong(i)
       val counts = SmartUpdate.MergeCounts(g(0), g(1), g(2))
-      // CDC rows MUST be materialized BEFORE the partition overwrite: their
-      // plan reads the very files the write replaces, and Spark recaches
-      // every cached plan registered on the output path after an insert
-      // (CacheManager.recacheByPath) — so even the cached `cls` would be
-      // recomputed from the post-merge files, where old == new and the
-      // revision log comes out empty. localCheckpoint pins the rows to
-      // executor storage, immune to the refresh.
-      val revsOpt =
-        if (counts.revisions > 0)
-          Some(SmartUpdate.revisionsFromClassified(
-            cls, "date", valueFields, tableName, ts).localCheckpoint(true))
-        else None
       if (counts.newRows > 0 || counts.updated > 0) {
         // partitions to rewrite = years that actually gained or changed a
         // row; a full re-download with nothing new writes NOTHING (the
-        // reference's daily no-op run costs a classify, not a rewrite)
+        // reference's daily no-op run costs a classify, not a rewrite).
+        // A cheap filter over the checkpointed cls — reused thrice (years
+        // collect + two key joins) without needing its own cache entry.
         val newOrUpdatedKeys = cls
           .filter(col("status").isin("new", "updated")).select(col("date"))
           .withColumn("__year", substring(col("date"), 1, 4).cast("int"))
-          .cache()
         val changedYears = newOrUpdatedKeys.select("__year").distinct()
           .collect().map(_.getInt(0)).toSeq
         val keptChanged = existingTouched
@@ -225,10 +220,11 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         store.overwritePartitions(tableName,
           keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*)),
           Seq("__year"))
-        newOrUpdatedKeys.unpersist(false)
       }
-      revsOpt.foreach(r => store.append(Registry.RevisionsTable, r, maxFiles = 1))
-      cls.unpersist(false)
+      if (counts.revisions > 0)
+        store.append(Registry.RevisionsTable,
+          SmartUpdate.revisionsFromClassified(
+            cls, "date", valueFields, tableName, ts), maxFiles = 1)
       setLastRun(tableName, ts)
       DatasetResult(tableName, "success", counts.newRows, counts.updated,
         counts.revisions)
