@@ -89,10 +89,10 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       val (merged, revs, counts) = SmartUpdate.merge(
         canonical, existing, "date", valueFields, tableName, ts)
       store.overwrite(tableName, merged, maxFiles = 1)
-      // counts.revisions is already computed by the merge's single aggregate
-      // pass — no extra isEmpty action on the revision frame
-      val revsOut = if (counts.revisions > 0) Some(revs.cache()) else None
-      revsOut.foreach(_.count()) // materialize before canonical unpersists
+      // revs is a filter over the merge's checkpointed classify (an
+      // RDD-backed plan): safe to hand out lazily past the overwrite and
+      // the canonical unpersist — no cache or extra action needed
+      val revsOut = if (counts.revisions > 0) Some(revs) else None
       (DatasetResult(tableName, "success", counts.newRows, counts.updated,
         counts.revisions), revsOut)
     } finally canonical.unpersist()
@@ -116,10 +116,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
   def runDataset(tableName: String, canonical0: DataFrame,
                  valueFields: Seq[String], gateHours: Int = 24): DatasetResult = {
     val (result, revs) = mergeCore(tableName, canonical0, valueFields, gateHours)
-    revs.foreach { r =>
-      store.append(Registry.RevisionsTable, r, maxFiles = 1)
-      r.unpersist()
-    }
+    revs.foreach(r => store.append(Registry.RevisionsTable, r, maxFiles = 1))
     if (result.status == "success") setLastRun(tableName, now())
     result
   }
@@ -143,11 +140,9 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       }
       val outcomes = Await.result(Future.sequence(futures), Duration.Inf)
       val allRevs = outcomes.flatMap(_._2)
-      if (allRevs.nonEmpty) {
+      if (allRevs.nonEmpty)
         store.append(Registry.RevisionsTable,
           allRevs.reduce(_.unionByName(_)), maxFiles = 1)
-        allRevs.foreach(_.unpersist())
-      }
       val ts = now()
       outcomes.foreach { case (r, _) =>
         if (r.status == "success") setLastRun(r.dataset, ts)

@@ -117,6 +117,25 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(out(3L).length == 2) // raw fallback still produces features
   }
 
+  test("multimodal: decodeFeaturesSafe isolates corrupt payloads per row") {
+    val good = Multimodal.MediaRow(1L,
+      Multimodal.encodeWav(Array.tabulate(8)(i => (i * 100).toShort)))
+    // a RIFF/WAVE header whose chunk sizes lie about the payload
+    val poisoned = {
+      val b = Multimodal.encodeWav(Array.tabulate(8)(i => i.toShort))
+      java.util.Arrays.copyOfRange(b, 0, 20) // truncated mid-header
+    }
+    val rows = Seq(good, Multimodal.MediaRow(2L, poisoned))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.decodeFeaturesSafe(ds, dims = 2).collect()
+      .map(f => f.id -> ((f.status, f.features.isDefined))).toMap
+    // the task survives the bad row; good rows decode, bad rows carry
+    // status=error with null features — nothing throws
+    assert(out(1L) == (("ok", true)))
+    assert(out(2L) == (("error", false)))
+  }
+
   test("resizeGray: nearest-neighbor stride, hand-checked") {
     // 4x2 source, downscale to 2x2: src x of {0,1} -> {0, 2}; src y -> {0, 1}
     val px = Array(0, 10, 20, 30,

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Physical-plan assertions (T3/P3 made mechanical): the properties the
+  * 100 TB posture depends on — filter pushdown to the parquet scan, column
+  * pruning in ReadSchema, broadcast choice for small dims, shuffle-free
+  * generator pipelines, TakeOrdered top-k — are checked programmatically
+  * instead of by eyeballing `graft.Explain` output, so a plan regression
+  * fails the suite, not a later bench read. */
+class PlanSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def planOf(df: DataFrame): String = {
+    df.queryExecution.executedPlan.toString
+  }
+
+  private lazy val dir = {
+    // a tiny parquet table written by the test itself: plan shapes don't
+    // need scale, they need a real FileSourceScanExec to push into
+    val d = Files.createTempDirectory("graft-plan").toString
+    (0L until 100L).map(i => (i, s"name_$i", i % 7, i * 1.5))
+      .toDF("id", "name", "grp", "price")
+      .write.parquet(s"$d/t")
+    d
+  }
+
+  test("filter pushes to the parquet scan; projection prunes ReadSchema") {
+    val df = spark.read.parquet(s"$dir/t")
+      .filter(col("grp") === 3 && col("id") > 10)
+      .select("id", "price")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters:") &&
+      (plan.contains("IsNotNull(grp)") || plan.contains("EqualTo(grp,3)")),
+      s"no pushed filters in:\n$plan")
+    val readSchema = plan.split("ReadSchema:").lift(1)
+      .map(_.takeWhile(_ != '\n')).getOrElse("")
+    assert(readSchema.contains("id") && readSchema.contains("price") &&
+      !readSchema.contains("name"), s"ReadSchema not pruned: $readSchema")
+  }
+
+  test("small dimension side is broadcast, not shuffled") {
+    val facts = spark.read.parquet(s"$dir/t")
+    val dim = Seq((0, "a"), (3, "b")).toDF("grp", "label")
+    val plan = planOf(facts.join(broadcast(dim), Seq("grp")))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("chunking is a generator pipeline: zero exchanges") {
+    val docs = Seq((1L, ("tok " * 300).trim), (2L, ("tok " * 50).trim))
+      .toDF("doc_id", "text")
+    val chunked = graft.ops.Chunking.chunkByTokens(docs, "doc_id", "text",
+      chunkSize = 128, overlap = 16)
+    val plan = planOf(chunked)
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in:\n$plan")
+  }
+
+  test("orderBy+limit plans as TakeOrderedAndProject, not a global sort") {
+    val df = spark.read.parquet(s"$dir/t").orderBy(col("price").desc).limit(5)
+    val plan = planOf(df)
+    assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
+  }
+
+  test("revision-history date predicate reaches the parquet scan") {
+    val d = Files.createTempDirectory("graft-plan-rev").toString
+    Seq(("autosales", "2024-01-01", "sales", 1.0, 2.0,
+        java.sql.Timestamp.valueOf("2025-06-01 00:00:00")))
+      .toDF("dataset", "data_date", "value_field", "old_value", "new_value",
+        "revision_date")
+      .write.parquet(s"$d/datarevisions")
+    val revs = spark.read.parquet(s"$d/datarevisions")
+    val q = graft.merge.RevisionHistory.query(revs,
+      dataset = Some("autosales"), date = Some("2024-01-01"),
+      field = None, limit = None)
+    val plan = planOf(q)
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("EqualTo(dataset,autosales)"),
+      s"dataset predicate not pushed:\n$plan")
+  }
+}
