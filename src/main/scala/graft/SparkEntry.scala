@@ -925,6 +925,30 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // LLM text: PII redaction (the pre-training scrub pass). Deterministic
+    // synthetic PII — an email, a phone, an IPv4, a card-length number per
+    // doc — is spliced into the corpus text, redacted with the codegen
+    // regexp_replace chain, and audited per doc; the oracle splices and
+    // redacts with the VERBATIM same pattern strings (RE2/java.util.regex
+    // agree on this syntax subset), so any dialect drift hash-mismatches.
+    "text_redact" -> ((s, dir) => {
+      val doc = col("doc_id")
+      val salted = concat(col("text"),
+        lit(" contact user"), doc.cast("string"), lit("@mail.example.org or +1 555-"),
+        lpad((doc % 10000).cast("string"), 4, "0"), lit(" host 10."),
+        (doc % 200).cast("string"), lit(".0."), (doc % 250).cast("string"),
+        lit(" card "), (lit(4000000000000000L) + doc).cast("string"))
+      t(s, dir, "documents")
+        .select(doc, TextAnalysis.redactPii(salted).as("t"))
+        .select(doc,
+          TextAnalysis.redactionCount(col("t"), "<EMAIL>").cast("long").as("n_email"),
+          TextAnalysis.redactionCount(col("t"), "<IP>").cast("long").as("n_ip"),
+          TextAnalysis.redactionCount(col("t"), "<PHONE>").cast("long").as("n_phone"),
+          TextAnalysis.redactionCount(col("t"), "<NUMBER>").cast("long").as("n_number"),
+          length(col("t")).cast("long").as("len_after"))
+        .orderBy("doc_id")
+    }),
+
     // LLM text: order-sensitive rolling-hash fingerprint per doc
     "text_rolling_fp" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2203,6 +2227,33 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN nc BETWEEN 20 AND 20000 AND pr < 0.2
         |           AND mwl BETWEEN 2.0 AND 14.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same splice + the verbatim PiiPatterns applied in the same order
+    "text_redact" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |      || '@mail.example.org or +1 555-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' host 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |      || '.0.' || CAST(doc_id % 250 AS VARCHAR)
+        |      || ' card ' || CAST(4000000000000000 + doc_id AS VARCHAR) AS t0
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id,
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(t0,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |      '\+?\d{1,3}[-. ]\(?\d{3,4}\)?[-. ]\d{3,8}\b', '<PHONE>', 'g'),
+        |      '\b\d{13,19}\b', '<NUMBER>', 'g') AS t
+        |  FROM salted)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '<EMAIL>')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '<IP>')) AS BIGINT) AS n_ip,
+        |  CAST(len(regexp_extract_all(t, '<PHONE>')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(t, '<NUMBER>')) AS BIGINT) AS n_number,
+        |  CAST(len(t) AS BIGINT) AS len_after
+        |FROM red ORDER BY doc_id""".stripMargin,
 
     "text_rolling_fp" ->
       """SELECT doc_id,

@@ -106,4 +106,33 @@ object TextAnalysis {
     aggregate(tokens(text), lit(0L),
       (acc, t) => pmod(acc * B + tokHash(t), lit(M)))
   }
+
+  // ------------------------------------------------------------------ PII
+
+  /** PII patterns, applied in this order (email before the bare-number
+    * pass so an address's digits aren't half-eaten first; IP before phone
+    * so dotted quads don't match the phone shape). Kept to syntax RE2 and
+    * java.util.regex evaluate identically — no backreferences, no
+    * lookaround — so the DuckDB oracle applies the same strings verbatim. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\+?\\d{1,3}[-. ]\\(?\\d{3,4}\\)?[-. ]\\d{3,8}\\b" -> "<PHONE>",
+    "\\b\\d{13,19}\\b" -> "<NUMBER>")
+
+  /** PII redaction — the standard pre-training scrub pass: emails, IPv4s,
+    * phone shapes, and credit-card-length digit runs become typed
+    * placeholder tokens. A chain of regexp_replace Column expressions:
+    * whole-stage codegen, zero shuffle, linear in bytes — the only shape
+    * that survives a 100 TB scrub. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (pat, tok)) =>
+      regexp_replace(c, pat, tok)
+    }
+
+  /** Occurrences of a placeholder after redaction (audit counts). The
+    * tokens contain no regex metacharacters, so the literal doubles as the
+    * pattern in Spark and DuckDB alike. */
+  def redactionCount(redacted: Column, token: String): Column =
+    size(regexp_extract_all(redacted, lit(token), lit(0)))
 }

@@ -144,6 +144,27 @@ class QuerySemanticsSpec extends SparkSuite {
     assert(j == expected && j.length == 4)
   }
 
+  test("redactPii: typed placeholders, dates and short numbers untouched") {
+    def red(s: String) = Seq(s).toDF("text")
+      .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
+    assert(red("mail me at jo.doe+x@sub.example.co.uk today") ==
+      "mail me at <EMAIL> today")
+    assert(red("server 192.168.001.1 and 10.0.0.7 up") ==
+      "server <IP> and <IP> up")
+    assert(red("call +1 555-0042 or 555-867-5309 now") ==
+      "call <PHONE> or <PHONE> now")
+    assert(red("card 4000123456789010 flagged") == "card <NUMBER> flagged")
+    // false-positive guards: dates, years, prices, short ids survive
+    assert(red("on 2024-01-01 price 12.99 id 42 year 2024") ==
+      "on 2024-01-01 price 12.99 id 42 year 2024")
+    import graft.ops.TextAnalysis.redactionCount
+    val counts = Seq("a@b.co and c@d.org 10.0.0.1").toDF("text")
+      .select(TextAnalysis.redactPii(col("text")).as("t"))
+      .select(redactionCount(col("t"), "<EMAIL>"),
+        redactionCount(col("t"), "<IP>")).head()
+    assert(counts.getInt(0) == 2 && counts.getInt(1) == 1)
+  }
+
   test("rollup: per-pair rows, per-flag subtotals, grand total with nulls") {
     val df = Seq(("A", "x", 1.0), ("A", "y", 2.0), ("B", "x", 4.0))
       .toDF("f", "s", "qty")
