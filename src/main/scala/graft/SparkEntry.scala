@@ -1390,6 +1390,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Frequency-based BOILERPLATE removal (CCNet/RefinedWeb line-dedup
+    // shape): a deterministic 10-word disclaimer is PREPENDED to every
+    // third doc (prepending keeps every other segment window aligned), so
+    // that segment's document frequency (~n/3) crosses maxDocFreq and it
+    // is dropped from every salted doc; organic low-frequency segments
+    // survive. Oracle re-derives the doc-frequency table from scratch.
+    "boilerplate_filter" -> ((s, dir) => {
+      val disclaimer =
+        "this document is provided as is without any warranty whatsoever"
+      val salted = t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(disclaimer + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      Dedup.boilerplateFilter(salted, "doc_id", "text",
+          segWords = 10, maxDocFreq = 2)
+        .orderBy("doc_id")
+    }),
+
     // DSIR-style target-domain importance weights (source 'src0' stands in
     // for the target distribution): per-token p_target/p_corpus ratio in
     // ppm (rational surrogate of the log-likelihood ratio — ln() is not
@@ -2521,6 +2539,42 @@ object SparkEntry {
         |      row_number() OVER (PARTITION BY md5(seg)
         |                         ORDER BY doc_id, seg_idx) AS rk
         |    FROM segs) WHERE rk = 1),
+        |rebuilt AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |totals AS (
+        |  SELECT doc_id, CAST(ceil(len(w) / 10.0) AS BIGINT) AS n_segs
+        |  FROM words)
+        |SELECT t.doc_id, t.n_segs,
+        |  COALESCE(r.n_kept, 0) AS n_kept,
+        |  COALESCE(r.clean_text, '') AS clean_text
+        |FROM totals t LEFT JOIN rebuilt r USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // same salt + a document-frequency CTE instead of the keeper window
+    "boilerplate_filter" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 3 = 0
+        |    THEN 'this document is provided as is without any warranty whatsoever ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM docs2),
+        |idx AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(CAST(ceil(len(w) / 10.0) AS BIGINT))) AS i
+        |  FROM words),
+        |segs AS (
+        |  SELECT doc_id, CAST(i AS INT) AS seg_idx,
+        |    array_to_string(w[CAST(i*10+1 AS BIGINT):CAST(i*10+10 AS BIGINT)], ' ') AS seg
+        |  FROM idx),
+        |freq AS (
+        |  SELECT md5(seg) AS h, COUNT(DISTINCT doc_id) AS df
+        |  FROM segs GROUP BY 1),
+        |kept AS (
+        |  SELECT s.doc_id, s.seg_idx, s.seg
+        |  FROM segs s JOIN freq f ON md5(s.seg) = f.h WHERE f.df <= 2),
         |rebuilt AS (
         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |    string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text

@@ -296,24 +296,62 @@ object Dedup {
     */
   def segmentDedup(df: DataFrame, idCol: String, textCol: String,
                    segWords: Int = 10): DataFrame = {
-    val words = split(col(textCol), " ")
-    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
-    val segs = df.select(col(idCol),
-        posexplode(transform(sequence(lit(0), nSegs - 1),
-          i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords)))))
-          .as(Seq("seg_idx", "seg")))
     val keeperW = Window.partitionBy(md5(col("seg")))
       .orderBy(col(idCol), col("seg_idx"))
-    val kept = segs
+    val kept = docSegments(df, idCol, textCol, segWords)
       .withColumn("__rk", row_number().over(keeperW))
       .filter(col("__rk") === 1)
-      .groupBy(col(idCol))
+    rebuildFromSegments(df, idCol, textCol, segWords, kept)
+  }
+
+  /** Frequency-based BOILERPLATE removal (the CCNet/RefinedWeb line-dedup
+    * shape at fixed word-window granularity): a segment appearing in MORE
+    * than `maxDocFreq` distinct documents is boilerplate — headers,
+    * footers, licence blocks, navigation chrome — and is dropped from
+    * EVERY document. The complement of [[segmentDedup]]'s policy (which
+    * keeps one copy): boilerplate keeps zero.
+    *
+    * Scale shape: one hash-agg on the 32-char segment hash for the
+    * document-frequency table, one semi-join back on the same hash, one
+    * doc-key rebuild agg. Full text shuffles once (the rebuild); only
+    * hashes and segment strings move otherwise. */
+  def boilerplateFilter(df: DataFrame, idCol: String, textCol: String,
+                        segWords: Int = 10, maxDocFreq: Int = 2): DataFrame = {
+    val segs = docSegments(df, idCol, textCol, segWords)
+    val rare = segs.groupBy(md5(col("seg")).as("__h"))
+      .agg(countDistinct(col(idCol)).as("__df"))
+      .filter(col("__df") <= maxDocFreq).select("__h")
+    val kept = segs.withColumn("__h", md5(col("seg")))
+      .join(rare, Seq("__h"), "left_semi")
+    rebuildFromSegments(df, idCol, textCol, segWords, kept)
+  }
+
+  /** Consecutive `segWords`-word segments of every document as
+    * (idCol, seg_idx, seg) — per-row array ops, no shuffle. */
+  private def docSegments(df: DataFrame, idCol: String, textCol: String,
+                          segWords: Int): DataFrame = {
+    val words = split(col(textCol), " ")
+    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
+    df.select(col(idCol),
+      posexplode(transform(sequence(lit(0), nSegs - 1),
+        i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords)))))
+        .as(Seq("seg_idx", "seg")))
+  }
+
+  /** Rebuild (id, n_segs, n_kept, clean_text) from surviving segments —
+    * docs whose every segment was dropped come back n_kept = 0, empty. */
+  private def rebuildFromSegments(df: DataFrame, idCol: String,
+                                  textCol: String, segWords: Int,
+                                  kept: DataFrame): DataFrame = {
+    val rebuilt = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(
           array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
           s => s.getField("seg"))).as("clean_text"))
+    val words = split(col(textCol), " ")
+    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
     df.select(col(idCol), nSegs.cast("long").as("n_segs"))
-      .join(kept, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_segs"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))

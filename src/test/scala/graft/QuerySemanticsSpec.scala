@@ -144,6 +144,31 @@ class QuerySemanticsSpec extends SparkSuite {
     assert(j == expected && j.length == 4)
   }
 
+  test("boilerplateFilter: frequent segment dropped everywhere, rare kept") {
+    // 3-word segments; "the same header" opens 3 of 4 docs (df=3 > 2),
+    // each doc's remaining segment is unique (df=1)
+    val docs = Seq(
+      (1L, "the same header alpha beta gamma"),
+      (2L, "the same header delta epsilon zeta"),
+      (3L, "the same header eta theta iota"),
+      (4L, "totally original text kappa lambda mu")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.boilerplateFilter(docs, "doc_id", "text",
+        segWords = 3, maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_segs"),
+        r.getAs[Long]("n_kept"), r.getAs[String]("clean_text"))).toSeq
+    assert(out == Seq(
+      (1L, 2L, 1L, "alpha beta gamma"),
+      (2L, 2L, 1L, "delta epsilon zeta"),
+      (3L, 2L, 1L, "eta theta iota"),
+      (4L, 2L, 2L, "totally original text kappa lambda mu")))
+    // contrast with segmentDedup: the shared header KEEPS its first copy
+    val sd = graft.ops.Dedup.segmentDedup(docs, "doc_id", "text", segWords = 3)
+      .orderBy("doc_id").collect().map(_.getAs[String]("clean_text")).toSeq
+    assert(sd.head == "the same header alpha beta gamma")
+  }
+
   test("redactPii: typed placeholders, dates and short numbers untouched") {
     def red(s: String) = Seq(s).toDF("text")
       .select(TextAnalysis.redactPii(col("text"))).head().getString(0)
