@@ -81,6 +81,51 @@ class StreamingSpec extends SparkSuite {
     assert(revs.head.getAs[Double]("new_value") == 30.0)
   }
 
+  test("ingestPartitioned: restart from the checkpoint continues, never replays") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-restart").toString
+    val inDir = s"$root/in"
+    val store = new TableStore(spark, s"$root/store")
+    val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("date",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    def run(): Unit = {
+      val src = spark.readStream.schema(schema).parquet(inDir)
+      val q = StreamIngest.ingestPartitioned(src, store, "sales", "sales",
+        s"$root/_ckpt", () => ts)
+      q.awaitTermination() // Trigger.AvailableNow: drain and stop
+    }
+    // run 1: the base file lands two 2024 rows
+    Seq(("2024-03-01", 1.0), ("2024-06-01", 2.0)).toDF("date", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    assert(store.read("sales").count() == 2)
+    assert(!store.exists(Registry.RevisionsTable))
+    // run 2 (a NEW query on the SAME checkpoint): only the new file is
+    // processed — one revision + one new year
+    Seq(("2024-03-01", 10.0), ("2025-01-01", 3.0)).toDF("date", "value")
+      .coalesce(1).write.mode("append").parquet(inDir)
+    run()
+    val rows = store.read("sales").orderBy("date").collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[Double]("sales"))).toSeq
+    assert(rows == Seq("2024-03-01" -> 10.0, "2024-06-01" -> 2.0,
+      "2025-01-01" -> 3.0))
+    assert(store.read(Registry.RevisionsTable).count() == 1)
+    // run 3 with NO new files: committed offsets mean NO batch fires at
+    // all — a replayed batch would rewrite the (tiny) metadata table, so
+    // byte-identical metadata/revisions/table files prove no replay
+    def snap(t: String) = new java.io.File(store.path(t)).listFiles()
+      .map(f => (f.getName, f.lastModified, f.length)).toSet
+    val before = (snap("sales"), snap("scrapermetadata"),
+      snap(Registry.RevisionsTable))
+    run()
+    assert((snap("sales"), snap("scrapermetadata"),
+      snap(Registry.RevisionsTable)) == before)
+  }
+
   test("dedupWithinWatermark: state evicted past the watermark, live within it") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
