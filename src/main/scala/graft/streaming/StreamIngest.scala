@@ -81,7 +81,16 @@ object StreamIngest {
     * partitions), not O(table) — the property that keeps a long-lived
     * stream over a 100 TB keyed store runnable. Merge semantics are
     * identical to `ingest` (tolerance, NaN skip, last-wins, CDC revisions
-    * appended); gateHours=0 because micro-batch cadence IS the gate. */
+    * appended); gateHours=0 because micro-batch cadence IS the gate.
+    *
+    * Delivery semantics: the KEYED TABLE is exactly-once under replay —
+    * the merge is idempotent, so a batch re-run after a crash converges to
+    * the same store (proven by the restart spec). The REVISION LOG is the
+    * standard foreachBatch caveat: a crash in the window between the
+    * table write and the revision append loses that batch's CDC rows on
+    * replay (the re-run classifies against the already-merged table). A
+    * deployment that needs an exactly-once audit trail should key the
+    * append by batchId and dedupe on read. */
   def ingestPartitioned(obs: DataFrame, store: TableStore, table: String,
                         valueField: String, checkpointDir: String,
                         now: () => Timestamp,
