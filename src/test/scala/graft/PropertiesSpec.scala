@@ -77,6 +77,48 @@ object GraftProperties extends Properties("graft") {
   }
 
   // melt -> pivot round-trip recovers the wide table
+  // generated "documents": words mixing PII-ish shapes with plain prose
+  private val piiWordGen: Gen[String] = Gen.oneOf(
+    Gen.oneOf("the", "data", "pipeline", "scan", "2024-01-01", "12.99", "42"),
+    Gen.choose(0, 999).map(n => s"user$n@ex$n.example.org"),
+    Gen.choose(0, 255).map(n => s"10.0.$n.7"),
+    Gen.choose(0L, 999999L).map(n => (4000000000000000L + n).toString))
+  private val piiTextGen: Gen[String] = for {
+    n <- Gen.choose(1, 20); ws <- Gen.listOfN(n, piiWordGen)
+  } yield ws.mkString(" ")
+
+  // redaction is idempotent: placeholders never re-match any pattern
+  property("redactPii.idempotent") = Prop.forAll(Gen.listOfN(4, piiTextGen)) {
+    texts =>
+      val once = texts.toDF("text")
+        .select(graft.ops.TextAnalysis.redactPii(col("text")).as("t"))
+      val twice = once
+        .select(graft.ops.TextAnalysis.redactPii(col("t")).as("t"))
+      once.collect().map(_.getString(0)).toSeq ==
+        twice.collect().map(_.getString(0)).toSeq
+  }
+
+  private val segTextGen: Gen[String] = for {
+    n <- Gen.choose(1, 30)
+    ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+  } yield ws.mkString(" ")
+
+  // boilerplate invariants: kept <= total segments; raising the allowed
+  // doc frequency never drops MORE (monotonicity in maxDocFreq)
+  property("boilerplateFilter.monotone") = Prop.forAll(
+    Gen.listOfN(5, segTextGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      def kept(maxDf: Int) = graft.ops.Dedup
+        .boilerplateFilter(docs, "doc_id", "text", segWords = 3, maxDocFreq = maxDf)
+        .orderBy("doc_id").collect()
+        .map(r => (r.getAs[Long]("n_kept"), r.getAs[Long]("n_segs")))
+      val loose = kept(5)
+      val strict = kept(1)
+      loose.forall { case (k, n) => k <= n } &&
+        strict.zip(loose).forall { case ((ks, _), (kl, _)) => ks <= kl }
+  }
+
   property("melt.pivotRoundTrip") = Prop.forAll(
     Gen.choose(1, 5), Gen.listOfN(5, valueGen), Gen.listOfN(5, valueGen)) {
     (n, as, bs) =>
