@@ -506,31 +506,10 @@ object SparkEntry {
     // plus the all-series pivot panel. Deterministic fixture values.
     "api_store_sql" -> ((s, _) => {
       import graft.api.EngineApi
-      import graft.config.Registry
-      import graft.pipeline.Runner
-      import graft.sources.GridSource
-      import graft.store.TableStore
-      val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
-        "fixtures" else "/root/repo/fixtures"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-api-q").toString
-        val store = new TableStore(s, dir)
-        val runner = new Runner(s, store,
-          () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
-        // real workbook bytes, one per format (.xlsx ECMA-376 and legacy
-        // .xls BIFF8 twins of the CSV fixtures) — same cells
-        val datasets = Seq("auto_sales" -> "edb_auto_sales.xlsx",
-            "gas_price" -> "edb_gas_price.xls")
-          .map { case (name, file) =>
-            val cfg = Registry.edbConfigs.find(_.name == name).get
-            val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
-            val (canon, snake) = GridSource.canonicalize(
-              GridSource.processMonthly(grid, cfg), cfg)
-            (cfg.tableName, canon, Seq(snake))
-          }
-        runner.runAllParallel(datasets)
+        val store = ingestTwoWorkbooks(s)
         val api = new EngineApi(s, store)
         api.registerViews()
         s.sql("""SELECT a.date, a.sales, g.price
@@ -546,30 +525,11 @@ object SparkEntry {
     // (Spark's shortest-repr double formatting parses back bit-identical).
     "panel_export_csv" -> ((s, _) => {
       import graft.api.EngineApi
-      import graft.config.Registry
-      import graft.pipeline.Runner
-      import graft.sources.GridSource
-      import graft.store.TableStore
       import org.apache.spark.sql.types._
-      val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
-        "fixtures" else "/root/repo/fixtures"
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "2")
       try {
-        val dir = java.nio.file.Files.createTempDirectory("graft-csv-q").toString
-        val store = new TableStore(s, dir)
-        val runner = new Runner(s, store,
-          () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
-        val datasets = Seq("auto_sales" -> "edb_auto_sales.xlsx",
-            "gas_price" -> "edb_gas_price.xls")
-          .map { case (name, file) =>
-            val cfg = Registry.edbConfigs.find(_.name == name).get
-            val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
-            val (canon, snake) = GridSource.canonicalize(
-              GridSource.processMonthly(grid, cfg), cfg)
-            (cfg.tableName, canon, Seq(snake))
-          }
-        runner.runAllParallel(datasets)
+        val store = ingestTwoWorkbooks(s)
         val out = new EngineApi(s, store).exportPanelCsv()
         val schema = StructType(Seq(StructField("date", StringType),
           StructField("autosales", DoubleType),
@@ -1533,6 +1493,33 @@ object SparkEntry {
       s"i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))) / " +
       s"(sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * " +
       s"sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+
+  /** Shared setup of api_store_sql and panel_export_csv (both pin
+    * panelWindowOracle): ingest the two real-workbook fixtures — one
+    * ECMA-376 .xlsx and one legacy BIFF8 .xls, byte twins of the CSV
+    * fixtures — into a fresh store via the parallel runner. */
+  private def ingestTwoWorkbooks(s: SparkSession): graft.store.TableStore = {
+    import graft.config.Registry
+    import graft.pipeline.Runner
+    import graft.sources.GridSource
+    val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
+      "fixtures" else "/root/repo/fixtures"
+    val dir = java.nio.file.Files.createTempDirectory("graft-2wb").toString
+    val store = new graft.store.TableStore(s, dir)
+    val runner = new Runner(s, store,
+      () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
+    val datasets = Seq("auto_sales" -> "edb_auto_sales.xlsx",
+        "gas_price" -> "edb_gas_price.xls")
+      .map { case (name, file) =>
+        val cfg = Registry.edbConfigs.find(_.name == name).get
+        val grid = GridSource.readGrid(s, s"$fx/$file", cfg.dataLocation)
+        val (canon, snake) = GridSource.canonicalize(
+          GridSource.processMonthly(grid, cfg), cfg)
+        (cfg.tableName, canon, Seq(snake))
+      }
+    runner.runAllParallel(datasets)
+    store
+  }
 
   /** The 26-dataset synthetic registry fixtures (15 real-.xls EDB
     * workbooks, 10 FRED JSONs, 1 NYU sheet) — content is closed-form

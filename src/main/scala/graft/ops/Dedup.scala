@@ -162,9 +162,15 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     val rowsPerBand = numHashes / bands
     // shingle arrays feed the signature build AND both sides of the verify
-    // join — cache so the HOF shingle computation runs once per doc, not 3x
-    val sh = df.select(col(idCol).as("id"),
-      wordShingles(col(textCol), shingleWords).as("shingles")).cache()
+    // join (3 plan uses). materialize=true caches them for the single
+    // pass and RELEASES the cache after; the lazy path deliberately does
+    // NOT cache — a local cache nobody can unpersist would pin the
+    // largest intermediate in the session forever, and the persisted pair
+    // list below means the 3x shingle computation happens at most once
+    // per plan anyway.
+    val shPlan = df.select(col(idCol).as("id"),
+      wordShingles(col(textCol), shingleWords).as("shingles"))
+    val sh = if (materialize) shPlan.cache() else shPlan
     val sig = minhashSignaturesFromShingles(sh, numHashes)
     val buckets = sig.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, rowsPerBand)).as("bk"))

@@ -110,7 +110,14 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     fetched match {
       case None => DatasetResult(tableName, "error", 0, 0, 0)
       case Some(bytes) =>
-        runDataset(tableName, parse(bytes), valueFields, gateHours)
+        // a site that is "up" but broken (HTTP 200 with an HTML error
+        // page where workbook bytes belong) fails in parse() or in the
+        // merge actions, not in fetch — that too is THIS dataset's error,
+        // never the run's (main_azure.py wraps each dataset in try/log)
+        try runDataset(tableName, parse(bytes), valueFields, gateHours)
+        catch { case scala.util.control.NonFatal(_) =>
+          DatasetResult(tableName, "error", 0, 0, 0)
+        }
     }
 
   def runDataset(tableName: String, canonical0: DataFrame,

@@ -27,12 +27,16 @@ final class HttpFetcher(timeoutSecs: Int = 30, maxRetries: Int = 3,
     .build()
 
   def fetch(url: String): Option[Array[Byte]] = {
+    // a malformed URL can never succeed: terminal None, not a throw (the
+    // trait contract is bytes-or-None; callers key error statuses on it)
+    val uri =
+      try java.net.URI.create(url)
+      catch { case _: IllegalArgumentException => return None }
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1
       try {
-        val req = java.net.http.HttpRequest
-          .newBuilder(java.net.URI.create(url))
+        val req = java.net.http.HttpRequest.newBuilder(uri)
           .timeout(java.time.Duration.ofSeconds(timeoutSecs.toLong))
           .GET().build()
         val resp = client.send(req,
@@ -40,12 +44,18 @@ final class HttpFetcher(timeoutSecs: Int = 30, maxRetries: Int = 3,
         val code = resp.statusCode()
         if (code == 200) return Some(resp.body())
         if (code < 500 && code != 429) return None
+        // the backoff sleep lives INSIDE the try: an interrupt during it
+        // must also resolve to None, not escape the contract
+        if (attempt < maxRetries) Thread.sleep(backoffMs * attempt)
       } catch {
-        case _: java.io.IOException => // connect/read failure: retry
+        case _: java.io.IOException =>
+          try { if (attempt < maxRetries) Thread.sleep(backoffMs * attempt) }
+          catch { case _: InterruptedException =>
+            Thread.currentThread().interrupt(); return None
+          }
         case _: InterruptedException =>
           Thread.currentThread().interrupt(); return None
       }
-      if (attempt < maxRetries) Thread.sleep(backoffMs * attempt)
     }
     None
   }

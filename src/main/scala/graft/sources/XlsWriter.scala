@@ -73,19 +73,28 @@ object XlsWriter {
     }
   }
 
-  /** True iff the reader's decode of a numeric encoding reproduces `v`
-    * EXACTLY: only such cells are RK/NUMBER-encoded. Anything else —
-    * "0.50", "2016.0", "007", scientific notation the plain form can't
-    * echo — stays text via LABELSST, so a grid-to-xls conversion is a
-    * faithful text round-trip, never a silent "0.50" -> "0.5" rewrite. */
-  private def numericRoundTrips(v: String): Boolean =
-    NumericCell.pattern.matcher(v).matches() && {
-      rkEncode(v) match {
-        case Some(rk) => XlsReader.rkText(rk) == v
-        case None =>
+  /** Per-cell encoding decision, computed ONCE per cell (the SST pass and
+    * the row encoder share it — regex + BigDecimal parsing per cell is not
+    * free over 15 workbooks). A cell is RK/NUMBER-encoded only when the
+    * reader's decode reproduces the text EXACTLY; anything else — "0.50",
+    * "2016.0", "007", scientific notation the plain form can't echo —
+    * stays text via LABELSST, so a grid-to-xls conversion is a faithful
+    * text round-trip, never a silent "0.50" -> "0.5" rewrite. */
+  private sealed trait CellEnc
+  private final case class RkCell(rk: Int) extends CellEnc
+  private final case class NumCell(d: Double) extends CellEnc
+  private final case class LabelCell(s: String) extends CellEnc
+
+  private def encodeCell(v: String): CellEnc =
+    if (!NumericCell.pattern.matcher(v).matches()) LabelCell(v)
+    else rkEncode(v) match {
+      case Some(rk) =>
+        if (XlsReader.rkText(rk) == v) RkCell(rk) else LabelCell(v)
+      case None =>
+        val roundTrips =
           try XlsReader.numText(v.toDouble) == v
           catch { case _: NumberFormatException => false }
-      }
+        if (roundTrips) NumCell(v.toDouble) else LabelCell(v)
     }
 
   /** XLUnicodeRichExtendedString body (no rich/ext data): cch, flags,
@@ -156,14 +165,18 @@ object XlsWriter {
   /** Write `rows` (row-major; null or empty string = absent cell) as a
     * single-sheet BIFF8 workbook at `path`. */
   def write(path: String, rows: Seq[Seq[String]]): Unit = {
+    // one encoding decision per present cell, shared by both passes below
+    val encodedRows: Seq[Seq[(Int, CellEnc)]] = rows.map(_.zipWithIndex.collect {
+      case (v, c) if v != null && v.nonEmpty => c -> encodeCell(v)
+    })
     // SST: unique strings in first-appearance order
     val sstIndex = mutable.LinkedHashMap.empty[String, Int]
     var totalRefs = 0
-    rows.foreach(_.foreach { v =>
-      if (v != null && v.nonEmpty && !numericRoundTrips(v)) {
+    encodedRows.foreach(_.foreach {
+      case (_, LabelCell(v)) =>
         totalRefs += 1
         sstIndex.getOrElseUpdate(v, sstIndex.size)
-      }
+      case _ => ()
     })
 
     val sheet = new mutable.ArrayBuilder.ofByte
@@ -175,25 +188,21 @@ object XlsWriter {
     sheet ++= record(0x0200, // DIMENSIONS
       new Rec().u32(0).u32(nRows).u16(0).u16(nCols).u16(0).result())
 
-    rows.zipWithIndex.foreach { case (cells, r) =>
-      // split the row into runs of RK-encodable numbers vs everything else
-      val encoded: Seq[(Int, Either[Int, String])] = cells.zipWithIndex.collect {
-        case (v, c) if v != null && v.nonEmpty =>
-          if (numericRoundTrips(v))
-            c -> rkEncode(v).map(Left(_)).getOrElse(Right(v))
-          else c -> Right(v)
-      }
+    encodedRows.zipWithIndex.foreach { case (encoded, r) =>
       var i = 0
       while (i < encoded.length) {
         encoded(i) match {
-          case (c, Left(rk)) =>
+          case (c, RkCell(rk)) =>
             // collect the run of consecutive-column RK cells
             var j = i
-            while (j + 1 < encoded.length && encoded(j + 1)._2.isLeft &&
+            while (j + 1 < encoded.length &&
+              encoded(j + 1)._2.isInstanceOf[RkCell] &&
               encoded(j + 1)._1 == encoded(j)._1 + 1) j += 1
             if (j > i) {
               val rec = new Rec().u16(r).u16(c)
-              (i to j).foreach(k => rec.u16(0x000F).u32(encoded(k)._2.left.toOption.get))
+              (i to j).foreach { k =>
+                rec.u16(0x000F).u32(encoded(k)._2.asInstanceOf[RkCell].rk)
+              }
               rec.u16(encoded(j)._1)
               sheet ++= record(0x00BD, rec.result()) // MULRK
               i = j + 1
@@ -201,13 +210,13 @@ object XlsWriter {
               sheet ++= record(0x027E, new Rec().u16(r).u16(c).u16(0x000F).u32(rk).result())
               i += 1
             }
-          case (c, Right(v)) =>
-            if (numericRoundTrips(v))
-              sheet ++= record(0x0203, // NUMBER: not RK-exact
-                new Rec().u16(r).u16(c).u16(0x000F).f64(v.toDouble).result())
-            else
-              sheet ++= record(0x00FD, // LABELSST
-                new Rec().u16(r).u16(c).u16(0x000F).u32(sstIndex(v)).result())
+          case (c, NumCell(d)) =>
+            sheet ++= record(0x0203, // NUMBER: not RK-exact
+              new Rec().u16(r).u16(c).u16(0x000F).f64(d).result())
+            i += 1
+          case (c, LabelCell(v)) =>
+            sheet ++= record(0x00FD, // LABELSST
+              new Rec().u16(r).u16(c).u16(0x000F).u32(sstIndex(v)).result())
             i += 1
         }
       }

@@ -98,7 +98,10 @@ class FetcherSpec extends SparkSuite {
     val bytes = Files.readAllBytes(Paths.get("fixtures/edb_auto_sales.xls"))
     val stub = new Fetcher {
       def fetch(url: String): Option[Array[Byte]] =
-        if (url.contains("auto_sales")) Some(bytes) else None
+        if (url.contains("auto_sales")) Some(bytes)
+        else if (url.contains("broken")) // up-but-broken: 200 with HTML
+          Some("<html>maintenance</html>".getBytes("UTF-8"))
+        else None
     }
     val blobs = new BlobStore(spark, s"$dir/_blobs")
     val cached = new CachedFetcher(blobs, stub)
@@ -111,16 +114,18 @@ class FetcherSpec extends SparkSuite {
     val snake = Registry.snakeCase(cfg.valueColumn)
     val results = Seq(
       "http://edb.test/auto_sales.xls" -> cfg.tableName,
-      "http://edb.test/gone.xls" -> "gonetable"
+      "http://edb.test/gone.xls" -> "gonetable",
+      "http://edb.test/broken.xls" -> "brokentable" // parse throws, run survives
     ).map { case (url, table) =>
       runner.runFetched(table, cached.fetch(url), parse, Seq(snake))
     }
-    assert(results.map(_.status) == Seq("success", "error"))
+    assert(results.map(_.status) == Seq("success", "error", "error"))
     assert(results.head.newRows == 119)
-    assert(store.exists(cfg.tableName) && !store.exists("gonetable"))
+    assert(store.exists(cfg.tableName) &&
+      !store.exists("gonetable") && !store.exists("brokentable"))
     // the mixed statuses flow through the run summary unchanged
     val summary = runner.summarize(results, 1.0)
     assert(summary.select("status").collect().map(_.getString(0)).sorted
-      .toSeq == Seq("error", "success"))
+      .toSeq == Seq("error", "error", "success"))
   }
 }
