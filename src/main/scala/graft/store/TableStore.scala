@@ -103,6 +103,16 @@ final class TableStore(spark: SparkSession, root: String) {
     out.write.mode(SaveMode.Append).parquet(path(table))
   }
 
+  /** Compact an append-accumulated table: the revision log gains one
+    * small file per merge (one per MICRO-BATCH on a long-lived stream —
+    * thousands of files over weeks, and file-listing cost grows with
+    * every one). Rewrites the content unchanged through the same
+    * write-temp-then-swap as overwrite(), so readers never observe a
+    * partial state: the input files are fully consumed while writing the
+    * temp dir, before any rename touches the live table. */
+  def compact(table: String, targetFiles: Int = 1): Unit =
+    if (exists(table)) overwrite(table, read(table), maxFiles = targetFiles)
+
   def drop(table: String): Unit = {
     val p = new Path(path(table))
     if (fs.exists(p)) fs.delete(p, true)

@@ -90,7 +90,12 @@ object StreamIngest {
     * table write and the revision append loses that batch's CDC rows on
     * replay (the re-run classifies against the already-merged table). A
     * deployment that needs an exactly-once audit trail should key the
-    * append by batchId and dedupe on read. */
+    * append by batchId and dedupe on read.
+    *
+    * Operational note: each micro-batch with revisions appends ONE small
+    * file to the revision log — run `TableStore.compact(revisionsTable)`
+    * periodically on a long-lived stream to keep its file count bounded
+    * (atomic: readers never observe a partial log). */
   def ingestPartitioned(obs: DataFrame, store: TableStore, table: String,
                         valueField: String, checkpointDir: String,
                         now: () => Timestamp,

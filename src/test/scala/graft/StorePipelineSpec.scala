@@ -37,6 +37,25 @@ class StorePipelineSpec extends SparkSuite {
     assert(fs.exists(target) && !fs.exists(old))
   }
 
+  test("compact: per-append small files collapse to one, content unchanged") {
+    val (store, dir) = newStore()
+    (1 to 5).foreach(i =>
+      store.append("revlog", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    def files() = new java.io.File(s"$dir/revlog").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 5) // one file per append — the long-lived-stream shape
+    val before = store.read("revlog").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    store.compact("revlog")
+    assert(files() == 1)
+    assert(store.read("revlog").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == before)
+    // the log keeps accepting appends after compaction
+    store.append("revlog", Seq((6, "v6")).toDF("k", "v"), maxFiles = 1)
+    assert(store.read("revlog").count() == 6)
+    store.compact("missing") // no-op on absent tables, never throws
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
