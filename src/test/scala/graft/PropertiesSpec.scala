@@ -119,6 +119,25 @@ object GraftProperties extends Properties("graft") {
         strict.zip(loose).forall { case ((ks, _), (kl, _)) => ks <= kl }
   }
 
+  // BIFF8 codec fuzz: any grid of text/numeric/edge-lexical cells survives
+  // write -> read EXACTLY (empty cells come back null; no Spark involved,
+  // so this one runs cheap and wide)
+  private val cellGen: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr.map(_.take(12)),
+    Gen.choose(-1e9, 1e9).map(d => graft.sources.XlsReader.numText(d)),
+    Gen.choose(0, 99).map(n => f"0.$n%02d"), // "0.50"-style non-canonical
+    Gen.oneOf("", "2016.0", "007", "1e3", "café 日本語", "-0.0"),
+    Gen.choose(-536870912, 536870911).map(_.toString)) // RK int range
+  property("xls.gridRoundTrip") = Prop.forAll(
+    Gen.listOfN(6, Gen.listOfN(4, cellGen))) { rows =>
+      val grid = rows.map(_.toVector).toVector
+      val path = java.nio.file.Files
+        .createTempFile("graft-prop", ".xls").toString
+      graft.sources.XlsWriter.write(path, grid)
+      val expected = grid.map(_.map(v => if (v == null || v.isEmpty) null else v))
+      graft.sources.XlsReader.readFirstSheet(path) == expected
+  }
+
   property("melt.pivotRoundTrip") = Prop.forAll(
     Gen.choose(1, 5), Gen.listOfN(5, valueGen), Gen.listOfN(5, valueGen)) {
     (n, as, bs) =>
