@@ -1880,11 +1880,14 @@ object SparkEntry {
         |  MIN(doc_id) AS doc_id, COUNT(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
 
+    // greatest(..., 2) matches Spark's sequence(0, greatest(size-3, 0)):
+    // a 1-2-token doc still yields ONE partial shingle, never zero (a
+    // `1` floor empties the range and divides by len([]) = 0)
     "dedup_ngram" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 1)),
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
         |      i -> array_to_string(regexp_extract_all(lower(text), '\S+')[i:i+2], ' '))) AS s
         |  FROM documents)
         |SELECT a.doc_id AS idA, b.doc_id AS idB,

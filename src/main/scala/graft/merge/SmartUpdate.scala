@@ -173,6 +173,17 @@ object SmartUpdate {
       .select(col(keyCol))
     // unchanged + existing_only + out-of-range rows stay as stored originals
     val kept = existing.join(newOrUpdatedKeys, Seq(keyCol), "left_anti")
+    // PARITY NOTE: an updated key takes the incoming row VERBATIM —
+    // including fields whose incoming value is null/NaN (which
+    // changedField deliberately skips, so they are neither counted nor
+    // logged as revisions). The reference behaves identically: it upserts
+    // the FULL incoming entity for any changed record
+    // (azure_data_tracker.py:75-84 copies every field of the row into the
+    // entity; batch_upsert merges every present property), so an incoming
+    // NaN rides along whenever any OTHER field changed. Callers wanting
+    // keep-existing-on-missing semantics should coalesce the incoming
+    // frame against the store first; the engine preserves the reference's
+    // contract as-is.
     val fresh = incoming.join(newOrUpdatedKeys, Seq(keyCol), "left_semi")
     val merged = kept.select(col(keyCol) +: valueFields.map(col): _*)
       .unionByName(fresh.select(col(keyCol) +: valueFields.map(col): _*))

@@ -48,11 +48,15 @@ object Dedup {
       s => length(s) > 0))
   }
 
-  /** Distinct character k-shingles (whitespace-normalized, lowercased). */
+  /** Distinct character k-shingles (whitespace-normalized, lowercased).
+    * Empty/short texts must NOT contribute the empty string as a shingle —
+    * two unrelated empty docs would otherwise score Jaccard 1.0 (the same
+    * guard wordShingles applies). */
   def charShingles(text: Column, k: Int): Column = {
     val t = regexp_replace(lower(text), "\\s+", " ")
     val idx = sequence(lit(0), greatest(length(t) - k, lit(0)))
-    array_distinct(transform(idx, i => t.substr(i + 1, lit(k))))
+    array_distinct(filter(transform(idx, i => t.substr(i + 1, lit(k))),
+      s => length(s) > 0))
   }
 
   /** Test-set decontamination: flag every training doc that shares at

@@ -101,6 +101,11 @@ object Multimodal {
     var off = 12
     while (off + 8 <= payload.length) {
       val size = le32(payload, off + 4)
+      // a lying chunk size (negative via the high bit, or past the buffer)
+      // must THROW, never stall: a non-advancing walk would hang the
+      // executor task in a way no try/catch (decodeFeaturesSafe) can stop
+      if (size < 0 || off + 8 + size > payload.length)
+        throw new IllegalArgumentException(s"WAVE chunk size $size at $off exceeds payload")
       if (tag(payload, off, "data")) {
         val n = size / 2
         val out = new Array[Short](n)
@@ -279,10 +284,15 @@ object Multimodal {
     implicit val enc = Encoders.product[MediaFeaturesSafe]
     media.mapPartitions { rows =>
       rows.map { r =>
-        try MediaFeaturesSafe(r.id, r.payload.length, "ok",
-          Some(decodeBytes(r.payload, dims)))
-        catch { case _: Exception =>
-          MediaFeaturesSafe(r.id, r.payload.length, "error", None)
+        // byte length computed defensively ONCE: a null binary column is a
+        // legal row, and reading r.payload.length inside the catch would
+        // re-throw the very NPE the handler exists to contain
+        val len = if (r.payload == null) 0 else r.payload.length
+        try {
+          if (r.payload == null) throw new IllegalArgumentException("null payload")
+          MediaFeaturesSafe(r.id, len, "ok", Some(decodeBytes(r.payload, dims)))
+        } catch { case _: Exception =>
+          MediaFeaturesSafe(r.id, len, "error", None)
         }
       }
     }

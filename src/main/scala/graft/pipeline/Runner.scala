@@ -151,8 +151,17 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         store.append(Registry.RevisionsTable,
           allRevs.reduce(_.unionByName(_)), maxFiles = 1)
       val ts = now()
-      outcomes.foreach { case (r, _) =>
-        if (r.status == "success") setLastRun(r.dataset, ts)
+      // ONE metadata write for the whole run: per-dataset setLastRun would
+      // overwrite-and-swap the (tiny) table once per success — 26 write
+      // jobs where one carries the same information
+      val successes = outcomes.collect {
+        case (r, _) if r.status == "success" => r.dataset
+      }
+      if (successes.nonEmpty) {
+        val m = metadata ++ successes.map(_ -> ts)
+        metadataCache = Some(m)
+        store.overwrite(Registry.MetadataTable,
+          m.toSeq.toDF("dataset", "last_run"), maxFiles = 1)
       }
       outcomes.map(_._1)
     } finally pool.shutdown()

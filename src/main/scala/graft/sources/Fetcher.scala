@@ -27,11 +27,16 @@ final class HttpFetcher(timeoutSecs: Int = 30, maxRetries: Int = 3,
     .build()
 
   def fetch(url: String): Option[Array[Byte]] = {
-    // a malformed URL can never succeed: terminal None, not a throw (the
-    // trait contract is bytes-or-None; callers key error statuses on it)
+    // a malformed or non-HTTP URL can never succeed: terminal None, not a
+    // throw (the trait contract is bytes-or-None; callers key error
+    // statuses on it). Scheme-less URLs parse as relative URIs, which
+    // HttpRequest.newBuilder rejects — catch that class here too.
     val uri =
-      try java.net.URI.create(url)
-      catch { case _: IllegalArgumentException => return None }
+      try {
+        val u = java.net.URI.create(url)
+        if (u.getScheme != "http" && u.getScheme != "https") return None
+        u
+      } catch { case _: IllegalArgumentException => return None }
     var attempt = 0
     while (attempt < maxRetries) {
       attempt += 1

@@ -44,8 +44,11 @@ class EdbGridSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table = {
     val opts = new CaseInsensitiveStringMap(properties)
+    // single-path loads arrive verbatim under `path`; vararg loads arrive
+    // as a JSON-encoded string array under `paths` — split(",") on the
+    // raw JSON would leave brackets/quotes glued to every element
     val paths = Option(opts.get("path")).toSeq ++
-      Option(opts.get("paths")).toSeq.flatMap(_.split(","))
+      Option(opts.get("paths")).toSeq.flatMap(EdbGridSource.parseJsonPaths)
     new GridTable(paths, location(opts), schema)
   }
 }
@@ -56,6 +59,17 @@ object EdbGridSource {
     StructType(
       StructField("__row_idx", LongType, nullable = false) +:
         (0 to (c2 - c1)).map(j => StructField(s"c$j", StringType, nullable = true)))
+  }
+
+  /** Decode Spark's JSON-encoded `paths` option (a string array; path
+    * characters needing escapes are limited to the JSON string escapes). */
+  private[v2] def parseJsonPaths(json: String): Seq[String] = {
+    val t = json.trim
+    if (!t.startsWith("[")) Seq(t)
+    else t.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      .filter(_.nonEmpty)
+      .map(_.replace("\\/", "/").replace("\\\"", "\"").replace("\\\\", "\\"))
   }
 }
 
@@ -84,8 +98,24 @@ private[v2] class GridScan(paths: Seq[String], dataLocation: String,
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    paths.map(p => GridPartition(p, dataLocation): InputPartition).toArray
+  override def planInputPartitions(): Array[InputPartition] = {
+    // expand directories driver-side at planning (the documented
+    // "directory of thousands of extracts" mode): one partition per FILE,
+    // hidden/marker entries skipped — handing a directory itself to the
+    // reader would fs.open() a directory and fail
+    val conf = new org.apache.hadoop.conf.Configuration()
+    paths.flatMap { p =>
+      val hp = new Path(p)
+      val fs = hp.getFileSystem(conf)
+      if (fs.getFileStatus(hp).isDirectory)
+        fs.listStatus(hp).toSeq.filter(_.isFile).map(_.getPath.toString)
+          .filterNot { n =>
+            val base = new Path(n).getName
+            base.startsWith("_") || base.startsWith(".")
+          }
+      else Seq(p)
+    }.map(p => GridPartition(p, dataLocation): InputPartition).toArray
+  }
   override def createReaderFactory(): PartitionReaderFactory =
     new GridReaderFactory(full.fieldNames, required.fieldNames)
 }

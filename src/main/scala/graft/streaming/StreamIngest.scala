@@ -220,9 +220,21 @@ object StreamIngest {
         sorted.foreach { e =>
           val t = e.ts.getTime
           cur match {
-            case Some(s) if t - s.last <= gapMs =>
-              cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-            case Some(s) =>
+            // joins the open session iff within the gap of EITHER bound —
+            // a late arrival shortly before the session start extends the
+            // start backward (t - s.last <= gap alone is true for EVERY
+            // older timestamp and would fold arbitrarily old events in)
+            case Some(s) if t - s.last <= gapMs && t >= s.start - gapMs =>
+              cur = Some(SessionState(math.min(s.start, t),
+                math.max(s.last, t), s.n + 1))
+            case Some(s) if t < s.start - gapMs =>
+              // older than the open session by more than the gap: it can
+              // never join; emit it as its own closed session — the
+              // bounded-state approximation for very late data (the exact
+              // islands rule could require merging sessions already
+              // emitted, which append-mode streaming cannot retract)
+              closed ::= Session(userId, new Timestamp(t), new Timestamp(t), 1)
+            case Some(s) => // a genuine forward gap: close, start fresh
               closed ::= Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n)
               cur = Some(SessionState(t, t, 1))
             case None =>

@@ -136,6 +136,27 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(out(2L) == (("error", false)))
   }
 
+  test("multimodal: lying WAV chunk size throws (never a stalled walk); null payload isolated") {
+    // RIFF/WAVE header + one chunk whose size field is -8: an unvalidated
+    // walk advances by 8 + (-8) = 0 bytes forever
+    val evil = new Array[Byte](32)
+    "RIFF".getBytes.copyToArray(evil, 0)
+    "WAVE".getBytes.copyToArray(evil, 8)
+    "junk".getBytes.copyToArray(evil, 12)
+    evil(16) = 0xF8.toByte; evil(17) = 0xFF.toByte
+    evil(18) = 0xFF.toByte; evil(19) = 0xFF.toByte // le32 = -8
+    intercept[IllegalArgumentException](Multimodal.decodeWavPcm(evil))
+    // ...and through the error-isolating kernel it is a per-row error,
+    // alongside a null payload (legal binary-column row), not a dead task
+    val rows = Seq(Multimodal.MediaRow(1L, evil), Multimodal.MediaRow(2L, null),
+      Multimodal.MediaRow(3L, Multimodal.encodeWav(Array.tabulate(4)(_.toShort))))
+    val ds = spark.createDataset(rows)(
+      org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])
+    val out = Multimodal.decodeFeaturesSafe(ds, dims = 2).collect()
+      .map(f => f.id -> f.status).toMap
+    assert(out == Map(1L -> "error", 2L -> "error", 3L -> "ok"))
+  }
+
   test("resizeGray: nearest-neighbor stride, hand-checked") {
     // 4x2 source, downscale to 2x2: src x of {0,1} -> {0, 2}; src y -> {0, 1}
     val px = Array(0, 10, 20, 30,

@@ -63,6 +63,13 @@ class FetcherSpec extends SparkSuite {
     assert(new HttpFetcher(1, 2, 1).fetch("http://127.0.0.1:1/x").isEmpty)
   }
 
+  test("HttpFetcher: malformed / scheme-less / non-http URLs -> None") {
+    val f = new HttpFetcher(1, 1, 1)
+    assert(f.fetch("ht tp://bad url").isEmpty)        // unparseable URI
+    assert(f.fetch("example.com/I_AUTO.XLS").isEmpty) // relative, no scheme
+    assert(f.fetch("ftp://example.com/f.xls").isEmpty) // unsupported scheme
+  }
+
   // --------------------------------------------------------- CachedFetcher
 
   test("CachedFetcher: write-through cache, delegate called once; None not cached") {

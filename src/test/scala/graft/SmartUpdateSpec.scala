@@ -94,6 +94,23 @@ class SmartUpdateSpec extends SparkSuite {
     assert(row.getAs[String]("dataset") == "ds")
   }
 
+  test("reference parity: an updated row carries incoming NaN fields verbatim") {
+    // the reference upserts the FULL incoming entity for a changed record
+    // (azure_data_tracker.py:75-84 + batch_upsert), so a NaN field rides
+    // along when another field changed — skipped by the change detector
+    // (no count, no revision) but stored. Pinned deliberately.
+    val mk = (a: Double, b: Double) => Seq(("2025-01-01", a, b)).toDF("date", "a", "b")
+    val (m1, _, _) = SmartUpdate.merge(mk(1.0, 2.0),
+      Seq.empty[(String, Double, Double)].toDF("date", "a", "b"),
+      "date", Seq("a", "b"), "ds", ts)
+    val (m2, r2, c2) = SmartUpdate.merge(mk(Double.NaN, 5.0), m1,
+      "date", Seq("a", "b"), "ds", ts)
+    assert(c2 == SmartUpdate.MergeCounts(0, 1, 1)) // only b counts/logs
+    assert(r2.collect().map(_.getAs[String]("value_field")).toSeq == Seq("b"))
+    val row = m2.collect().head
+    assert(row.getAs[Double]("a").isNaN && row.getAs[Double]("b") == 5.0)
+  }
+
   test("existing-only rows are untouched (no deletes, ever)") {
     val base = df("2025-01-01" -> 1.0, "2025-06-01" -> 6.0)
     val (m1, _, _) = SmartUpdate.merge(base, empty, "date", Seq("value"), "ds", ts)

@@ -123,6 +123,27 @@ class SourcesSpec extends SparkSuite {
     assert(v2.select("__row_idx").count() == 13)
   }
 
+  test("DataSourceV2 edb-grid: vararg multi-file and directory loads") {
+    // Spark encodes a vararg load as a JSON string array under `paths`;
+    // a directory load must expand to one partition per contained file
+    val dir = java.nio.file.Files.createTempDirectory("graft-v2-multi")
+    for (n <- Seq("g1.csv", "g2.csv"))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$fx/edb_auto_sales.csv"), dir.resolve(n))
+    val single = spark.read.format("edb-grid")
+      .option("dataLocation", autoCfg.dataLocation)
+      .load(s"$dir/g1.csv").count()
+    val multi = spark.read.format("edb-grid")
+      .option("dataLocation", autoCfg.dataLocation)
+      .load(s"$dir/g1.csv", s"$dir/g2.csv")
+    assert(multi.count() == 2 * single)
+    assert(multi.rdd.getNumPartitions == 2) // one partition per file
+    val fromDir = spark.read.format("edb-grid")
+      .option("dataLocation", autoCfg.dataLocation)
+      .load(dir.toString)
+    assert(fromDir.count() == 2 * single)
+  }
+
   test("xlsx workbook path: grids parse identically to their CSV twins") {
     for ((base, loc) <- Seq("edb_auto_sales" -> autoCfg.dataLocation,
         "edb_gas_price" -> gasCfg.dataLocation,

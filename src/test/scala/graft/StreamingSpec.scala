@@ -203,6 +203,39 @@ class StreamingSpec extends SparkSuite {
     assert(out.contains((1L, "2025-06-01 13:00:00.0", 1L)))
   }
 
+  test("sessionize: late arrivals extend the session start or stand alone, never fold blindly") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Ev]
+    // 5h watermark so nothing is dropped as late; 30 min gap
+    val sessions = StreamIngest.sessionize(mem.toDS(), gapMinutes = 30,
+      watermark = "5 hours")
+    val q = sessions.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("late_sessions").start()
+    mem.addData(
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 12:00:00"), "view"),
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 12:10:00"), "view"))
+    q.processAllAvailable()
+    // late batch: 09:00 is >gap older than the open session (own closed
+    // session), 11:50 is within the gap BEFORE its start (extends start)
+    mem.addData(
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 09:00:00"), "view"),
+      StreamIngest.Ev(1L, Timestamp.valueOf("2025-06-01 11:50:00"), "view"))
+    q.processAllAvailable()
+    // far-future event times out the open session
+    mem.addData(
+      StreamIngest.Ev(2L, Timestamp.valueOf("2025-06-02 10:00:00"), "view"))
+    q.processAllAvailable()
+    val out = spark.table("late_sessions")
+      .filter(col("userId") === 1L).orderBy("sessionStart").collect()
+      .map(r => (r.getAs[Timestamp]("sessionStart").toString,
+        r.getAs[Timestamp]("sessionEnd").toString,
+        r.getAs[Long]("events"))).toSeq
+    q.stop()
+    assert(out == Seq(
+      ("2025-06-01 09:00:00.0", "2025-06-01 09:00:00.0", 1L),
+      ("2025-06-01 11:50:00.0", "2025-06-01 12:10:00.0", 3L)))
+  }
+
   test("attributionJoin: per-user interval pairs, lookback enforced") {
     import spark.implicits._
     val ev = Seq(
