@@ -196,18 +196,19 @@ object Dedup {
       // is hot, then RELEASE the shingle cache — it is a large multiple of
       // the result and must not linger in a shared session competing with
       // later work's memory. Callers that iterate over the pairs
-      // (clustering, curation funnels) want this; one-shot callers keep the
-      // default lazy plan and pay no extra action.
+      // (clustering, curation funnels) want this — the returned frame IS
+      // persisted and the caller owns unpersist() (as dedup_cluster does).
       val out = verified.persist()
       out.count()
       sh.unpersist(false)
       out
-    } else verified.persist()
-    // lazy path: persist WITHOUT forcing an action — the first action pays
-    // the pipeline once and every subsequent same-plan use (re-running the
-    // query, joining the pairs twice downstream) reads the small pair list
-    // from cache instead of recomputing 64 hashes x every shingle.
-    // Re-persisting an identical plan reuses the entry — no accumulation.
+    } else verified
+    // lazy path: the PLAIN lazy plan, deliberately un-persisted — a cache
+    // entry pinned inside the operator is one no caller can release, and
+    // distinct-input calls in a long-lived session would accumulate
+    // CacheManager entries forever (the same reason the shingle frame
+    // above is not cached here). Callers that will consume the pairs more
+    // than once opt into materialize = true and own the unpersist.
   }
 
   /** Near-dedup survivors: drop every doc that matches a LOWER id at or

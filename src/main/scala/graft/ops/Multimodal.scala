@@ -103,8 +103,11 @@ object Multimodal {
       val size = le32(payload, off + 4)
       // a lying chunk size (negative via the high bit, or past the buffer)
       // must THROW, never stall: a non-advancing walk would hang the
-      // executor task in a way no try/catch (decodeFeaturesSafe) can stop
-      if (size < 0 || off + 8 + size > payload.length)
+      // executor task in a way no try/catch (decodeFeaturesSafe) can stop.
+      // Bound is written subtraction-side so size near Int.MaxValue cannot
+      // wrap `off + 8 + size` negative and slip past the check (the loop
+      // guard guarantees payload.length - off - 8 >= 0).
+      if (size < 0 || size > payload.length - off - 8)
         throw new IllegalArgumentException(s"WAVE chunk size $size at $off exceeds payload")
       if (tag(payload, off, "data")) {
         val n = size / 2

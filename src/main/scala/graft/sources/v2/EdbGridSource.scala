@@ -61,15 +61,14 @@ object EdbGridSource {
         (0 to (c2 - c1)).map(j => StructField(s"c$j", StringType, nullable = true)))
   }
 
-  /** Decode Spark's JSON-encoded `paths` option (a string array; path
-    * characters needing escapes are limited to the JSON string escapes). */
+  /** Decode Spark's JSON-encoded `paths` option (a string array). A real
+    * JSON parse (Jackson ships with Spark) — string surgery on ',' would
+    * shred any path legally containing a comma or an escaped quote. */
   private[v2] def parseJsonPaths(json: String): Seq[String] = {
     val t = json.trim
     if (!t.startsWith("[")) Seq(t)
-    else t.stripPrefix("[").stripSuffix("]").split(",").toSeq
-      .map(_.trim.stripPrefix("\"").stripSuffix("\""))
-      .filter(_.nonEmpty)
-      .map(_.replace("\\/", "/").replace("\\\"", "\"").replace("\\\\", "\\"))
+    else new com.fasterxml.jackson.databind.ObjectMapper()
+      .readValue(t, classOf[Array[String]]).toSeq.filter(_.nonEmpty)
   }
 }
 

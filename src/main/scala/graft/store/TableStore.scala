@@ -106,12 +106,58 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Compact an append-accumulated table: the revision log gains one
     * small file per merge (one per MICRO-BATCH on a long-lived stream —
     * thousands of files over weeks, and file-listing cost grows with
-    * every one). Rewrites the content unchanged through the same
-    * write-temp-then-swap as overwrite(), so readers never observe a
-    * partial state: the input files are fully consumed while writing the
-    * temp dir, before any rename touches the live table. */
-  def compact(table: String, targetFiles: Int = 1): Unit =
-    if (exists(table)) overwrite(table, read(table), maxFiles = targetFiles)
+    * every one). Safe against a writer appending WHILE compaction runs:
+    * the input file list is snapshotted first, the temp dir is written
+    * from exactly those files, and any data file that appeared after the
+    * snapshot is MERGED into the compacted table (renamed in, not
+    * deleted) before the backup dir is dropped — so a micro-batch that
+    * lands mid-compaction is preserved, not silently lost. The only
+    * remaining window is an append racing the two renames themselves
+    * (milliseconds); that one needs external coordination, same as any
+    * log-less parquet layout. */
+  def compact(table: String, targetFiles: Int = 1): Unit = {
+    if (!exists(table)) return
+    recoverTable(table)
+    val target = new Path(URI.create(path(table)).normalize().toString)
+    compactSnapshot(table, dataFiles(target), targetFiles)
+  }
+
+  private def dataFiles(dir: Path): Seq[Path] =
+    fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+
+  /** Compact exactly `snapshot`'s files; anything that lands in the table
+    * dir after the snapshot is merged into the result, not deleted.
+    * Package-private so the snapshot-vs-late-append race is testable
+    * deterministically (the test passes a deliberately stale snapshot). */
+  private[graft] def compactSnapshot(table: String, snapshot: Seq[Path],
+                                     targetFiles: Int): Unit = {
+    if (snapshot.isEmpty) return
+    val target = new Path(URI.create(path(table)).normalize().toString)
+    val snapNames = snapshot.map(_.getName).toSet
+    val tmp = new Path(target.getParent, s".${target.getName}.__tmp__")
+    val old = oldPath(table)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    spark.read.parquet(snapshot.map(_.toString): _*)
+      .coalesce(targetFiles max 1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(target, old))
+      sys.error(s"TableStore: rename $target -> $old failed")
+    if (!fs.rename(tmp, target)) {
+      fs.rename(old, target) // put the previous table back — never leave no table
+      sys.error(s"TableStore: rename $tmp -> $target failed")
+    }
+    // merge files appended after the snapshot (they were swapped into `old`)
+    for (f <- dataFiles(old) if !snapNames.contains(f.getName)) {
+      val dest = new Path(target, f.getName)
+      if (!fs.rename(f, dest))
+        sys.error(s"TableStore: failed to merge late append $f into $target")
+    }
+    fs.delete(old, true)
+  }
 
   def drop(table: String): Unit = {
     val p = new Path(path(table))

@@ -142,6 +142,13 @@ class SourcesSpec extends SparkSuite {
       .option("dataLocation", autoCfg.dataLocation)
       .load(dir.toString)
     assert(fromDir.count() == 2 * single)
+    // a comma in a filename is legal; the JSON paths decode must not split on it
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$fx/edb_auto_sales.csv"), dir.resolve("g,3.csv"))
+    val withComma = spark.read.format("edb-grid")
+      .option("dataLocation", autoCfg.dataLocation)
+      .load(s"$dir/g,3.csv", s"$dir/g1.csv")
+    assert(withComma.count() == 2 * single)
   }
 
   test("xlsx workbook path: grids parse identically to their CSV twins") {

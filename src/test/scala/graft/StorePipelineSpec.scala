@@ -56,6 +56,27 @@ class StorePipelineSpec extends SparkSuite {
     store.compact("missing") // no-op on absent tables, never throws
   }
 
+  test("compact: a file appended after the snapshot survives (merged, not deleted)") {
+    val (store, dir) = newStore()
+    (1 to 3).foreach(i =>
+      store.append("revlog", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    // snapshot the current file list, THEN append — exactly the race of a
+    // micro-batch landing between compact's listing and its swap
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapshot = fs.listStatus(new Path(s"$dir/revlog")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    store.append("revlog", Seq((4, "late")).toDF("k", "v"), maxFiles = 1)
+    store.compactSnapshot("revlog", snapshot, targetFiles = 1)
+    val out = store.read("revlog").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "v1"), (2, "v2"), (3, "v3"), (4, "late")))
+    // 1 compacted file + the merged late file
+    assert(new java.io.File(s"$dir/revlog").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
