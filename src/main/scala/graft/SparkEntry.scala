@@ -410,6 +410,53 @@ object SparkEntry {
         .orderBy("month")
     }),
 
+    // FORECASTING (reference's forecast.py, economic_indicators.md:122-125):
+    // per-series closed-form OLS trend over monthly revenue, extrapolated 6
+    // months — one hash aggregation fits all 5 series at once. The month
+    // index is CENTERED (Jan 1992 = 0) so the moment-sum closed form never
+    // cancels catastrophically; revenue is summed in exact decimal then
+    // scaled to millions so both engines derive identical doubles.
+    // Oracle: DuckDB regr_slope / regr_intercept / regr_r2.
+    "forecast_trend" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1
+            - lit(23904)).as("month_idx"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / 1e6).as("rev_m"))
+      Analytics.forecastTrend(monthly, Seq("o_orderpriority"),
+          "month_idx", "rev_m", horizon = 6)
+        .select(col("o_orderpriority"), col("h"),
+          col("x_f").cast("long").as("month_f"),
+          round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("r2"), 6).as("r2"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy("o_orderpriority", "h")
+    }),
+
+    // FORECASTING (reference's regression_forecast.py "seasonal pattern
+    // analysis"): month-dummy OLS over the global monthly revenue series
+    // via the Frisch-Waugh moment decomposition (exactly the full dummy
+    // regression, computed from per-month moment sums — no solver), each
+    // future month forecast picking its own seasonal intercept.
+    // Oracle: DuckDB re-derives the identical FWL sums.
+    "forecast_seasonal" -> ((s, dir) => {
+      val monthly = t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 12 + month(col("o_orderdate")) - 1
+          - lit(23904)).as("month_idx"))
+        .agg((sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          / 1e6).as("rev_m"))
+      Analytics.forecastSeasonal(monthly, Seq.empty, "month_idx", "rev_m",
+          horizon = 12, period = 12)
+        .select(col("h"), col("x_f").cast("long").as("month_f"),
+          col("season").cast("long").as("season"),
+          round(col("slope"), 6).as("slope"),
+          round(col("gamma"), 6).as("gamma"),
+          round(col("forecast"), 6).as("forecast"))
+        .orderBy("h")
+    }),
+
     // As-of (point-in-time) join: each daily order count gets the latest
     // event-day stats at or before it. One window pass, no join node.
     "asof_join" -> ((s, dir) => {
@@ -1782,6 +1829,49 @@ object SparkEntry {
         |  lag(cnt, 12) OVER (ORDER BY month) AS yoy_prev,
         |  cnt - lag(cnt, 12) OVER (ORDER BY month) AS yoy_change
         |FROM m ORDER BY month""".stripMargin,
+
+    "forecast_trend" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |         year(o_orderdate)*12 + month(o_orderdate) - 1 - 23904 AS month_idx,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/1e6 AS rev_m
+        |  FROM orders GROUP BY 1, 2),
+        |f AS (
+        |  SELECT o_orderpriority,
+        |         regr_slope(rev_m, month_idx) AS slope,
+        |         regr_intercept(rev_m, month_idx) AS icept,
+        |         regr_r2(rev_m, month_idx) AS r2,
+        |         MAX(month_idx) AS x_max
+        |  FROM m GROUP BY 1)
+        |SELECT o_orderpriority, CAST(h AS INTEGER) AS h,
+        |       CAST(x_max + h AS BIGINT) AS month_f,
+        |       round(slope, 6) AS slope, round(icept, 6) AS intercept,
+        |       round(r2, 6) AS r2,
+        |       round(icept + slope*(x_max + h), 6) AS forecast
+        |FROM f CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS h) g
+        |ORDER BY 1, 2""".stripMargin,
+
+    "forecast_seasonal" ->
+      """WITH m AS (
+        |  SELECT year(o_orderdate)*12 + month(o_orderdate) - 1 - 23904 AS x,
+        |         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)/1e6 AS y
+        |  FROM orders GROUP BY 1),
+        |s AS (
+        |  SELECT x % 12 AS season, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(x*y) AS sxy, SUM(x*x) AS sxx
+        |  FROM m GROUP BY 1),
+        |g AS (
+        |  SELECT SUM(sxy - sx*sy/n) / SUM(sxx - sx*sx/n) AS slope FROM s),
+        |xm AS (SELECT MAX(x) AS x_max FROM m)
+        |SELECT CAST(h AS INTEGER) AS h, CAST(x_max + h AS BIGINT) AS month_f,
+        |       CAST((x_max + h) % 12 AS BIGINT) AS season,
+        |       round(slope, 6) AS slope,
+        |       round(sy/n - slope*sx/n, 6) AS gamma,
+        |       round(sy/n - slope*sx/n + slope*(x_max + h), 6) AS forecast
+        |FROM xm CROSS JOIN g
+        |CROSS JOIN (SELECT unnest(generate_series(1, 12)) AS h) t
+        |JOIN s ON s.season = (x_max + h) % 12
+        |ORDER BY h""".stripMargin,
 
     "range_join" ->
       """WITH i AS (SELECT event_id AS signup_id, CAST(ts AS DATE) AS start_d,

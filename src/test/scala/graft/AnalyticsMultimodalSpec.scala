@@ -44,6 +44,65 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(out.toSeq == Seq(("2024-01-01", 2.0, 2L), ("2024-02-01", 5.0, 1L)))
   }
 
+  test("linearTrend: perfect line recovers slope/intercept exactly, r2 = 1") {
+    val line = (1 to 10).map(x => ("s", x, 2.0 * x + 3.0)).toDF("ds", "x", "y")
+    val fit = Analytics.linearTrend(line, Seq("ds"), "x", "y").collect()
+    assert(fit.length == 1)
+    val r = fit.head
+    assert(r.getAs[Long]("n") == 10)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - 3.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("r2") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("x_max") == 10.0)
+  }
+
+  test("linearTrend: degenerate series (n=1, constant x) yield null fit") {
+    val df = Seq(("one", 5, 1.0), ("const", 3, 1.0), ("const", 3, 9.0))
+      .toDF("ds", "x", "y")
+    val fits = Analytics.linearTrend(df, Seq("ds"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(fits("one").isNullAt(fits("one").fieldIndex("slope")))
+    assert(fits("const").isNullAt(fits("const").fieldIndex("slope")))
+  }
+
+  test("forecastTrend: extrapolates intercept + slope * (x_max + h)") {
+    val line = (1 to 10).map(x => ("s", x, 2.0 * x + 3.0)).toDF("ds", "x", "y")
+    val out = Analytics.forecastTrend(line, Seq("ds"), "x", "y", 3)
+      .orderBy("h").collect()
+    assert(out.map(_.getAs[Int]("h")).toSeq == Seq(1, 2, 3))
+    assert(out.map(_.getAs[Double]("x_f")).toSeq == Seq(11.0, 12.0, 13.0))
+    for ((r, i) <- out.zipWithIndex)
+      assert(math.abs(r.getAs[Double]("forecast") - (3.0 + 2.0 * (11 + i))) < 1e-9)
+  }
+
+  test("seasonalTrend/forecastSeasonal: dummy OLS recovers per-season intercepts") {
+    // y = 0.5x + (10 if x even else 20), period 2 — the dummy regression
+    // has an exact solution the FWL moments must reproduce bit-for-bit
+    val df = (0 to 7).map(x =>
+      ("s", x, 0.5 * x + (if (x % 2 == 0) 10.0 else 20.0))).toDF("ds", "x", "y")
+    val fit = Analytics.seasonalTrend(df, Seq("ds"), "x", "y", period = 2)
+      .orderBy("season").collect()
+    assert(fit.length == 2)
+    assert(math.abs(fit(0).getAs[Double]("slope") - 0.5) < 1e-12)
+    assert(math.abs(fit(0).getAs[Double]("gamma") - 10.0) < 1e-12)
+    assert(math.abs(fit(1).getAs[Double]("gamma") - 20.0) < 1e-12)
+    assert(math.abs(fit(0).getAs[Double]("r2") - 1.0) < 1e-12)
+    val fc = Analytics.forecastSeasonal(df, Seq("ds"), "x", "y",
+        horizon = 2, period = 2).orderBy("h").collect()
+    // x_max = 7 -> x_f 8 (even: 10 + 4) and 9 (odd: 20 + 4.5)
+    assert(math.abs(fc(0).getAs[Double]("forecast") - 14.0) < 1e-9)
+    assert(math.abs(fc(1).getAs[Double]("forecast") - 24.5) < 1e-9)
+  }
+
+  test("forecastSeasonal: global series (no partition columns)") {
+    val df = (0 to 7).map(x =>
+      (x, 0.5 * x + (if (x % 2 == 0) 10.0 else 20.0))).toDF("x", "y")
+    val fc = Analytics.forecastSeasonal(df, Seq.empty, "x", "y",
+        horizon = 2, period = 2).orderBy("h").collect()
+    assert(math.abs(fc(0).getAs[Double]("forecast") - 14.0) < 1e-9)
+    assert(math.abs(fc(1).getAs[Double]("forecast") - 24.5) < 1e-9)
+  }
+
   test("multimodal: metadata fields and frame-sample geometry") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "0123456789abcdef0123456789abcdef"))
       .toDF("doc_id", "text")
