@@ -6,11 +6,19 @@ import org.apache.spark.sql.SparkSession
   * prints ONE JSON line. A failing query records "<name>_error" (negative
   * sentinel time) instead of silently looking benched.
   *
-  * Each query runs SPARK_GRAFT_ITERS times (default 3) and reports the
-  * MEDIAN: single-shot timings of sub-second queries in one shared JVM are
-  * dominated by JIT/GC/page-cache timing (observed 10-20x swings on
-  * identical bytecode between rounds), which makes regression detection
-  * impossible. */
+  * Iterations are INTERLEAVED round-robin over the whole query list (run
+  * the full list, then run it again, SPARK_GRAFT_ITERS times — default 3)
+  * and each query reports the MEDIAN of its iterations, with the per-query
+  * MIN published alongside ("queries_min"). Two reasons:
+  *   - single-shot timings of sub-second queries in one shared JVM are
+  *     dominated by JIT/GC/page-cache timing (observed 10-20x swings on
+  *     identical bytecode between rounds);
+  *   - back-to-back iterations of ONE query land entirely inside any
+  *     machine-contention window, which round 10 showed can fabricate
+  *     10-20x "regressions" for a contiguous alphabetical block of
+  *     queries. Interleaving spreads a contention window thinly across
+  *     every query's sample set, and the min column shows the
+  *     uncontended floor either way. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,28 +41,31 @@ object Bench {
     var errors = List.empty[String]
     // local-iteration subset (comma-separated); driver leaves it unset
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val list = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
-      val times = (1 to iters).map { _ =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { fn(spark, sfDir).count(); true }
-          catch {
-            case e: Throwable =>
-              System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-              if (!errors.contains(name)) errors ::= name
-              false
-          }
-        ((System.nanoTime() - t0) / 1e9, ok)
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (_ <- 1 to iters; (name, fn) <- list) {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).count()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          if (!errors.contains(name)) errors ::= name
       }
-      val median = times.map(_._1).sorted.apply(times.size / 2)
-      (if (times.forall(_._2)) name else s"${name}_error") -> median
+      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    val results = list.map { case (name, _) =>
+      val ts = samples(name).sorted
+      val key = if (errors.contains(name)) s"${name}_error" else name
+      (key, ts(ts.size / 2), ts.head)
+    }
+    def fmt(f: ((String, Double, Double)) => Double) =
+      results.map { r => "\"" + r._1 + "\":" + f"${f(r)}%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
+      fmt(_._2)},"queries_min":${fmt(_._3)},"errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

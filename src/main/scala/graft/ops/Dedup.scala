@@ -228,61 +228,79 @@ object Dedup {
     * the cluster step fuzzy dedup needs when groups are bigger than pairs
     * (A~B, B~C must collapse to one representative even if A!~C directly).
     *
-    * Iterative min-label propagation: each round, every node takes the
-    * minimum label among itself and its neighbors; converges in
-    * graph-diameter rounds (near-dup graphs are clique-ish, so 2-3). Each
-    * round is one equi-join + one groupBy on the edge list — at 100 TB
-    * this is the standard bounded-round shuffle shape; the driver only
-    * sees the single changed-count aggregate per round, never data.
-    * Returns (id, rep) for every node that appears in `pairs`. */
-  def clusterPairs(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("idA").as("src"), col("idB").as("dst"))
-      .unionByName(pairs.select(col("idB").as("src"), col("idA").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("rep", col("id")).localCheckpoint(true)
-    var changed = 1L
+    * Alternating LARGE-STAR / SMALL-STAR rounds (the published MapReduce
+    * connected-components scheme of Kiveris et al., "Connected Components
+    * in MapReduce and Beyond", SoCC'14): each round rewires every edge
+    * toward the minimum of a node's neighborhood, which contracts
+    * component "height" geometrically — O(log n) rounds even on a pure
+    * CHAIN of near-dups (the 100 TB worst case), where plain min-label
+    * propagation needs diameter-many rounds (a 10k-doc chain = 10k
+    * shuffles). Each round is two groupBy+join passes over the edge list
+    * only; the driver sees a single (count, hash) convergence signature
+    * per round, never data. Returns (id, rep) for every node in `pairs`. */
+  def clusterPairs(pairs: DataFrame, maxIter: Int = 25): DataFrame =
+    clusterPairsCounted(pairs, maxIter)._1
+
+  /** [[clusterPairs]] plus the number of large+small rounds executed —
+    * package-visible so scale probes and specs can assert the O(log n)
+    * round bound directly. */
+  private[graft] def clusterPairsCounted(pairs: DataFrame,
+                                         maxIter: Int = 25): (DataFrame, Int) = {
+    // canonical undirected edges (v < u), self-pairs dropped; eager
+    // checkpoint cuts the (possibly expensive) pair-generation lineage
+    // out of every subsequent round
+    var edges = pairs
+      .select(least(col("idA"), col("idB")).as("v"),
+        greatest(col("idA"), col("idB")).as("u"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+
+    // convergence signature: order-independent (count, hash-xor) of the
+    // edge set — one cheap aggregate per round over checkpointed data.
+    // XOR, not sum: ANSI mode makes a long hash-sum throw on overflow.
+    def signature(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var sig = signature(edges)
     var it = 0
-    var prev: DataFrame = null
-    while (changed > 0 && it < maxIter) {
-      // one shuffle round: neighbor reps + tagged self rows fused into a
-      // single groupBy that carries BOTH the node's old rep (via the self
-      // tag) and the new min rep — so ONE action computes the changed
-      // count AND materializes the next labels, instead of the former
-      // join + two counts over two cached frames per round
-      val neighborReps = edges
-        .join(labels.select(col("id").as("dst"), col("rep")), Seq("dst"))
-        .select(col("src").as("id"), col("rep"), lit(false).as("self"))
-      val merged = neighborReps
-        .unionByName(labels.select(col("id"), col("rep"), lit(true).as("self")))
-        .groupBy("id")
-        .agg(min("rep").as("newRep"),
-          min(when(col("self"), col("rep"))).as("oldRep"))
-        .cache()
-      changed = merged.filter(col("newRep") < col("oldRep")).count()
-      if (prev != null) prev.unpersist(false)
-      prev = merged
-      labels = merged.select(col("id"), col("newRep").as("rep"))
-      // truncate the growing iterative lineage every few rounds so plan
-      // compilation stays O(1) per round (graph diameter can reach maxIter)
-      if (changed > 0 && (it + 1) % 3 == 0) {
-        labels = labels.localCheckpoint(true)
-        prev.unpersist(false)
-        prev = null
-      }
+    var converged = sig._1 == 0L
+    while (!converged && it < maxIter) {
+      // LARGE-STAR: every node n attaches each strictly-LARGER neighbor
+      // to the min of its closed neighborhood m = min(N(n) ∪ {n}).
+      // m <= n < nb, so (m, nb) is already canonical and never a loop.
+      val nbrs = edges.select(col("u").as("n"), col("v").as("nb"))
+        .unionByName(edges.select(col("v").as("n"), col("u").as("nb")))
+      val mins = nbrs.groupBy("n").agg(min(col("nb")).as("mnb"))
+        .select(col("n"), least(col("mnb"), col("n")).as("m"))
+      val large = nbrs.filter(col("nb") > col("n"))
+        .join(mins, "n")
+        .select(col("m").as("v"), col("nb").as("u"))
+        .distinct()
+      // SMALL-STAR: orient edges to the larger endpoint; every node u
+      // attaches its (all smaller) neighbors AND itself to their min m.
+      val smins = large.groupBy("u").agg(min(col("v")).as("m"))
+      val small = large.join(smins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("v"), col("v").as("u"))
+        .unionByName(smins.select(col("m").as("v"), col("u")))
+        .distinct()
+      edges = small.localCheckpoint(true)
+      val newSig = signature(edges)
+      converged = newSig == sig
+      sig = newSig
       it += 1
     }
-    edges.unpersist(false)
-    // hand back a frame with no live cache behind it: unless the final
-    // round happened to end on the periodic-checkpoint branch (prev ==
-    // null, labels already checkpointed), `labels` is a lazy select over
-    // the last round's cached `merged` — checkpoint it and release that
-    // cache so callers don't hold a block they can't unpersist
-    if (prev != null) {
-      val out = labels.localCheckpoint(true)
-      prev.unpersist(false)
-      out
-    } else labels
+    // at the fixed point every component is a star centered on its min:
+    // non-roots are the u side, roots appear only as v. The defensive
+    // min-agg costs one shuffle of the node-sized label frame and makes
+    // the output correct even if maxIter cut convergence short.
+    val labels = edges.select(col("u").as("id"), col("v").as("rep"))
+      .unionByName(edges.select(col("v").as("id"), col("v").as("rep")))
+      .groupBy("id").agg(min(col("rep")).as("rep"))
+    (labels, it)
   }
 
   // ----------------------------------------------------- segment-level

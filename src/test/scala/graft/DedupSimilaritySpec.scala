@@ -83,6 +83,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("clusterPairs: long chain converges in O(log n) rounds, not O(n)") {
+    // a 512-node PATH is the adversarial topology for label propagation
+    // (diameter 511 -> 511 rounds); large-star/small-star must collapse
+    // it to one star on 0 in ~log2 rounds
+    val n = 512
+    val pairs = (0 until n - 1).map(i => (i.toLong, i.toLong + 1))
+      .toDF("idA", "idB")
+    val (labels, rounds) = Dedup.clusterPairsCounted(pairs)
+    val reps = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(reps.length == n)
+    assert(reps.forall(_._2 == 0L), "every chain node must map to id 0")
+    assert(rounds <= 12, s"chain of $n took $rounds rounds — not logarithmic")
+  }
+
+  test("clusterPairs: empty and duplicate-edge inputs") {
+    val empty = Seq.empty[(Long, Long)].toDF("idA", "idB")
+    assert(Dedup.clusterPairs(empty).count() == 0)
+    // duplicate + reversed + self edges collapse cleanly
+    val messy = Seq((2L, 1L), (1L, 2L), (2L, 2L), (2L, 3L)).toDF("idA", "idB")
+    val reps = Dedup.clusterPairs(messy)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
   test("jaccard: identical shingle sets -> 1.0, disjoint -> 0.0") {
     val out = docs.select(
         Dedup.jaccard(Dedup.wordShingles(col("text"), 2),
