@@ -565,6 +565,29 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // LATEST-OBSERVATION read API (view_data.py's "view latest data"):
+    // ingest the two real workbooks, then ask every populated series for
+    // its newest observation — one max_by hash aggregation, no per-series
+    // loop. Oracle pins the fixtures' last grid cells.
+    "latest_obs" -> ((s, _) => {
+      import graft.api.EngineApi
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val store = ingestTwoWorkbooks(s)
+        val api = new EngineApi(s, store)
+        // the single-series arg-max path must agree with the all-series
+        // aggregate on the dataset it covers
+        val one = api.latest("autosales")
+          .select(lit("autosales").as("dataset"), col("date"),
+            col("sales").cast("double").as("value"))
+        api.latestAll().unionByName(one)
+          .groupBy("dataset", "date", "value")
+          .agg(count(lit(1)).as("n_paths"))
+          .orderBy("dataset")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // Panel ANALYSIS-CSV EXPORT (the reference's documented export_data.py
     // surface): ingest two real workbooks, export panelFull() as a headered
     // date-sorted CSV, then RE-READ the CSV — the result must hash-match
@@ -1956,6 +1979,18 @@ object SparkEntry {
         |ORDER BY phase, dataset""".stripMargin,
 
     "api_store_sql" -> panelWindowOracle,
+
+    // the fixtures' last grid cells (June row, last fiscal-year column of
+    // edb_auto_sales / edb_gas_price = calendar 2025-06); autosales is
+    // read through BOTH the single-series arg-max and the all-series
+    // max_by aggregate, which must agree (n_paths = 2)
+    "latest_obs" ->
+      """SELECT dataset, date, value, CAST(n_paths AS BIGINT) AS n_paths
+        |FROM (VALUES
+        |  ('autosales', '2025-06-01', 11923.0, 2),
+        |  ('gasprice', '2025-06-01', 0.72, 1))
+        |  AS t(dataset, date, value, n_paths)
+        |ORDER BY dataset""".stripMargin,
 
     // recomputes the 26-dataset panel window from the same closed-form
     // formulas that generated the fixtures (graft.tools.RegistryFixtures)

@@ -43,6 +43,32 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
   def series(table: String): DataFrame =
     store.read(table).orderBy("date")
 
+  /** view_data.py's "view latest data" (economic_indicators.md:121): the
+    * newest observation of one series. Arg-max on the date key — the
+    * sort+limit(1) plans as TakeOrderedAndProject (per-partition top-1,
+    * no full sort, no wide shuffle) however large the series. */
+  def latest(table: String): DataFrame =
+    store.read(table).orderBy(col("date").desc).limit(1)
+
+  /** Latest observation of EVERY populated single-value series, long
+    * (dataset, date, value) shape — the "dataset summaries" view. One
+    * hash aggregation over the stacked store: max_by picks each series'
+    * newest value, so a 1000-series store answers in a single shuffle of
+    * (dataset, date, value) triples — no per-series driver loop. */
+  def latestAll(): DataFrame = {
+    val series = Registry.allConfigs
+      .filter(c => c.kind != Registry.NyuStern && store.exists(c.tableName))
+    require(series.nonEmpty, "latestAll: no populated series")
+    val long = series.map { c =>
+      val v = Registry.snakeCase(c.valueColumn)
+      store.read(c.tableName).select(lit(c.tableName).as("dataset"),
+        col("date"), col(v).cast("double").as("value"))
+    }.reduce(_.unionByName(_))
+    long.groupBy("dataset")
+      .agg(max(col("date")).as("date"),
+        max_by(col("value"), col("date")).as("value"))
+  }
+
   /** Register every existing table as a temp view so the whole store is
     * SQL-queryable: `spark.sql("SELECT ... FROM autosales")`. */
   def registerViews(): Seq[String] = {
