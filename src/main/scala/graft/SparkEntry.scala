@@ -588,6 +588,31 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // The DISTRIBUTED (DataSourceV2) grid-parse path end-to-end: both
+    // fixture grids read via spark.read.format("edb-grid") — the parse
+    // runs in executor tasks behind a BatchScan, one partition per file —
+    // then the same monthly pipeline and panel window as api_store_sql,
+    // pinned by the same oracle. Proves the V2 connector is a drop-in
+    // for the driver-side reader at identical results.
+    "v2_grid_panel" -> ((s, _) => {
+      import graft.config.Registry
+      import graft.sources.GridSource
+      val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
+        "fixtures" else "/root/repo/fixtures"
+      def seriesV2(file: String, cfgName: String): DataFrame = {
+        val cfg = Registry.edbConfigs.find(_.name == cfgName).get
+        val grid = s.read.format("edb-grid")
+          .option("dataLocation", cfg.dataLocation).load(s"$fx/$file")
+        GridSource.canonicalize(GridSource.processMonthly(grid, cfg), cfg)._1
+      }
+      seriesV2("edb_auto_sales.csv", "auto_sales")
+        .join(seriesV2("edb_gas_price.csv", "gas_price"), Seq("date"), "full_outer")
+        .filter(col("date") >= "2020-01-01")
+        .select(col("date"), col("sales").cast("double").as("sales"),
+          col("price").cast("double").as("price"))
+        .orderBy("date")
+    }),
+
     // Panel ANALYSIS-CSV EXPORT (the reference's documented export_data.py
     // surface): ingest two real workbooks, export panelFull() as a headered
     // date-sorted CSV, then RE-READ the CSV — the result must hash-match
@@ -1999,6 +2024,11 @@ object SparkEntry {
     // the CSV round-trip must reproduce the exact panel values the
     // api_store_sql oracle pins (same two fixture workbooks, same window)
     "panel_export_csv" -> panelWindowOracle,
+
+    // the V2-connector read of the same two grids must land on the same
+    // pinned panel window (no merge step — the window is pre-merge data,
+    // identical because phase-1 ingest is a pure insert)
+    "v2_grid_panel" -> panelWindowOracle,
 
     "dedup_exact" ->
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,

@@ -64,6 +64,12 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"no top-k operator in:\n$plan")
   }
 
+  test("v2_grid_panel reads through the edb-grid BatchScan, not the driver reader") {
+    val plan = planOf(SparkEntry.queries("v2_grid_panel")(spark, "unused"))
+    assert(plan.contains("BatchScan") && plan.contains("edb-grid"),
+      s"v2_grid_panel does not scan via the V2 connector:\n$plan")
+  }
+
   test("revision-history date predicate reaches the parquet scan") {
     val d = Files.createTempDirectory("graft-plan-rev").toString
     Seq(("autosales", "2024-01-01", "sales", 1.0, 2.0,
