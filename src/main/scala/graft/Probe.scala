@@ -53,6 +53,110 @@ object Probe {
         println(f"[probe] cluster_rounds dir=$dir rounds=$rounds nodes=$n " +
           f"time=$secs%.2fs")
 
+      // natural 10x scale-up of the sf tables: 10 transformed copies per
+      // table, id spaces disjoint, content DECORRELATED across copies
+      // (word substitution / embedding rotation / user+time shifts) so
+      // within-copy duplicate/near-dup/session structure replicates 10x
+      // but no cross-copy cliques appear — the "same distribution, more
+      // of it" shape a real corpus grows by, unlike the adversarial
+      // duplication probe which multiplies pair counts quadratically.
+      case "gensf1" =>
+        val (src, dst) = (args(1), args(2))
+        new java.io.File(dst).mkdirs()
+        val K = 10
+        def copies(f: Int => org.apache.spark.sql.DataFrame) =
+          (0 until K).map(f).reduce(_.unionByName(_))
+
+        copies { k =>
+          val d = spark.read.parquet(s"$src/documents.parquet")
+          // replace every 5th word (offset k) with a copy token: within-copy
+          // shingle structure intact, cross-copy Jaccard ~0.25 (< 0.7)
+          val words = split(col("text"), " ")
+          val mutated =
+            if (k == 0) col("text")
+            else concat_ws(" ", transform(words, (w, i) =>
+              when(i % 5 === k % 5, concat(lit("zc"), lit(k))).otherwise(w)))
+          d.select((col("doc_id") + k * 10000000L).as("doc_id"),
+            mutated.as("text"), col("lang"), col("source"),
+            length(mutated).cast("long").as("n_chars"))
+        }.repartition(32).write.mode("overwrite")
+          .parquet(s"$dst/documents.parquet")
+
+        copies { k =>
+          val e = spark.read.parquet(s"$src/embeddings.parquet")
+          // rotate the vector by k dims: orthogonal per copy, so norms and
+          // within-copy cosines are preserved but copies decorrelate
+          val emb =
+            if (k == 0) col("embedding")
+            else concat(slice(col("embedding"), k + 1, 10000),
+              slice(col("embedding"), 1, k))
+          e.select((col("vec_id") + k * 10000000L).as("vec_id"),
+            emb.as("embedding"), col("label"))
+        }.repartition(32).write.mode("overwrite")
+          .parquet(s"$dst/embeddings.parquet")
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        copies { k =>
+          val ev = spark.read.parquet(s"$src/events.parquet")
+          ev.select((col("event_id") + k * 100000000L).as("event_id"),
+            (col("ts") + k).as("ts"), // raw nanos long
+            (col("user_id") + k * 10000000L).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.repartition(32).write.mode("overwrite")
+          .parquet(s"$dst/events.parquet")
+
+        copies { k =>
+          spark.read.parquet(s"$src/lineitem.parquet")
+            .withColumn("l_orderkey", col("l_orderkey") + k * 100000000L)
+        }.repartition(32).write.mode("overwrite")
+          .parquet(s"$dst/lineitem.parquet")
+
+        copies { k =>
+          spark.read.parquet(s"$src/orders.parquet")
+            .withColumn("o_orderkey", col("o_orderkey") + k * 100000000L)
+            .withColumn("o_custkey", col("o_custkey") + k * 10000000L)
+        }.repartition(32).write.mode("overwrite")
+          .parquet(s"$dst/orders.parquet")
+        println(s"[probe] gensf1 src=$src dst=$dst copies=$K done")
+
+      // SmartUpdate.classify under dataset skew: 90% of a multi-dataset
+      // incoming batch in ONE dataset. The merge key is the full
+      // (dataset, date) composite, so hash partitioning spreads the hot
+      // dataset across every shuffle partition — the probe publishes the
+      // classify stage's task-duration p50/p99 to show no straggler.
+      case "skew" =>
+        val n = args.lift(1).map(_.toInt).getOrElse(4000000)
+        def batch(ids: org.apache.spark.sql.DataFrame, delta: Double) =
+          ids.select(
+            concat_ws("|",
+              when(col("id") % 10 === 0,
+                concat(lit("ds"), ((col("id") / 10) % 9 + 1).cast("string")))
+                .otherwise(lit("ds_hot")),
+              col("id").cast("string")).as("key"),
+            ((col("id") % 997).cast("double") + delta).as("value"))
+        val inc = batch(spark.range(n).toDF("id"), 0.0)
+        val ex = batch(spark.range(n / 2, n + n / 2).toDF("id"), 0.5)
+        val cls = graft.merge.SmartUpdate.classify(inc, ex, "key", Seq("value"))
+          .groupBy("status").agg(count(lit(1)).as("cnt"))
+        val durations = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+            durations.add(e.taskInfo.duration)
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val (counts, secs) = timed(cls.collect())
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val ds = durations.asScala.toVector.sorted
+        def pct(p: Double) = ds((p * (ds.size - 1)).toInt)
+        val byStatus = counts.map(r => s"${r.getString(0)}=${r.getLong(1)}")
+          .sorted.mkString(",")
+        println(f"[probe] skew n=$n $byStatus tasks=${ds.size} " +
+          f"p50=${pct(0.5)}ms p99=${pct(0.99)}ms max=${ds.last}ms " +
+          f"p99_over_p50=${pct(0.99).toDouble / pct(0.5).max(1)}%.2f " +
+          f"time=$secs%.2fs")
+
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

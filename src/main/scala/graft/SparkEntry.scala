@@ -704,10 +704,18 @@ object SparkEntry {
     // LLM dedup: MinHash-LSH near-dup pairs (banded; fully oracled — the
     // portable md5-seeded hash family lets DuckDB re-derive the pipeline)
     "dedup_minhash" -> ((s, dir) => {
-      // default LAZY form (VERDICT r9 item 2): no extra action inside the
-      // operator; repeated same-plan use hits the operator's own caches
+      // materialize=true: the shingle subtree feeds the signature build
+      // AND both verify-join sides; without the operator's scoped cache
+      // the lazy plan recomputes it ~3x (Catalyst has no common-subplan
+      // reuse across joins), ~3x wall. The persisted pair list is
+      // plan-keyed in the CacheManager, so repeated runs of this query
+      // reuse one bounded entry. (r10's 0.25s bench figure for the
+      // then-default lazy+persist form measured CACHED re-reads after
+      // iteration 1, not honest recomputes — the eager number here is
+      // the real per-run cost.)
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7)
+          shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
+          materialize = true)
         .select(col("idA"), col("idB"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy("idA", "idB")
     }),
