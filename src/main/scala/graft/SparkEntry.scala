@@ -707,12 +707,13 @@ object SparkEntry {
       // materialize=true: the shingle subtree feeds the signature build
       // AND both verify-join sides; without the operator's scoped cache
       // the lazy plan recomputes it ~3x (Catalyst has no common-subplan
-      // reuse across joins), ~3x wall. The persisted pair list is
-      // plan-keyed in the CacheManager, so repeated runs of this query
-      // reuse one bounded entry. (r10's 0.25s bench figure for the
-      // then-default lazy+persist form measured CACHED re-reads after
-      // iteration 1, not honest recomputes — the eager number here is
-      // the real per-run cost.)
+      // reuse across joins), ~3x wall. The pair-list cache entry this
+      // leaves is plan-keyed (bounded: one per distinct input) and its
+      // DATA is dropped when the operator unpersists the shingle cache,
+      // so repeated bench iterations recompute honestly — measured
+      // medians track mins. (r10's 0.25s figure for the then-default
+      // lazy+persist form measured CACHED re-reads after iteration 1;
+      // the eager number here is the real per-run cost.)
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
           materialize = true)

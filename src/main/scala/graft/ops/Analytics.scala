@@ -84,10 +84,14 @@ object Analytics {
     * (n < 2 or constant x) come back with null slope/intercept/r2. */
   def linearTrend(df: DataFrame, partCols: Seq[String], xCol: String,
                   yCol: String): DataFrame = {
-    val x = col(xCol).cast("double")
-    val y = col(yCol).cast("double")
+    // COMPLETE PAIRS ONLY: every moment sum is gated on both x and y
+    // being non-null (the regr_* contract). Mixing n = count(y) with
+    // sums over all x would silently fit garbage on gap-null series.
+    val pair = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(pair, col(xCol).cast("double"))
+    val y = when(pair, col(yCol).cast("double"))
     val fit = df.groupBy(partCols.map(col): _*)
-      .agg(count(y).as("n"), max(x).as("x_max"),
+      .agg(count(x).as("n"), max(x).as("x_max"),
         sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"))
     val den = col("n") * col("sxx") - col("sx") * col("sx")
@@ -131,12 +135,24 @@ object Analytics {
     * Output: one row per (series, season): (partCols..., season, n_season,
     * slope, gamma, r2) — slope/r2 repeated per season for convenience. */
   def seasonalTrend(df: DataFrame, partCols: Seq[String], xCol: String,
-                    yCol: String, period: Int = 12): DataFrame = {
-    val x = col(xCol).cast("double")
-    val y = col(yCol).cast("double")
+                    yCol: String, period: Int = 12): DataFrame =
+    seasonalFit(df, partCols, xCol, yCol, period)
+      .select(partCols.map(col) ++ Seq(col("season"), col("n_season"),
+        col("slope"), col("gamma"), col("r2")): _*)
+
+  /** [[seasonalTrend]] plus each series' last observed index (`x_max`,
+    * window-max over the tiny per-season frame) — so forecastSeasonal
+    * never re-scans the input for it. Complete pairs only, like
+    * linearTrend. */
+  private def seasonalFit(df: DataFrame, partCols: Seq[String], xCol: String,
+                          yCol: String, period: Int): DataFrame = {
+    val pair = col(xCol).isNotNull && col(yCol).isNotNull
+    val x = when(pair, col(xCol).cast("double"))
+    val y = when(pair, col(yCol).cast("double"))
     val season = (col(xCol).cast("long") % period + period) % period
-    val perSeason = df.groupBy((partCols.map(col) :+ season.as("season")): _*)
-      .agg(count(y).as("n_season"),
+    val perSeason = df.filter(pair)
+      .groupBy((partCols.map(col) :+ season.as("season")): _*)
+      .agg(count(x).as("n_season"), max(col(xCol).cast("long")).as("x_season_max"),
         sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"))
     val w = Window.partitionBy(partCols.map(col): _*)
@@ -146,6 +162,7 @@ object Analytics {
     val tssW = sum(col("syy") - col("sy") * col("sy") / col("n_season")).over(w)
     val slope = when(denT =!= 0, numT / denT)
     perSeason
+      .withColumn("x_max", max(col("x_season_max")).over(w))
       .withColumn("slope", slope)
       .withColumn("gamma",
         col("sy") / col("n_season") - col("slope") * col("sx") / col("n_season"))
@@ -154,28 +171,33 @@ object Analytics {
       // seasonal-representations report ranks models by)
       .withColumn("r2",
         when(denT =!= 0 && tssW =!= 0, numT * numT / (denT * tssW)))
-      .select(partCols.map(col) ++ Seq(col("season"), col("n_season"),
-        col("slope"), col("gamma"), col("r2")): _*)
   }
 
   /** Seasonal forecast: fit [[seasonalTrend]], then extrapolate `horizon`
     * periods past each series' last observation, picking each future
     * period's own seasonal intercept. Output per (series, h):
-    * (partCols..., h, x_f, season, slope, gamma, forecast). */
+    * (partCols..., h, x_f, season, slope, gamma, forecast). A future
+    * period whose season never occurred in the history keeps its row with
+    * null slope/gamma/forecast (left join — silent row loss would hide
+    * the gap from a caller iterating h = 1..horizon). One pass over the
+    * input:
+    * x_max rides along on the per-season fit frame. */
   def forecastSeasonal(df: DataFrame, partCols: Seq[String], xCol: String,
                        yCol: String, horizon: Int,
                        period: Int = 12): DataFrame = {
-    val fit = seasonalTrend(df, partCols, xCol, yCol, period)
-    val xMax = df.groupBy(partCols.map(col): _*)
-      .agg(max(col(xCol).cast("long")).as("x_max"))
+    val fit = seasonalFit(df, partCols, xCol, yCol, period)
+    // one row per series from the tiny per-season frame
+    val xMax = fit.groupBy(partCols.map(col): _*).agg(max("x_max").as("x_max"))
     val future = xMax
       .select(col("*"), explode(sequence(lit(1), lit(horizon))).as("h"))
       .withColumn("x_f", col("x_max") + col("h"))
       .withColumn("season", (col("x_f") % period + period) % period)
     // per-season fit frame is one row per (series, season) — broadcast it
+    val fitSel = fit.select(partCols.map(col) ++ Seq(col("season"),
+      col("slope"), col("gamma")): _*)
     val joined =
-      if (partCols.isEmpty) future.join(broadcast(fit), Seq("season"))
-      else future.join(broadcast(fit), partCols :+ "season")
+      if (partCols.isEmpty) future.join(broadcast(fitSel), Seq("season"), "left")
+      else future.join(broadcast(fitSel), partCols :+ "season", "left")
     joined.select(partCols.map(col) ++ Seq(col("h"), col("x_f"), col("season"),
       col("slope"), col("gamma"),
       (col("gamma") + col("slope") * col("x_f")).as("forecast")): _*)

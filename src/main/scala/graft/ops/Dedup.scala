@@ -246,13 +246,16 @@ object Dedup {
     * round bound directly. */
   private[graft] def clusterPairsCounted(pairs: DataFrame,
                                          maxIter: Int = 25): (DataFrame, Int) = {
-    // canonical undirected edges (v < u), self-pairs dropped; eager
-    // checkpoint cuts the (possibly expensive) pair-generation lineage
-    // out of every subsequent round
+    // canonical undirected edges (v < u), self-pairs split off; eager
+    // checkpoints cut the (possibly expensive) pair-generation lineage
+    // out of every subsequent round AND the final label union
     var edges = pairs
       .select(least(col("idA"), col("idB")).as("v"),
         greatest(col("idA"), col("idB")).as("u"))
       .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    val selfOnly = pairs.filter(col("idA") === col("idB"))
+      .select(col("idA").as("id"), col("idA").as("rep")).distinct()
       .localCheckpoint(true)
 
     // convergence signature: order-independent (count, hash-xor) of the
@@ -294,11 +297,15 @@ object Dedup {
       it += 1
     }
     // at the fixed point every component is a star centered on its min:
-    // non-roots are the u side, roots appear only as v. The defensive
-    // min-agg costs one shuffle of the node-sized label frame and makes
-    // the output correct even if maxIter cut convergence short.
+    // non-roots are the u side, roots appear only as v. Nodes that only
+    // ever appeared as SELF-pairs (idA == idB) have no edge but are still
+    // "in pairs" — they label themselves. The min-agg dedupes the union
+    // and makes the output deterministic; note it does NOT repair a run
+    // truncated by maxIter (labels could then be non-transitive), but at
+    // O(log n) rounds the default cap of 25 covers ~2^25-node components.
     val labels = edges.select(col("u").as("id"), col("v").as("rep"))
       .unionByName(edges.select(col("v").as("id"), col("v").as("rep")))
+      .unionByName(selfOnly)
       .groupBy("id").agg(min(col("rep")).as("rep"))
     (labels, it)
   }

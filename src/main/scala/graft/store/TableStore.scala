@@ -28,20 +28,78 @@ final class TableStore(spark: SparkSession, root: String) {
     new Path(t.getParent, s".${t.getName}.__old__")
   }
 
-  /** A table "exists" if its directory OR its interrupted-swap backup does —
+  /** Compaction's backup dir — distinct from overwrite's `.__old__`
+    * because its recovery differs: it may hold LATE-APPENDED files that
+    * must be merged forward, never just deleted. */
+  private def coldPath(table: String) = {
+    val t = new Path(URI.create(path(table)).normalize().toString)
+    new Path(t.getParent, s".${t.getName}.__cold__")
+  }
+
+  private val ManifestFile = "_compact_manifest"
+
+  /** A table "exists" if its directory OR an interrupted-swap backup does —
     * recoverTable() heals the latter before any read. */
   def exists(table: String): Boolean =
-    fs.exists(new Path(path(table))) || fs.exists(oldPath(table))
+    fs.exists(new Path(path(table))) || fs.exists(oldPath(table)) ||
+      fs.exists(coldPath(table))
 
-  /** Heal an interrupted overwrite(): if the target is missing but the
-    * `.__old__` backup survives, the crash happened between the two renames —
-    * restore the backup so readers see the pre-swap table. */
+  /** Heal an interrupted overwrite() or compact():
+    *   - target missing, a backup present -> the crash happened between the
+    *     two renames; restore the backup so readers see the pre-swap table;
+    *   - target present, compaction backup present -> the crash happened
+    *     during the late-append merge; finish it (idempotent) using the
+    *     manifest the backup carries, then drop the backup. */
   private def recoverTable(table: String): Unit = {
     val target = new Path(URI.create(path(table)).normalize().toString)
     val old = oldPath(table)
+    val cold = coldPath(table)
     if (!fs.exists(target) && fs.exists(old)) {
       if (!fs.rename(old, target))
         sys.error(s"TableStore: failed to recover $table from ${old}")
+    }
+    if (!fs.exists(target) && fs.exists(cold)) {
+      if (!fs.rename(cold, target))
+        sys.error(s"TableStore: failed to recover $table from ${cold}")
+    }
+    if (fs.exists(target) && fs.exists(cold))
+      mergeLateAppends(table, target, cold)
+  }
+
+  /** Move every data file in `cold` that is NOT in its compaction manifest
+    * (i.e. was appended after the compaction snapshot) into `target`, then
+    * drop `cold`. Idempotent: already-moved files are simply gone from
+    * `cold` on a re-run after a crash mid-merge. */
+  private def mergeLateAppends(table: String, target: Path, cold: Path): Unit = {
+    val manifest = new Path(cold, ManifestFile)
+    if (!fs.exists(manifest))
+      sys.error(s"TableStore: compaction backup $cold has no manifest — " +
+        "refusing to guess which files are late appends")
+    val snapNames = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSet
+      finally in.close()
+    }
+    for (f <- dataFiles(cold) if !snapNames.contains(f.getName)) {
+      val dest = new Path(target, f.getName)
+      if (!fs.rename(f, dest))
+        sys.error(s"TableStore: failed to merge late append $f into $target")
+    }
+    fs.delete(cold, true)
+  }
+
+  /** The delicate two-rename swap shared by overwrite() and compaction:
+    * clear any stale backup, move the live table to `backup`, move `tmp`
+    * into place (restoring the backup if that fails). Callers own the
+    * backup's eventual disposal. */
+  private def atomicSwap(target: Path, tmp: Path, backup: Path): Unit = {
+    if (fs.exists(backup)) fs.delete(backup, true)
+    if (fs.exists(target) && !fs.rename(target, backup))
+      sys.error(s"TableStore: rename $target -> $backup failed")
+    if (!fs.rename(tmp, target)) {
+      // put the previous table back before failing — never leave no table
+      if (fs.exists(backup)) fs.rename(backup, target)
+      sys.error(s"TableStore: rename $tmp -> $target failed")
     }
   }
 
@@ -68,14 +126,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
     if (fs.exists(tmp)) fs.delete(tmp, true)
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(target) && !fs.rename(target, old))
-      sys.error(s"TableStore: rename $target -> $old failed")
-    if (!fs.rename(tmp, target)) {
-      // put the previous table back before failing — never leave no table
-      if (fs.exists(old)) fs.rename(old, target)
-      sys.error(s"TableStore: rename $tmp -> $target failed")
-    }
+    atomicSwap(target, tmp, old)
     if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
   }
 
@@ -129,34 +180,30 @@ final class TableStore(spark: SparkSession, root: String) {
       .map(_.getPath)
 
   /** Compact exactly `snapshot`'s files; anything that lands in the table
-    * dir after the snapshot is merged into the result, not deleted.
-    * Package-private so the snapshot-vs-late-append race is testable
-    * deterministically (the test passes a deliberately stale snapshot). */
+    * dir after the snapshot is merged into the result, not deleted — even
+    * across a crash: the snapshot manifest is written INTO the table dir
+    * before the swap, so it travels with the backup and recoverTable()
+    * can finish an interrupted merge on the next access instead of
+    * deleting unmerged micro-batches with the backup. Package-private so
+    * the snapshot-vs-late-append race is testable deterministically (the
+    * test passes a deliberately stale snapshot). */
   private[graft] def compactSnapshot(table: String, snapshot: Seq[Path],
                                      targetFiles: Int): Unit = {
     if (snapshot.isEmpty) return
     val target = new Path(URI.create(path(table)).normalize().toString)
-    val snapNames = snapshot.map(_.getName).toSet
     val tmp = new Path(target.getParent, s".${target.getName}.__tmp__")
-    val old = oldPath(table)
+    val cold = coldPath(table)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(snapshot.map(_.toString): _*)
       .coalesce(targetFiles max 1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (!fs.rename(target, old))
-      sys.error(s"TableStore: rename $target -> $old failed")
-    if (!fs.rename(tmp, target)) {
-      fs.rename(old, target) // put the previous table back — never leave no table
-      sys.error(s"TableStore: rename $tmp -> $target failed")
-    }
-    // merge files appended after the snapshot (they were swapped into `old`)
-    for (f <- dataFiles(old) if !snapNames.contains(f.getName)) {
-      val dest = new Path(target, f.getName)
-      if (!fs.rename(f, dest))
-        sys.error(s"TableStore: failed to merge late append $f into $target")
-    }
-    fs.delete(old, true)
+    // manifest first, then swap: from here on the backup carries the
+    // snapshot names, so every crash point is recoverable
+    val mf = fs.create(new Path(target, ManifestFile), true)
+    try mf.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
+    finally mf.close()
+    atomicSwap(target, tmp, cold)
+    mergeLateAppends(table, target, cold)
   }
 
   def drop(table: String): Unit = {

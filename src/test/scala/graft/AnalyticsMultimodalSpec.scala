@@ -103,6 +103,32 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(math.abs(fc(1).getAs[Double]("forecast") - 24.5) < 1e-9)
   }
 
+  test("linearTrend: null-gapped rows are excluded as complete pairs") {
+    // (0,1),(1,null),(2,3): OLS over the two complete pairs = slope 1,
+    // intercept 1 — a fit mixing n with sums over all x would get slope 0
+    val gaps = Seq((0, Option(1.0)), (1, Option.empty[Double]), (2, Option(3.0)))
+      .toDF("x", "y")
+    val r = Analytics.linearTrend(gaps, Seq.empty, "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 2)
+    assert(math.abs(r.getAs[Double]("slope") - 1.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("intercept") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("x_max") == 2.0)
+  }
+
+  test("forecastSeasonal: a never-observed future season keeps its row (null forecast)") {
+    // period 4, history covers only seasons 0..1 — forecasting 4 ahead
+    // reaches seasons 2 and 3, which must surface as null, not vanish
+    val df = Seq((0, 10.0), (1, 20.0), (4, 10.0), (5, 20.0)).toDF("x", "y")
+    val fc = Analytics.forecastSeasonal(df, Seq.empty, "x", "y",
+        horizon = 4, period = 4).orderBy("h").collect()
+    assert(fc.length == 4, "no silent row loss for unseen seasons")
+    // x_max = 5 -> x_f 6,7 are seasons 2,3 (unseen); x_f 8,9 are 0,1
+    assert(fc(0).isNullAt(fc(0).fieldIndex("forecast")))
+    assert(fc(1).isNullAt(fc(1).fieldIndex("forecast")))
+    assert(!fc(2).isNullAt(fc(2).fieldIndex("forecast")))
+    assert(!fc(3).isNullAt(fc(3).fieldIndex("forecast")))
+  }
+
   test("multimodal: metadata fields and frame-sample geometry") {
     val docs = Seq((1L, "abcdefghij"), (2L, "xy"), (3L, "0123456789abcdef0123456789abcdef"))
       .toDF("doc_id", "text")

@@ -105,6 +105,12 @@ class DedupSimilaritySpec extends SparkSuite {
     val reps = Dedup.clusterPairs(messy)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // a node appearing ONLY as a self-pair is still "in pairs": it must
+    // come back labeled with itself, not vanish
+    val selfish = Seq((5L, 5L), (1L, 2L)).toDF("idA", "idB")
+    val reps2 = Dedup.clusterPairs(selfish)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps2 == Map(1L -> 1L, 2L -> 1L, 5L -> 5L))
   }
 
   test("jaccard: identical shingle sets -> 1.0, disjoint -> 0.0") {

@@ -77,6 +77,32 @@ class StorePipelineSpec extends SparkSuite {
       .count(_.getName.endsWith(".parquet")) == 2)
   }
 
+  test("compact recovery: a crash between swap and merge loses nothing") {
+    val (store, dir) = newStore()
+    (1 to 3).foreach(i =>
+      store.append("revlog", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableDir = new Path(s"$dir/revlog")
+    def names() = fs.listStatus(tableDir).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    val snapNames = names()
+    store.append("revlog", Seq((4, "late")).toDF("k", "v"), maxFiles = 1)
+    // hand-build the exact on-disk state of a compaction that died right
+    // after the two renames: manifest + pre-swap table (incl. the late
+    // file) in .__cold__, compacted snapshot content as the live table
+    val mf = fs.create(new Path(tableDir, "_compact_manifest"), true)
+    mf.write(snapNames.mkString("\n").getBytes("UTF-8")); mf.close()
+    assert(fs.rename(tableDir, new Path(s"$dir/.revlog.__cold__")))
+    Seq((1, "v1"), (2, "v2"), (3, "v3")).toDF("k", "v")
+      .coalesce(1).write.parquet(s"$dir/revlog")
+    assert(store.exists("revlog"))
+    // first read heals: the late append is merged forward, backup dropped
+    val out = store.read("revlog").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "v1"), (2, "v2"), (3, "v3"), (4, "late")))
+    assert(!fs.exists(new Path(s"$dir/.revlog.__cold__")))
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
