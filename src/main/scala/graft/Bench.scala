@@ -2,8 +2,10 @@ package graft
 
 
 /** Benchmark main: times every SparkEntry query at the given scale dir and
-  * prints ONE JSON line. A failing query records "<name>_error" (negative
-  * sentinel time) instead of silently looking benched.
+  * prints ONE JSON line. A failing query records "<name>_error" and the run
+  * exits 1; FAILED iterations are excluded from that query's median/min and
+  * from the summed "total" (a fast crash must not read as a fast query). A
+  * query with zero successful iterations reports the -1 sentinel.
   *
   * Iterations are INTERLEAVED round-robin over the whole query list (run
   * the full list, then run it again, SPARK_GRAFT_ITERS times — default 3)
@@ -37,23 +39,24 @@ object Bench {
       .withDefaultValue(Nil)
     for (_ <- 1 to iters; (name, fn) <- list) {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
-      catch {
+      try {
+        fn(spark, sfDir).count()
+        samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           if (!errors.contains(name)) errors ::= name
       }
-      samples(name) = ((System.nanoTime() - t0) / 1e9) :: samples(name)
     }
     val results = list.map { case (name, _) =>
       val ts = samples(name).sorted
       val key = if (errors.contains(name)) s"${name}_error" else name
-      (key, ts(ts.size / 2), ts.head)
+      if (ts.isEmpty) (key, -1.0, -1.0) else (key, ts(ts.size / 2), ts.head)
     }
     def fmt(f: ((String, Double, Double)) => Double) =
       results.map { r => "\"" + r._1 + "\":" + f"${f(r)}%.3f" }
         .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
       fmt(_._2)},"queries_min":${fmt(_._3)},"errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()

@@ -588,6 +588,27 @@ object SparkEntry {
       } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     }),
 
+    // The READ path of latest_obs alone: identical result and oracle, but
+    // over the memoized fixture store — so the bench row measures what a
+    // user's "view latest data" call costs against an EXISTING store
+    // (TakeOrderedAndProject + one max_by agg), not the fixture ingest.
+    "latest_obs_read" -> ((s, _) => {
+      import graft.api.EngineApi
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "2")
+      try {
+        val store = ingestTwoWorkbooksCached(s)
+        val api = new EngineApi(s, store)
+        val one = api.latest("autosales")
+          .select(lit("autosales").as("dataset"), col("date"),
+            col("sales").cast("double").as("value"))
+        api.latestAll().unionByName(one)
+          .groupBy("dataset", "date", "value")
+          .agg(count(lit(1)).as("n_paths"))
+          .orderBy("dataset")
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }),
+
     // The DISTRIBUTED (DataSourceV2) grid-parse path end-to-end: both
     // fixture grids read via spark.read.format("edb-grid") — the parse
     // runs in executor tasks behind a BatchScan, one partition per file —
@@ -1625,6 +1646,18 @@ object SparkEntry {
     store
   }
 
+  /** latest_obs_read's fixture store, built ONCE per JVM session (r11
+    * VERDICT item #2): latest_obs keeps the full-lifecycle timing (its
+    * bench row measures the two-workbook ingest it performs), which hid
+    * the read path's actual cost (~ms: one TakeOrderedAndProject + one
+    * max_by hash agg). Memoizing is honest here because the ingest is
+    * fixture scaffolding, not the operator under measurement — and the
+    * ingest cost stays visible in latest_obs/api_store_sql/panel_all. */
+  private val twoWbStores =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.store.TableStore]()
+  private def ingestTwoWorkbooksCached(s: SparkSession): graft.store.TableStore =
+    twoWbStores.computeIfAbsent(s, ingestTwoWorkbooks(_))
+
   /** The 26-dataset synthetic registry fixtures (15 real-.xls EDB
     * workbooks, 10 FRED JSONs, 1 NYU sheet) — content is closed-form
     * deterministic, so one generation per JVM serves every panel run;
@@ -2019,6 +2052,16 @@ object SparkEntry {
     // read through BOTH the single-series arg-max and the all-series
     // max_by aggregate, which must agree (n_paths = 2)
     "latest_obs" ->
+      """SELECT dataset, date, value, CAST(n_paths AS BIGINT) AS n_paths
+        |FROM (VALUES
+        |  ('autosales', '2025-06-01', 11923.0, 2),
+        |  ('gasprice', '2025-06-01', 0.72, 1))
+        |  AS t(dataset, date, value, n_paths)
+        |ORDER BY dataset""".stripMargin,
+
+    // identical pinned result: the read path must agree with the
+    // full-lifecycle variant cell for cell
+    "latest_obs_read" ->
       """SELECT dataset, date, value, CAST(n_paths AS BIGINT) AS n_paths
         |FROM (VALUES
         |  ('autosales', '2025-06-01', 11923.0, 2),

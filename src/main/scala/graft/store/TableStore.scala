@@ -38,6 +38,49 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private val ManifestFile = "_compact_manifest"
 
+  private def tmpPath(table: String) = {
+    val t = new Path(URI.create(path(table)).normalize().toString)
+    new Path(t.getParent, s".${t.getName}.__tmp__")
+  }
+
+  /** Commit lock serializing append's file-landing against overwrite's and
+    * compaction's two-rename swap window. Only FAST metadata operations run
+    * under it (renames, a recovery check) — never a Spark write job — so
+    * contention is bounded by filesystem rename latency. Acquisition is
+    * create-exclusive (atomic on HDFS and object-store committers; the
+    * local-FS check-then-create race is narrower than the rename race it
+    * closes); a crashed holder is healed by the staleness bound, which sits
+    * orders of magnitude above any rename's duration. */
+  private def lockPath(table: String) = {
+    val t = new Path(URI.create(path(table)).normalize().toString)
+    new Path(t.getParent, s".${t.getName}.__lock__")
+  }
+
+  private val LockStaleMs = 30000L
+
+  private def withTableLock[A](table: String)(body: => A): A = {
+    val lock = lockPath(table)
+    var acquired = false
+    while (!acquired) {
+      try {
+        val out = fs.create(lock, false)
+        try out.write(String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+        finally out.close()
+        acquired = true
+      } catch {
+        case _: java.io.IOException =>
+          // held by another writer: break it if stale, else wait briefly
+          try {
+            val st = fs.getFileStatus(lock)
+            if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs)
+              fs.delete(lock, false)
+            else Thread.sleep(5)
+          } catch { case _: java.io.FileNotFoundException => () }
+      }
+    }
+    try body finally fs.delete(lock, false)
+  }
+
   /** A table "exists" if its directory OR an interrupted-swap backup does —
     * recoverTable() heals the latter before any read. */
   def exists(table: String): Boolean =
@@ -61,6 +104,10 @@ final class TableStore(spark: SparkSession, root: String) {
     if (!fs.exists(target) && fs.exists(cold)) {
       if (!fs.rename(cold, target))
         sys.error(s"TableStore: failed to recover $table from ${cold}")
+      // the compaction this manifest described was rolled back — drop it so
+      // a later recovery can't mistake it for a live snapshot
+      val mf = new Path(target, ManifestFile)
+      if (fs.exists(mf)) fs.delete(mf, false)
     }
     if (fs.exists(target) && fs.exists(cold))
       mergeLateAppends(table, target, cold)
@@ -121,13 +168,15 @@ final class TableStore(spark: SparkSession, root: String) {
   def overwrite(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
     recoverTable(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
-    val tmp = new Path(target.getParent, s".${target.getName}.__tmp__")
+    val tmp = tmpPath(table)
     val old = oldPath(table)
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
     if (fs.exists(tmp)) fs.delete(tmp, true)
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    atomicSwap(target, tmp, old)
-    if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
+    withTableLock(table) {
+      atomicSwap(target, tmp, old)
+      if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
+    }
   }
 
   /** Partition-scoped overwrite: the table is laid out as
@@ -148,10 +197,28 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Append (revision log — append-only audit trail). Default is the
     * natural task parallelism — a large CDC stream must not serialize
     * through one writer; callers appending a handful of audit rows pass
-    * maxFiles=1 to avoid small-file buildup. */
+    * maxFiles=1 to avoid small-file buildup.
+    *
+    * The Spark write lands in a private temp dir (full task parallelism,
+    * no lock held); only the per-file renames into the table dir run under
+    * the commit lock, AFTER recoverTable() — so an append arriving first
+    * after a crashed compaction restores/merges the backup instead of
+    * recreating the target dir and letting a later recovery mistake it for
+    * compacted output (which would silently destroy every snapshot file). */
   def append(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
+    val target = new Path(URI.create(path(table)).normalize().toString)
+    val tmp = new Path(target.getParent,
+      s".${target.getName}.__apd_${java.util.UUID.randomUUID().toString.take(8)}__")
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
-    out.write.mode(SaveMode.Append).parquet(path(table))
+    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    try withTableLock(table) {
+      recoverTable(table)
+      if (!fs.exists(target)) fs.mkdirs(target)
+      for (f <- dataFiles(tmp)) {
+        if (!fs.rename(f, new Path(target, f.getName)))
+          sys.error(s"TableStore: append commit $f -> $target failed")
+      }
+    } finally fs.delete(tmp, true)
   }
 
   /** Compact an append-accumulated table: the revision log gains one
@@ -162,10 +229,10 @@ final class TableStore(spark: SparkSession, root: String) {
     * from exactly those files, and any data file that appeared after the
     * snapshot is MERGED into the compacted table (renamed in, not
     * deleted) before the backup dir is dropped — so a micro-batch that
-    * lands mid-compaction is preserved, not silently lost. The only
-    * remaining window is an append racing the two renames themselves
-    * (milliseconds); that one needs external coordination, same as any
-    * log-less parquet layout. */
+    * lands mid-compaction is preserved, not silently lost. The former
+    * last window — an append racing the two renames themselves — is closed
+    * by the per-table commit lock: append's file-landing and the swap
+    * serialize, with no Spark job ever run under the lock. */
   def compact(table: String, targetFiles: Int = 1): Unit = {
     if (!exists(table)) return
     recoverTable(table)
@@ -191,23 +258,32 @@ final class TableStore(spark: SparkSession, root: String) {
                                      targetFiles: Int): Unit = {
     if (snapshot.isEmpty) return
     val target = new Path(URI.create(path(table)).normalize().toString)
-    val tmp = new Path(target.getParent, s".${target.getName}.__tmp__")
+    val tmp = tmpPath(table)
     val cold = coldPath(table)
     if (fs.exists(tmp)) fs.delete(tmp, true)
     spark.read.parquet(snapshot.map(_.toString): _*)
       .coalesce(targetFiles max 1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     // manifest first, then swap: from here on the backup carries the
-    // snapshot names, so every crash point is recoverable
+    // snapshot names, so every crash point is recoverable. The manifest may
+    // land BEFORE the lock — a file appended in between is simply absent
+    // from it and gets merged forward like any other late append.
     val mf = fs.create(new Path(target, ManifestFile), true)
     try mf.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
     finally mf.close()
-    atomicSwap(target, tmp, cold)
-    mergeLateAppends(table, target, cold)
+    withTableLock(table) {
+      atomicSwap(target, tmp, cold)
+      mergeLateAppends(table, target, cold)
+    }
   }
 
+  /** Drop the table AND every recovery artifact — otherwise an `.__old__`
+    * or `.__cold__` left by an interrupted swap keeps exists() true and the
+    * next read() resurrects the dropped table via recoverTable(). */
   def drop(table: String): Unit = {
-    val p = new Path(path(table))
-    if (fs.exists(p)) fs.delete(p, true)
+    val target = new Path(URI.create(path(table)).normalize().toString)
+    Seq(target, oldPath(table), coldPath(table), tmpPath(table),
+        lockPath(table))
+      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
   }
 }

@@ -103,6 +103,75 @@ class StorePipelineSpec extends SparkSuite {
     assert(!fs.exists(new Path(s"$dir/.revlog.__cold__")))
   }
 
+  test("append straight after a crashed compaction heals first — snapshot survives") {
+    // ADVICE r11 (medium): crash between compactSnapshot's two renames
+    // leaves target gone and .__cold__ holding the WHOLE pre-compaction
+    // table + manifest. An append that recreated the target dir would make
+    // the next recovery treat the new dir as compacted output and delete
+    // every manifest-listed snapshot file with the backup. append() must
+    // recover (restore the backup) BEFORE landing any file.
+    val (store, dir) = newStore()
+    (1 to 3).foreach(i =>
+      store.append("revlog", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tableDir = new Path(s"$dir/revlog")
+    val snapNames = fs.listStatus(tableDir).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    val mf = fs.create(new Path(tableDir, "_compact_manifest"), true)
+    mf.write(snapNames.mkString("\n").getBytes("UTF-8")); mf.close()
+    assert(fs.rename(tableDir, new Path(s"$dir/.revlog.__cold__")))
+    // crash point: target missing, cold holds rows 1-3 + manifest
+    store.append("revlog", Seq((4, "late")).toDF("k", "v"), maxFiles = 1)
+    val out = store.read("revlog").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    assert(out == Set((1, "v1"), (2, "v2"), (3, "v3"), (4, "late")))
+    assert(!fs.exists(new Path(s"$dir/.revlog.__cold__")))
+    // the rolled-back compaction's manifest must not linger in the table
+    assert(!fs.exists(new Path(tableDir, "_compact_manifest")))
+  }
+
+  test("drop removes recovery backups too — no resurrection via exists/read") {
+    val (store, dir) = newStore()
+    store.overwrite("t3", Seq((1, "a")).toDF("k", "v"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // interrupted swap: live table sits in the .__old__ backup
+    assert(fs.rename(new Path(s"$dir/t3"), new Path(s"$dir/.t3.__old__")))
+    assert(store.exists("t3"))
+    store.drop("t3")
+    assert(!store.exists("t3"))
+    assert(!fs.exists(new Path(s"$dir/.t3.__old__")))
+    // same for a compaction backup
+    store.overwrite("t4", Seq((1, "a")).toDF("k", "v"))
+    val mf = fs.create(new Path(s"$dir/t4/_compact_manifest"), true)
+    mf.write("x".getBytes("UTF-8")); mf.close()
+    assert(fs.rename(new Path(s"$dir/t4"), new Path(s"$dir/.t4.__cold__")))
+    store.drop("t4")
+    assert(!store.exists("t4"))
+    assert(!fs.exists(new Path(s"$dir/.t4.__cold__")))
+  }
+
+  test("commit lock: a held lock delays append; a stale lock is broken") {
+    val (store, dir) = newStore()
+    store.append("locked", Seq((1, "a")).toDF("k", "v"), maxFiles = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(s"$dir/.locked.__lock__")
+    // stale holder (crashed writer): mtime far past the staleness bound —
+    // append must break the lock and proceed rather than hang
+    fs.create(lock, true).close()
+    fs.setTimes(lock, System.currentTimeMillis() - 120000L, -1)
+    store.append("locked", Seq((2, "b")).toDF("k", "v"), maxFiles = 1)
+    assert(store.read("locked").count() == 2)
+    assert(!fs.exists(lock)) // released after commit
+    // live holder: append blocks until the lock is released by its owner
+    fs.create(lock, true).close()
+    val releaser = new Thread(() => { Thread.sleep(400); fs.delete(lock, false) })
+    releaser.start()
+    store.append("locked", Seq((3, "c")).toDF("k", "v"), maxFiles = 1)
+    releaser.join()
+    assert(store.read("locked").count() == 3)
+    assert(!fs.exists(lock))
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
