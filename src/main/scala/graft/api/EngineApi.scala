@@ -2,7 +2,7 @@ package graft.api
 
 import graft.config.Registry
 import graft.merge.RevisionHistory
-import graft.store.TableStore
+import graft.store.{SinkTypes, TableStore}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
@@ -12,6 +12,14 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * reads, the all-series panel, revision history, and the run-summary JSON
   * sink (S11). */
 final class EngineApi(spark: SparkSession, store: TableStore) {
+
+  /** All read surfaces go through here: the at-rest files carry the
+    * DDL-declared DecimalType (SinkTypes.sinkCast at the write side);
+    * the engine's numeric surface is DOUBLE — same erasure the
+    * reference's store performs, and what every oracle pins. No-op for
+    * non-registry tables and pre-policy stores. */
+  private def readEngine(table: String): DataFrame =
+    SinkTypes.engineCast(store.read(table), table)
 
   /** S12: idempotent bulk init — every configured table becomes readable
     * (empty with its date-keyed schema if no data yet), mirroring
@@ -26,7 +34,9 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
         val schema = StructType(StructField("date", StringType) +:
           valueCols.map(c => StructField(c, org.apache.spark.sql.types.DoubleType)))
         store.overwrite(cfg.tableName,
-          spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+          SinkTypes.sinkCast(
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema),
+            cfg.tableName),
           maxFiles = 1)
       }
     }
@@ -37,18 +47,18 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     * the date predicate prunes parquet row groups. */
   def pointLookup(table: String, date: String): Option[Row] =
     if (!store.exists(table)) None
-    else store.read(table).filter(col("date") === date).collect().headOption
+    else readEngine(table).filter(col("date") === date).collect().headOption
 
   /** Read one series (S5 read-back), sorted. */
   def series(table: String): DataFrame =
-    store.read(table).orderBy("date")
+    readEngine(table).orderBy("date")
 
   /** view_data.py's "view latest data" (economic_indicators.md:121): the
     * newest observation of one series. Arg-max on the date key — the
     * sort+limit(1) plans as TakeOrderedAndProject (per-partition top-1,
     * no full sort, no wide shuffle) however large the series. */
   def latest(table: String): DataFrame =
-    store.read(table).orderBy(col("date").desc).limit(1)
+    readEngine(table).orderBy(col("date").desc).limit(1)
 
   /** Latest observation of EVERY populated single-value series, long
     * (dataset, date, value) shape — the "dataset summaries" view. One
@@ -61,7 +71,7 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     require(series.nonEmpty, "latestAll: no populated series")
     val long = series.map { c =>
       val v = Registry.snakeCase(c.valueColumn)
-      store.read(c.tableName).select(lit(c.tableName).as("dataset"),
+      readEngine(c.tableName).select(lit(c.tableName).as("dataset"),
         col("date"), col(v).cast("double").as("value"))
     }.reduce(_.unionByName(_))
     long.groupBy("dataset")
@@ -73,7 +83,7 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     * SQL-queryable: `spark.sql("SELECT ... FROM autosales")`. */
   def registerViews(): Seq[String] = {
     val registered = Registry.allTables.filter(store.exists)
-    registered.foreach(t => store.read(t).createOrReplaceTempView(t))
+    registered.foreach(t => readEngine(t).createOrReplaceTempView(t))
     registered
   }
 
@@ -86,7 +96,7 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     require(series.nonEmpty, "panelAll: no populated series")
     val long = series.map { c =>
       val v = Registry.snakeCase(c.valueColumn)
-      store.read(c.tableName).select(col("date"),
+      readEngine(c.tableName).select(col("date"),
         lit(c.tableName).as("dataset"), col(v).cast("double").as("value"))
     }.reduce(_.unionByName(_))
     Panel.panelByPivot(long, series.map(_.tableName))
@@ -104,12 +114,12 @@ final class EngineApi(spark: SparkSession, store: TableStore) {
     require(singles.nonEmpty, "panelFull: no populated series")
     val singleLong = singles.map { c =>
       val v = Registry.snakeCase(c.valueColumn)
-      store.read(c.tableName).select(col("date"),
+      readEngine(c.tableName).select(col("date"),
         lit(c.tableName).as("dataset"), col(v).cast("double").as("value"))
     }
     val nyuLong =
       if (store.exists(Registry.nyuConfig.tableName))
-        Seq(store.read(Registry.nyuConfig.tableName)
+        Seq(readEngine(Registry.nyuConfig.tableName)
           .select(col("date") +:
             Registry.nyuValueFields.map(f => col(f).cast("double").as(f)): _*)
           .unpivot(Array(col("date")),

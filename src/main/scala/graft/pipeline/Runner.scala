@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.config.Registry
 import graft.merge.SmartUpdate
-import graft.store.TableStore
+import graft.store.{SinkTypes, TableStore}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
@@ -85,10 +85,14 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       if (!shouldUpdate(tableName, gateHours))
         return (DatasetResult(tableName, "skipped", 0, 0, 0), None)
       val ts = now()
-      val existing = store.readOrEmpty(tableName, canonical)
+      // reads normalize declared decimals to the engine's double surface;
+      // the write casts back to the declared at-rest types (SinkTypes)
+      val existing = SinkTypes.engineCast(
+        store.readOrEmpty(tableName, canonical), tableName)
       val (merged, revs, counts) = SmartUpdate.merge(
         canonical, existing, "date", valueFields, tableName, ts)
-      store.overwrite(tableName, merged, maxFiles = 1)
+      store.overwrite(tableName, SinkTypes.sinkCast(merged, tableName),
+        maxFiles = 1)
       // revs is a filter over the merge's checkpointed classify (an
       // RDD-backed plan): safe to hand out lazily past the overwrite and
       // the canonical unpersist — no cache or extra action needed
@@ -193,7 +197,8 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         .collect().map(_.getInt(0)).toSeq
       val existingTouched =
         if (store.exists(tableName))
-          store.read(tableName).filter(col("__year").isin(years: _*))
+          SinkTypes.engineCast(store.read(tableName), tableName)
+            .filter(col("__year").isin(years: _*))
         else canonical.limit(0)
       // localCheckpoint, not cache (same reasoning as SmartUpdate.merge):
       // the classify result must survive the partition overwrite below —
@@ -229,7 +234,9 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
           .join(newOrUpdatedKeys.select("date"), Seq("date"), "left_semi")
         val cols = (Seq("date") ++ valueFields ++ Seq("__year")).map(col)
         store.overwritePartitions(tableName,
-          keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*)),
+          SinkTypes.sinkCast(
+            keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*)),
+            tableName),
           Seq("__year"))
       }
       if (counts.revisions > 0)

@@ -21,9 +21,11 @@ import java.time.LocalDate
   *
   * Value design (k = 1-based position in Registry.allConfigs, m = months
   * since 2014-01):
-  *   - single-value series: k*100 + (m*(2k+3)) mod 37, plus a quarter
-  *     fraction ((m+k) mod 4)*0.25 for float series — exact in binary, so
-  *     double compares are bit-exact;
+  *   - single-value series: k*100 + (m*(2k+3)) mod 37, plus a per-quarter
+  *     fraction for float series (quarters .25/.5/.75, or tenths .2/.5/.8
+  *     for DECIMAL(12,1)-declared series — see fracText) — exact in
+  *     binary AND within each series' declared scale, so double compares
+  *     are bit-exact and the declared-type sink cast is lossless;
   *   - NYU rates (f = 1..3): (3f + (m*(f+2)) mod 11)/1000 — all below the
   *     0.2 percent-heuristic threshold, so normalization is the identity;
   *   - quarterly FRED series emit observations at quarter starts; the
@@ -43,8 +45,25 @@ object RegistryFixtures {
   /** Integer part of series k at month m. */
   def baseValue(k: Int, m: Int): Long = k * 100L + (m.toLong * (2 * k + 3)) % 37
 
-  /** Quarter-fraction index (0..3); float series add idx*0.25. */
+  /** Quarter-fraction index (0..3); float series add a fraction per idx. */
   def quarterIdx(k: Int, m: Int): Int = (m + k) % 4
+
+  /** Fraction text at quarter idx, in decimals that FIT the dataset's
+    * DECLARED DECIMAL scale (Registry.DatasetConfig.decimal): scale-1
+    * series (the reference's DECIMAL(12,1) FRED declarations) use tenths,
+    * everything else quarter fractions. Both are exact in binary, and both
+    * survive the sink's declared-type cast unchanged — so a re-ingest
+    * compares clean against the store and the panel oracle can recompute
+    * values without modeling any rounding. */
+  def fracText(cfg: Registry.DatasetConfig, idx: Int): String = {
+    val tenths = cfg.decimal.exists(_._2 == 1)
+    idx match {
+      case 1 => if (tenths) ".2" else ".25"
+      case 2 => ".5"
+      case 3 => if (tenths) ".8" else ".75"
+      case _ => ""
+    }
+  }
 
   /** Exact decimal text of series k at month m (what the fixture stores). */
   def valueText(cfg: Registry.DatasetConfig, m: Int): String = {
@@ -52,12 +71,7 @@ object RegistryFixtures {
     val base = baseValue(kk, m)
     cfg.valueType match {
       case Registry.IntType => base.toString
-      case Registry.FloatType => quarterIdx(kk, m) match {
-        case 0 => base.toString
-        case 1 => s"$base.25"
-        case 2 => s"$base.5"
-        case 3 => s"$base.75"
-      }
+      case Registry.FloatType => s"$base${fracText(cfg, quarterIdx(kk, m))}"
     }
   }
 
@@ -126,6 +140,15 @@ object RegistryFixtures {
     * rows, 25 single-value columns + 3 NYU rate columns) from the same
     * closed-form formulas — fully independent of the engine's storage. */
   def oracleSql: String = {
+    // the fraction CASE is generated FROM fracText, so the oracle cannot
+    // drift from the fixture writer's scale-aware fractions
+    def fracSql(cfg: Registry.DatasetConfig, idxExpr: String): String = {
+      def n(i: Int) = {
+        val t = fracText(cfg, i); if (t.isEmpty) "0" else s"0$t"
+      }
+      s"(CASE ($idxExpr) WHEN 1 THEN ${n(1)} WHEN 2 THEN ${n(2)}" +
+        s" WHEN 3 THEN ${n(3)} ELSE 0 END)"
+    }
     val singles = Registry.allConfigs
       .filterNot(_.kind == Registry.NyuStern)
       .map { cfg =>
@@ -134,11 +157,11 @@ object RegistryFixtures {
           if (cfg.kind == Registry.Fred && cfg.frequency == "q")
             // quarter-start observation at m-3, stored shifted to month m
             s"CASE WHEN m % 3 = 0 THEN CAST($kk*100 + ((m-3)*(2*$kk+3)) % 37" +
-              s" + ((m-3+$kk)%4)*0.25 AS DOUBLE) END"
+              s" + ${fracSql(cfg, s"(m-3+$kk)%4")} AS DOUBLE) END"
           else if (cfg.valueType == Registry.IntType)
             s"CAST($kk*100 + (m*(2*$kk+3)) % 37 AS DOUBLE)"
           else
-            s"CAST($kk*100 + (m*(2*$kk+3)) % 37 + ((m+$kk)%4)*0.25 AS DOUBLE)"
+            s"CAST($kk*100 + (m*(2*$kk+3)) % 37 + ${fracSql(cfg, s"(m+$kk)%4")} AS DOUBLE)"
         s"$expr AS ${cfg.tableName}"
       }
     val nyu = Registry.nyuValueFields.zipWithIndex.map { case (field, i) =>

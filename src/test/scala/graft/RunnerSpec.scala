@@ -114,6 +114,30 @@ class RunnerSpec extends SparkSuite {
     assert(partFiles(2015) == files2015 && partFiles(2020) == files2020Before)
   }
 
+  test("declared DECIMAL(p,s) at rest, double on the engine surface") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    val (store, runner, setNow) = newEnv()
+    val gcfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    assert(gcfg.decimal.contains((12, 2))) // config.py:97 value_type
+    val grid = GridSource.readGrid(spark, "fixtures/edb_gas_price.csv", gcfg.dataLocation)
+    val (canon, snake) =
+      GridSource.canonicalize(GridSource.processMonthly(grid, gcfg), gcfg)
+    runner.runDataset(gcfg.tableName, canon, Seq(snake))
+    // at rest: parquet carries the DDL-declared DecimalType (§1.4 fidelity)
+    val atRest = spark.read.parquet(store.path(gcfg.tableName))
+    assert(atRest.schema(snake).dataType == DecimalType(12, 2))
+    // engine surface: the API normalizes back to the double the oracles pin
+    val api = new graft.api.EngineApi(spark, store)
+    assert(api.series(gcfg.tableName).schema(snake).dataType == DoubleType)
+    // the decimal round-trip is value-preserving: a re-run of identical
+    // data against the decimal-at-rest store is still a clean no-op (no
+    // spurious updates from sink rounding)
+    setNow("2025-06-03 00:00:00")
+    val r2 = runner.runDataset(gcfg.tableName, canon, Seq(snake))
+    assert(r2.status == "success" && r2.newRows == 0 && r2.updated == 0 &&
+      r2.revisions == 0)
+  }
+
   test("empty input -> no_data, store untouched") {
     val (store, runner, _) = newEnv()
     val (canon, snake) = canonical()
