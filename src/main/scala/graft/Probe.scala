@@ -57,7 +57,38 @@ object Probe {
         def copies(f: Int => org.apache.spark.sql.DataFrame) =
           (0 until K).map(f).reduce(_.unionByName(_))
 
-        copies { k =>
+        // LAYOUT: every table is a 32-part DIRECTORY named <table>.parquet —
+        // at 10x the data a real lake delivers more FILES, and a scan-stage
+        // ratio measured single-file-to-single-file would time one thread
+        // doing 10x the work (a layout artifact, not operator scaling; the
+        // baseline side gets the same 32-file layout via `relayout`). The
+        // streaming queries glob `pathGlobFilter=<table>.parquet` for a
+        // single FILE, so documents/events additionally land as one-file
+        // twins under $dst/stream/ (benched there, against the equally
+        // single-file driver sf0.1).
+        def writeDir(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+          df.repartition(32).write.mode("overwrite")
+            .parquet(s"$dst/$name.parquet")
+
+        def writeSingle(df: org.apache.spark.sql.DataFrame, dstDir: String,
+                        name: String): Unit = {
+          import org.apache.hadoop.fs.Path
+          val tmp = s"$dstDir/.__gen_$name"
+          df.coalesce(1).write.mode("overwrite").parquet(tmp)
+          val fs = new Path(dstDir).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val part = fs.listStatus(new Path(tmp)).map(_.getPath)
+            .find(p => p.getName.startsWith("part-") &&
+              p.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no part file under $tmp"))
+          val target = new Path(s"$dstDir/$name.parquet")
+          if (fs.exists(target)) fs.delete(target, true)
+          if (!fs.rename(part, target))
+            sys.error(s"rename $part -> $target failed")
+          fs.delete(new Path(tmp), true)
+        }
+
+        writeDir(copies { k =>
           val d = spark.read.parquet(s"$src/documents.parquet")
           // replace every 5th word (offset k) with a copy token: within-copy
           // shingle structure intact, cross-copy Jaccard ~0.25 (< 0.7)
@@ -69,10 +100,9 @@ object Probe {
           d.select((col("doc_id") + k * 10000000L).as("doc_id"),
             mutated.as("text"), col("lang"), col("source"),
             length(mutated).cast("long").as("n_chars"))
-        }.repartition(32).write.mode("overwrite")
-          .parquet(s"$dst/documents.parquet")
+        }, "documents")
 
-        copies { k =>
+        writeDir(copies { k =>
           val e = spark.read.parquet(s"$src/embeddings.parquet")
           // rotate the vector by k dims: orthogonal per copy, so norms and
           // within-copy cosines are preserved but copies decorrelate
@@ -82,32 +112,64 @@ object Probe {
               slice(col("embedding"), 1, k))
           e.select((col("vec_id") + k * 10000000L).as("vec_id"),
             emb.as("embedding"), col("label"))
-        }.repartition(32).write.mode("overwrite")
-          .parquet(s"$dst/embeddings.parquet")
+        }, "embeddings")
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        copies { k =>
+        writeDir(copies { k =>
           val ev = spark.read.parquet(s"$src/events.parquet")
           ev.select((col("event_id") + k * 100000000L).as("event_id"),
             (col("ts") + k).as("ts"), // raw nanos long
             (col("user_id") + k * 10000000L).as("user_id"),
             col("event_type"), col("value"), col("props"))
-        }.repartition(32).write.mode("overwrite")
-          .parquet(s"$dst/events.parquet")
+        }, "events")
 
-        copies { k =>
+        writeDir(copies { k =>
           spark.read.parquet(s"$src/lineitem.parquet")
             .withColumn("l_orderkey", col("l_orderkey") + k * 100000000L)
-        }.repartition(32).write.mode("overwrite")
-          .parquet(s"$dst/lineitem.parquet")
+        }, "lineitem")
 
-        copies { k =>
+        writeDir(copies { k =>
           spark.read.parquet(s"$src/orders.parquet")
             .withColumn("o_orderkey", col("o_orderkey") + k * 100000000L)
             .withColumn("o_custkey", col("o_custkey") + k * 10000000L)
-        }.repartition(32).write.mode("overwrite")
-          .parquet(s"$dst/orders.parquet")
+        }, "orders")
+
+        // customer/part shift in lockstep with the fact keys, preserving
+        // referential integrity per copy (q03 broadcast join, q05 melt)
+        writeDir(copies { k =>
+          spark.read.parquet(s"$src/customer.parquet")
+            .withColumn("c_custkey", col("c_custkey") + k * 10000000L)
+        }, "customer")
+
+        writeDir(copies { k =>
+          spark.read.parquet(s"$src/part.parquet")
+            .withColumn("p_partkey", col("p_partkey") + k * 10000000L)
+        }, "part")
+
+        // one-file twins for the file-stream sources (read back from the
+        // just-written dirs, so content is byte-identical to the batch side)
+        new java.io.File(s"$dst/stream").mkdirs()
+        writeSingle(spark.read.parquet(s"$dst/documents.parquet"),
+          s"$dst/stream", "documents")
+        writeSingle(spark.read.parquet(s"$dst/events.parquet"),
+          s"$dst/stream", "events")
         println(s"[probe] gensf1 src=$src dst=$dst copies=$K done")
+
+      // re-layout existing single-file tables as 32-part dirs: the batch
+      // BASELINE side of the natural-10x ratio, so both scales are read
+      // at the same files-per-table and the ratio isolates data growth
+      case "relayout" =>
+        val (src, dst) = (args(1), args(2))
+        new java.io.File(dst).mkdirs()
+        for (t <- Seq("documents", "embeddings", "events", "lineitem",
+            "orders", "customer", "part")) {
+          if (t == "events")
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(s"$src/$t.parquet")
+            .repartition(32).write.mode("overwrite")
+            .parquet(s"$dst/$t.parquet")
+        }
+        println(s"[probe] relayout src=$src dst=$dst done")
 
       // SmartUpdate.classify under dataset skew: 90% of a multi-dataset
       // incoming batch in ONE dataset. The merge key is the full

@@ -86,12 +86,21 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         return (DatasetResult(tableName, "skipped", 0, 0, 0), None)
       val ts = now()
       // reads normalize declared decimals to the engine's double surface;
-      // the write casts back to the declared at-rest types (SinkTypes)
-      val existing = SinkTypes.engineCast(
-        store.readOrEmpty(tableName, canonical), tableName)
+      // the write casts back to the declared at-rest types — but ONLY for
+      // tables created under the policy (legacy double tables keep their
+      // layout), and incoming values are snapped to the declared scale
+      // first so sink rounding can never churn the tolerance compare
+      val isNew = !store.exists(tableName)
+      val existingRaw = store.readOrEmpty(tableName, canonical)
+      val declared = SinkTypes.writesDeclared(existingRaw, tableName, isNew)
+      val existing = SinkTypes.engineCast(existingRaw, tableName)
+      val canonIn =
+        if (declared) SinkTypes.declaredRound(canonical, tableName)
+        else canonical
       val (merged, revs, counts) = SmartUpdate.merge(
-        canonical, existing, "date", valueFields, tableName, ts)
-      store.overwrite(tableName, SinkTypes.sinkCast(merged, tableName),
+        canonIn, existing, "date", valueFields, tableName, ts)
+      store.overwrite(tableName,
+        if (declared) SinkTypes.sinkCast(merged, tableName) else merged,
         maxFiles = 1)
       // revs is a filter over the merge's checkpointed classify (an
       // RDD-backed plan): safe to hand out lazily past the overwrite and
@@ -195,17 +204,27 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       val ts = now()
       val years = canonical.select("__year").distinct()
         .collect().map(_.getInt(0)).toSeq
-      val existingTouched =
-        if (store.exists(tableName))
-          SinkTypes.engineCast(store.read(tableName), tableName)
-            .filter(col("__year").isin(years: _*))
+      // same declared-type policy as mergeCore: legacy double tables keep
+      // their layout (a partition-scoped write must NEVER mix double and
+      // decimal physical types across one table's partitions — the table
+      // would become unreadable); declared tables snap incoming values to
+      // the declared scale before classify so rounding can't churn
+      val isNew = !store.exists(tableName)
+      val existingRawTouched =
+        if (!isNew)
+          store.read(tableName).filter(col("__year").isin(years: _*))
         else canonical.limit(0)
+      val declared = SinkTypes.writesDeclared(existingRawTouched, tableName, isNew)
+      val existingTouched = SinkTypes.engineCast(existingRawTouched, tableName)
+      val canonV =
+        if (declared) SinkTypes.declaredRound(canonical, tableName)
+        else canonical
       // localCheckpoint, not cache (same reasoning as SmartUpdate.merge):
       // the classify result must survive the partition overwrite below —
       // a cached plan still references the table files and gets refreshed
       // from the POST-merge data (CacheManager.recacheByPath), which would
       // empty the CDC log; an RDD-backed checkpoint has no file source.
-      val cls = SmartUpdate.classify(canonical.drop("__year"),
+      val cls = SmartUpdate.classify(canonV.drop("__year"),
         existingTouched.drop("__year"), "date", valueFields)
         .localCheckpoint(true)
       val changedSum = valueFields.map(f =>
@@ -230,13 +249,12 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         val keptChanged = existingTouched
           .filter(col("__year").isin(changedYears: _*))
           .join(newOrUpdatedKeys.select("date"), Seq("date"), "left_anti")
-        val fresh = canonical
+        val fresh = canonV
           .join(newOrUpdatedKeys.select("date"), Seq("date"), "left_semi")
         val cols = (Seq("date") ++ valueFields ++ Seq("__year")).map(col)
+        val out = keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*))
         store.overwritePartitions(tableName,
-          SinkTypes.sinkCast(
-            keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*)),
-            tableName),
+          if (declared) SinkTypes.sinkCast(out, tableName) else out,
           Seq("__year"))
       }
       if (counts.revisions > 0)

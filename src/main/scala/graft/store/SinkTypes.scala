@@ -15,11 +15,20 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * parquet with the DECLARED DecimalType so an external lakehouse consumer
   * re-deriving the DDL sees the intended logical types.
   *
-  * Both casts are value-preserving for data that fits the declared scale
-  * (every real series here does by construction — the DDL was written for
-  * this data); a hypothetical out-of-scale value would round HALF_UP at
-  * the sink, exactly what inserting it into the declared SQL column would
-  * have done.
+  * The declared scale is the table's VALUE CONTRACT, exactly as the SQL
+  * column would enforce it: incoming values are snapped to the declared
+  * scale BEFORE the merge compares them (declaredRound), so a raw value
+  * finer than the scale stores rounded ONCE and re-ingests as 'unchanged'
+  * forever — sink rounding can never churn the 0.001-tolerance merge.
+  * A value that OVERFLOWS the declared precision throws under ANSI mode
+  * (the dataset's run fails loudly; `Runner.runFetched` records status
+  * 'error' and the run continues) — never a silent NULL.
+  *
+  * Legacy stores: a table whose existing files are plain double KEEPS
+  * that layout (writesDeclared) — the partition-scoped write path
+  * replaces only touched partitions, and a table mixing double and
+  * decimal physical types across partitions is unreadable. Declared
+  * types apply to tables created under the policy.
   */
 object SinkTypes {
 
@@ -30,6 +39,28 @@ object SinkTypes {
         d.withColumn(c, col(c).cast(DecimalType(p, s)))
       case (d, _) => d
     }
+
+  /** Snap engine values to the declared scale (decimal round-trip) before
+    * the merge classifies them — the stored row and a re-ingested raw
+    * value then compare exactly equal. No-op for undeclared columns. */
+  def declaredRound(df: DataFrame, tableName: String): DataFrame =
+    Registry.declaredDecimals(tableName).foldLeft(df) {
+      case (d, (c, (p, s))) if d.columns.contains(c) =>
+        d.withColumn(c, col(c).cast(DecimalType(p, s)).cast(DoubleType))
+      case (d, _) => d
+    }
+
+  /** Whether writes to this table should carry the declared decimals:
+    * yes for a table with declarations that is NEW or already written
+    * under the policy; no for a legacy all-double table (its layout is
+    * preserved so partition-scoped writes never mix physical types). */
+  def writesDeclared(existing: DataFrame, tableName: String,
+                     isNew: Boolean): Boolean = {
+    val dec = Registry.declaredDecimals(tableName)
+    dec.nonEmpty && (isNew || dec.keys.forall(c =>
+      existing.schema.fields.find(_.name == c)
+        .forall(_.dataType.isInstanceOf[DecimalType])))
+  }
 
   /** At-rest frame -> engine numeric surface (doubles), applied at reads.
     * Only columns that are actually DecimalType are touched, so frames

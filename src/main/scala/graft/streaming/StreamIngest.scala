@@ -58,10 +58,23 @@ object StreamIngest {
           col("date").cast("string").as("date"),
           col("value").cast("double").as(valueField))
         if (!canonical.isEmpty) {
-          val existing = store.readOrEmpty(table, canonical)
+          // same declared-type discipline as Runner.mergeCore — a stream
+          // micro-batch must not flip a declared-decimal table's at-rest
+          // schema back to double (nor touch a legacy double table's)
+          val isNew = !store.exists(table)
+          val existingRaw = store.readOrEmpty(table, canonical)
+          val declared = graft.store.SinkTypes.writesDeclared(
+            existingRaw, table, isNew)
+          val existing = graft.store.SinkTypes.engineCast(existingRaw, table)
+          val canonIn =
+            if (declared) graft.store.SinkTypes.declaredRound(canonical, table)
+            else canonical
           val (merged, revs, counts) = SmartUpdate.merge(
-            canonical, existing, "date", Seq(valueField), table, now())
-          store.overwrite(table, merged, maxFiles = 1)
+            canonIn, existing, "date", Seq(valueField), table, now())
+          store.overwrite(table,
+            if (declared) graft.store.SinkTypes.sinkCast(merged, table)
+            else merged,
+            maxFiles = 1)
           if (counts.revisions > 0)
             store.append(Registry.RevisionsTable, revs, maxFiles = 1)
         }

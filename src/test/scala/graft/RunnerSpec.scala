@@ -138,6 +138,72 @@ class RunnerSpec extends SparkSuite {
       r2.revisions == 0)
   }
 
+  test("legacy double-at-rest tables keep their layout — no mixed-type partitions") {
+    import org.apache.spark.sql.types.DoubleType
+    import spark.implicits._
+    val (store, runner, _) = newEnv()
+    val gcfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    // pre-policy store: plain double files in a year-partitioned layout
+    val legacy = Seq(("2023-01-01", 1.25), ("2024-01-01", 2.25))
+      .toDF("date", "price")
+      .withColumn("__year", substring(col("date"), 1, 4).cast("int"))
+    store.overwritePartitions(gcfg.tableName, legacy, Seq("__year"))
+    // a merge touching only 2024 must keep the WHOLE table double —
+    // writing decimal into one partition while 2023 stays double would
+    // make every subsequent read of the table fail on conflicting
+    // physical types
+    val batch = Seq(("2024-01-01", 2.75), ("2024-02-01", 3.25))
+      .toDF("date", "price")
+    val r = runner.runDatasetPartitioned(gcfg.tableName, batch, Seq("price"))
+    assert(r.status == "success" && r.updated == 1 && r.newRows == 1)
+    val atRest = spark.read.parquet(store.path(gcfg.tableName))
+    assert(atRest.schema("price").dataType == DoubleType)
+    assert(atRest.count() == 3) // table still readable end to end
+    // the whole-table merge path honors the same policy
+    val r2 = runner.runDataset(gcfg.tableName, batch, Seq("price"), gateHours = 0)
+    assert(r2.status == "success")
+    assert(spark.read.parquet(store.path(gcfg.tableName))
+      .schema("price").dataType == DoubleType)
+  }
+
+  test("declared scale is the value contract: finer-than-scale input never churns") {
+    import spark.implicits._
+    val (store, runner, setNow) = newEnv()
+    val gcfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    val batch = Seq(("2024-01-01", 314.175)).toDF("date", "price")
+    val r1 = runner.runDataset(gcfg.tableName, batch, Seq("price"))
+    assert(r1.newRows == 1)
+    // stored snapped to DECIMAL(12,2) — what the declared SQL column
+    // would hold — and read back double on the engine surface
+    val api = new graft.api.EngineApi(spark, store)
+    val stored = api.pointLookup(gcfg.tableName, "2024-01-01")
+      .get.getAs[Double]("price")
+    assert(stored == 314.18)
+    // the SAME raw value re-ingested compares equal against the snapped
+    // row: no spurious update, no revision, ever (the r12 review's churn
+    // scenario — rounding error 0.005 > the 0.001 merge tolerance)
+    setNow("2025-06-03 00:00:00")
+    val r2 = runner.runDataset(gcfg.tableName, batch, Seq("price"))
+    assert(r2.status == "success" && r2.newRows == 0 && r2.updated == 0 &&
+      r2.revisions == 0)
+  }
+
+  test("a value overflowing the declared precision fails loudly, never silently") {
+    import spark.implicits._
+    val (store, runner, _) = newEnv()
+    val gcfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    // DECIMAL(12,2) holds at most 9999999999.99; ANSI mode makes the cast
+    // throw rather than write NULL (silent, unrepairable data loss)
+    val batch = Seq(("2024-01-01", 1.0e11)).toDF("date", "price")
+    intercept[Exception] {
+      runner.runDataset(gcfg.tableName, batch, Seq("price"))
+    }
+    // through the fetch contract the dataset records "error", run continues
+    val r = runner.runFetched(gcfg.tableName, Some(Array[Byte](1)),
+      _ => batch, Seq("price"))
+    assert(r.status == "error")
+  }
+
   test("empty input -> no_data, store untouched") {
     val (store, runner, _) = newEnv()
     val (canon, snake) = canonical()

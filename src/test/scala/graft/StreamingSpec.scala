@@ -42,6 +42,34 @@ class StreamingSpec extends SparkSuite {
     assert(revs.head.getAs[Double]("new_value") == 110.0)
   }
 
+  test("stream ingest preserves a declared-decimal table's at-rest schema") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = Files.createTempDirectory("graft-streamdec").toString
+    val store = new TableStore(spark, dir)
+    val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+    // table created under the declared-type policy (as a batch Runner
+    // ingest would): DECIMAL(12,2) at rest per the gasprice DDL
+    store.overwrite("gasprice", graft.store.SinkTypes.sinkCast(
+      Seq(("2025-01-01", 1.25)).toDF("date", "price"), "gasprice"),
+      maxFiles = 1)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Obs]
+    val q = StreamIngest.ingest(mem.toDF(), store, "gasprice", "price",
+      s"$dir/_ckpt", () => ts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    mem.addData(StreamIngest.Obs("2025-02-01", 2.455)) // finer than scale 2
+    q.processAllAvailable()
+    q.stop()
+    // the micro-batch must NOT flip the at-rest schema back to double
+    val atRest = spark.read.parquet(store.path("gasprice"))
+    assert(atRest.schema("price").dataType == DecimalType(12, 2))
+    // engine surface stays double, fine value snapped to the declared scale
+    val api = new graft.api.EngineApi(spark, store)
+    val rows = api.series("gasprice").collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[Double]("price"))).toSet
+    assert(rows == Set(("2025-01-01", 1.25), ("2025-02-01", 2.46)))
+  }
+
   test("partitioned stream ingest: a micro-batch rewrites only touched year partitions") {
     val dir = Files.createTempDirectory("graft-streampart").toString
     val store = new TableStore(spark, dir)
