@@ -1,11 +1,25 @@
 package graft
 
 
-/** Benchmark main: times every SparkEntry query at the given scale dir and
-  * prints ONE JSON line. A failing query records "<name>_error" and the run
-  * exits 1; FAILED iterations are excluded from that query's median/min and
-  * from the summed "total" (a fast crash must not read as a fast query). A
-  * query with zero successful iterations reports the -1 sentinel.
+/** Benchmark main: times every SparkEntry query at the given scale dir.
+  * A failing query records "<name>_error" and the run exits 1; FAILED
+  * iterations are excluded from that query's median/min and from the
+  * summed "total" (a fast crash must not read as a fast query). A query
+  * with zero successful iterations reports the -1 sentinel.
+  *
+  * Output, in order:
+  *   1. the FULL record (total + per-query medians + per-query mins) is
+  *      written to BENCH_FULL.json in the working directory — the durable
+  *      artifact, never truncated;
+  *   2. the same full record prints as one stdout line (greppable:
+  *      `"metric"`);
+  *   3. the LAST stdout line is a compact summary that fits inside a
+  *      2000-char log tail — total/errors/sf plus the slowest-median
+  *      queries that fit a fixed byte budget and a "queries_omitted"
+  *      count pointing at BENCH_FULL.json. Harness log collectors that
+  *      keep only the tail of stdout can always parse this final line;
+  *      every omitted query is sub-the-cutoff and present in the file
+  *      and in line 2.
   *
   * Iterations are INTERLEAVED round-robin over the whole query list (run
   * the full list, then run it again, SPARK_GRAFT_ITERS times — default 3)
@@ -53,12 +67,37 @@ object Bench {
       val key = if (errors.contains(name)) s"${name}_error" else name
       if (ts.isEmpty) (key, -1.0, -1.0) else (key, ts(ts.size / 2), ts.head)
     }
-    def fmt(f: ((String, Double, Double)) => Double) =
-      results.map { r => "\"" + r._1 + "\":" + f"${f(r)}%.3f" }
+    def fmt(rs: Seq[(String, Double, Double)])(
+        f: ((String, Double, Double)) => Double) =
+      rs.map { r => "\"" + r._1 + "\":" + f"${f(r)}%.3f" }
         .mkString("{", ",", "}")
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${
-      fmt(_._2)},"queries_min":${fmt(_._3)},"errors":${errors.size},"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${
+      fmt(results)(_._2)},"queries_min":${fmt(results)(_._3)},"errors":${
+      errors.size},"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] cannot write $out: ${e.getMessage}") }
+    println(full)
+    // compact tail line: slowest medians first, fixed byte budget so the
+    // line survives a 2000-char stdout-tail capture intact (errors always
+    // listed — an "_error" key must never be silently omitted)
+    val budget = 1300
+    val ranked = results.sortBy { case (k, m, _) =>
+      (if (k.endsWith("_error")) Double.MinValue else -m) }
+    val kept = collection.mutable.ListBuffer.empty[(String, Double, Double)]
+    var used = 0
+    for (r <- ranked) {
+      val sz = r._1.length + 10
+      if (used + sz <= budget || r._1.endsWith("_error")) {
+        kept += r; used += sz
+      }
+    }
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${
+      fmt(kept.toSeq)(_._2)},"queries_omitted":${results.size - kept.size
+      },"full":"$out","errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
