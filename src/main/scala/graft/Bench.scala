@@ -67,12 +67,15 @@ object Bench {
       val key = if (errors.contains(name)) s"${name}_error" else name
       if (ts.isEmpty) (key, -1.0, -1.0) else (key, ts(ts.size / 2), ts.head)
     }
+    // Locale.ROOT: the f-interpolator honors the default locale, and a
+    // comma-decimal locale would turn every number into invalid JSON
+    def num(d: Double) = String.format(java.util.Locale.ROOT, "%.3f", d)
     def fmt(rs: Seq[(String, Double, Double)])(
         f: ((String, Double, Double)) => Double) =
-      rs.map { r => "\"" + r._1 + "\":" + f"${f(r)}%.3f" }
+      rs.map { r => "\"" + r._1 + "\":" + num(f(r)) }
         .mkString("{", ",", "}")
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
-    val full = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${
+    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${
       fmt(results)(_._2)},"queries_min":${fmt(results)(_._3)},"errors":${
       errors.size},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -89,13 +92,14 @@ object Bench {
       (if (k.endsWith("_error")) Double.MinValue else -m) }
     val kept = collection.mutable.ListBuffer.empty[(String, Double, Double)]
     var used = 0
-    for (r <- ranked) {
+    var closed = false // first non-fitting entry CLOSES admission: the kept
+    for (r <- ranked) { // set must be exactly "every median above a cutoff"
       val sz = r._1.length + 10
-      if (used + sz <= budget || r._1.endsWith("_error")) {
-        kept += r; used += sz
-      }
+      if (r._1.endsWith("_error")) { kept += r; used += sz }
+      else if (!closed && used + sz <= budget) { kept += r; used += sz }
+      else closed = true
     }
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${
+    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${
       fmt(kept.toSeq)(_._2)},"queries_omitted":${results.size - kept.size
       },"full":"$out","errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()

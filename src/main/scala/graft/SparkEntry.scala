@@ -1655,8 +1655,12 @@ object SparkEntry {
     * ingest cost stays visible in latest_obs/api_store_sql/panel_all. */
   private val twoWbStores =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.store.TableStore]()
-  private def ingestTwoWorkbooksCached(s: SparkSession): graft.store.TableStore =
+  private def ingestTwoWorkbooksCached(s: SparkSession): graft.store.TableStore = {
+    // evict stopped sessions so a long-lived JVM cycling SparkSessions
+    // doesn't pin each session's object graph + temp-dir store forever
+    twoWbStores.keySet.removeIf(k => k.sparkContext.isStopped && (k ne s))
     twoWbStores.computeIfAbsent(s, ingestTwoWorkbooks(_))
+  }
 
   /** The 26-dataset synthetic registry fixtures (15 real-.xls EDB
     * workbooks, 10 FRED JSONs, 1 NYU sheet) — content is closed-form

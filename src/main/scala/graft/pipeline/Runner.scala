@@ -91,16 +91,11 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       // layout), and incoming values are snapped to the declared scale
       // first so sink rounding can never churn the tolerance compare
       val isNew = !store.exists(tableName)
-      val existingRaw = store.readOrEmpty(tableName, canonical)
-      val declared = SinkTypes.writesDeclared(existingRaw, tableName, isNew)
-      val existing = SinkTypes.engineCast(existingRaw, tableName)
-      val canonIn =
-        if (declared) SinkTypes.declaredRound(canonical, tableName)
-        else canonical
+      val pol = SinkTypes.mergePolicy(
+        store.readOrEmpty(tableName, canonical), tableName, isNew, canonical)
       val (merged, revs, counts) = SmartUpdate.merge(
-        canonIn, existing, "date", valueFields, tableName, ts)
-      store.overwrite(tableName,
-        if (declared) SinkTypes.sinkCast(merged, tableName) else merged,
+        pol.incoming, pol.existing, "date", valueFields, tableName, ts)
+      store.overwrite(tableName, pol.writeCast(merged, tableName),
         maxFiles = 1)
       // revs is a filter over the merge's checkpointed classify (an
       // RDD-backed plan): safe to hand out lazily past the overwrite and
@@ -210,15 +205,13 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
       // would become unreadable); declared tables snap incoming values to
       // the declared scale before classify so rounding can't churn
       val isNew = !store.exists(tableName)
-      val existingRawTouched =
+      val pol = SinkTypes.mergePolicy(
         if (!isNew)
           store.read(tableName).filter(col("__year").isin(years: _*))
-        else canonical.limit(0)
-      val declared = SinkTypes.writesDeclared(existingRawTouched, tableName, isNew)
-      val existingTouched = SinkTypes.engineCast(existingRawTouched, tableName)
-      val canonV =
-        if (declared) SinkTypes.declaredRound(canonical, tableName)
-        else canonical
+        else canonical.limit(0),
+        tableName, isNew, canonical)
+      val existingTouched = pol.existing
+      val canonV = pol.incoming
       // localCheckpoint, not cache (same reasoning as SmartUpdate.merge):
       // the classify result must survive the partition overwrite below —
       // a cached plan still references the table files and gets refreshed
@@ -254,8 +247,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         val cols = (Seq("date") ++ valueFields ++ Seq("__year")).map(col)
         val out = keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*))
         store.overwritePartitions(tableName,
-          if (declared) SinkTypes.sinkCast(out, tableName) else out,
-          Seq("__year"))
+          pol.writeCast(out, tableName), Seq("__year"))
       }
       if (counts.revisions > 0)
         store.append(Registry.RevisionsTable,

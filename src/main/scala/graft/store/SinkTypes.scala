@@ -62,6 +62,26 @@ object SinkTypes {
         .forall(_.dataType.isInstanceOf[DecimalType])))
   }
 
+  /** The one merge-time policy bundle, shared by every merge path
+    * (Runner.mergeCore, Runner.runDatasetPartitioned,
+    * StreamIngest.ingest) so batch and streaming can never diverge on
+    * at-rest schema: decide whether this table carries declared types,
+    * normalize the existing side to the engine's double surface, and snap
+    * the incoming batch to the declared scale when the contract applies. */
+  final case class MergePolicy(declared: Boolean, existing: DataFrame,
+                               incoming: DataFrame) {
+    /** Cast a merged frame for this table's at-rest layout. */
+    def writeCast(df: DataFrame, tableName: String): DataFrame =
+      if (declared) sinkCast(df, tableName) else df
+  }
+
+  def mergePolicy(existingRaw: DataFrame, tableName: String, isNew: Boolean,
+                  canonical: DataFrame): MergePolicy = {
+    val declared = writesDeclared(existingRaw, tableName, isNew)
+    MergePolicy(declared, engineCast(existingRaw, tableName),
+      if (declared) declaredRound(canonical, tableName) else canonical)
+  }
+
   /** At-rest frame -> engine numeric surface (doubles), applied at reads.
     * Only columns that are actually DecimalType are touched, so frames
     * from stores written before this policy read back unchanged. */

@@ -38,9 +38,36 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private val ManifestFile = "_compact_manifest"
 
+  /** Per-invocation PRIVATE temp dir: two concurrent writers of the same
+    * table (a stream micro-batch racing a batch catch-up, a scheduled
+    * compact racing an overwrite) must never see — let alone delete —
+    * each other's in-progress Spark output. Crashed invocations leak the
+    * dir; sweepStaleTmp() below reclaims it on the table's next write. */
   private def tmpPath(table: String) = {
     val t = new Path(URI.create(path(table)).normalize().toString)
-    new Path(t.getParent, s".${t.getName}.__tmp__")
+    new Path(t.getParent, s".${t.getName}.__tmp_${
+      java.util.UUID.randomUUID().toString.take(8)}__")
+  }
+
+  /** A temp/append-temp dir older than this is a crashed writer's leak and
+    * is reclaimed by the next write to the table. Generous on purpose: a
+    * LIVE tmp dir is one Spark write job in progress, and at real scale
+    * that can run for a long time — deleting a live one fails that job
+    * (the source data is untouched). Crashes leak disk for at most this
+    * long plus the gap to the table's next write; drop() reclaims
+    * unconditionally. */
+  private val TmpStaleMs = 6L * 3600 * 1000
+
+  private def sweepStaleTmp(table: String): Unit = {
+    val t = new Path(URI.create(path(table)).normalize().toString)
+    val pfx = Seq(s".${t.getName}.__tmp_", s".${t.getName}.__apd_")
+    val now = System.currentTimeMillis()
+    try fs.listStatus(t.getParent).foreach { s =>
+      val n = s.getPath.getName
+      if (pfx.exists(n.startsWith) && n.endsWith("__") &&
+          now - s.getModificationTime > TmpStaleMs)
+        fs.delete(s.getPath, true)
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 
   /** Commit lock serializing append's file-landing against overwrite's and
@@ -50,7 +77,22 @@ final class TableStore(spark: SparkSession, root: String) {
     * create-exclusive (atomic on HDFS and object-store committers; the
     * local-FS check-then-create race is narrower than the rename race it
     * closes); a crashed holder is healed by the staleness bound, which sits
-    * orders of magnitude above any rename's duration. */
+    * orders of magnitude above any rename's duration.
+    *
+    * The lock file carries a per-acquisition OWNER TOKEN:
+    *   - release deletes the lock only if the token is still ours, so a
+    *     holder whose lock was stale-broken can never delete the breaking
+    *     writer's fresh lock (which would cascade a third writer in);
+    *   - stale-breaking is rename-then-verify, not blind delete: rename to
+    *     a breaker-private name is atomic (exactly one breaker wins), and
+    *     the breaker then re-checks the renamed file is the same stale
+    *     acquisition it observed — if a fresh lock slid into the path
+    *     between stat and rename, it is renamed straight back.
+    * Boundary (documented, not defended): a holder PAUSED longer than the
+    * staleness bound mid-commit (a 30s GC pause inside a few renames) can
+    * still lose the lock — the classic lease-less lock-file limit; a
+    * multi-writer production deployment wants a lease service or a
+    * lakehouse commit log instead of raw parquet. */
   private def lockPath(table: String) = {
     val t = new Path(URI.create(path(table)).normalize().toString)
     new Path(t.getParent, s".${t.getName}.__lock__")
@@ -58,13 +100,21 @@ final class TableStore(spark: SparkSession, root: String) {
 
   private val LockStaleMs = 30000L
 
+  private def readToken(p: Path): Option[String] =
+    try {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
   private def withTableLock[A](table: String)(body: => A): A = {
     val lock = lockPath(table)
+    val token = java.util.UUID.randomUUID().toString
     var acquired = false
     while (!acquired) {
       try {
         val out = fs.create(lock, false)
-        try out.write(String.valueOf(System.currentTimeMillis()).getBytes("UTF-8"))
+        try out.write(token.getBytes("UTF-8"))
         finally out.close()
         acquired = true
       } catch {
@@ -72,13 +122,22 @@ final class TableStore(spark: SparkSession, root: String) {
           // held by another writer: break it if stale, else wait briefly
           try {
             val st = fs.getFileStatus(lock)
-            if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs)
-              fs.delete(lock, false)
-            else Thread.sleep(5)
+            if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs) {
+              val staleToken = readToken(lock)
+              val breaker = new Path(lock.getParent,
+                s"${lock.getName}.break_${token.take(8)}")
+              if (fs.rename(lock, breaker)) {
+                // verify we broke the acquisition we judged stale; a fresh
+                // lock that replaced it between stat and rename goes back
+                if (readToken(breaker) == staleToken) fs.delete(breaker, false)
+                else if (!fs.rename(breaker, lock)) fs.delete(breaker, false)
+              }
+            } else Thread.sleep(5)
           } catch { case _: java.io.FileNotFoundException => () }
       }
     }
-    try body finally fs.delete(lock, false)
+    try body
+    finally if (readToken(lock).contains(token)) fs.delete(lock, false)
   }
 
   /** A table "exists" if its directory OR an interrupted-swap backup does —
@@ -167,16 +226,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * healed on the next read via recoverTable(). */
   def overwrite(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
     recoverTable(table)
+    sweepStaleTmp(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     val tmp = tmpPath(table)
     val old = oldPath(table)
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    withTableLock(table) {
-      atomicSwap(target, tmp, old)
-      if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
-    }
+    try {
+      out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      withTableLock(table) {
+        atomicSwap(target, tmp, old)
+        if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
+      }
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Partition-scoped overwrite: the table is laid out as
@@ -206,6 +267,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * recreating the target dir and letting a later recovery mistake it for
     * compacted output (which would silently destroy every snapshot file). */
   def append(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
+    sweepStaleTmp(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     val tmp = new Path(target.getParent,
       s".${target.getName}.__apd_${java.util.UUID.randomUUID().toString.take(8)}__")
@@ -257,24 +319,26 @@ final class TableStore(spark: SparkSession, root: String) {
   private[graft] def compactSnapshot(table: String, snapshot: Seq[Path],
                                      targetFiles: Int): Unit = {
     if (snapshot.isEmpty) return
+    sweepStaleTmp(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     val tmp = tmpPath(table)
     val cold = coldPath(table)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    spark.read.parquet(snapshot.map(_.toString): _*)
-      .coalesce(targetFiles max 1)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    // manifest first, then swap: from here on the backup carries the
-    // snapshot names, so every crash point is recoverable. The manifest may
-    // land BEFORE the lock — a file appended in between is simply absent
-    // from it and gets merged forward like any other late append.
-    val mf = fs.create(new Path(target, ManifestFile), true)
-    try mf.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
-    finally mf.close()
-    withTableLock(table) {
-      atomicSwap(target, tmp, cold)
-      mergeLateAppends(table, target, cold)
-    }
+    try {
+      spark.read.parquet(snapshot.map(_.toString): _*)
+        .coalesce(targetFiles max 1)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // manifest first, then swap: from here on the backup carries the
+      // snapshot names, so every crash point is recoverable. The manifest may
+      // land BEFORE the lock — a file appended in between is simply absent
+      // from it and gets merged forward like any other late append.
+      val mf = fs.create(new Path(target, ManifestFile), true)
+      try mf.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      finally mf.close()
+      withTableLock(table) {
+        atomicSwap(target, tmp, cold)
+        mergeLateAppends(table, target, cold)
+      }
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Drop the table AND every recovery artifact — otherwise an `.__old__`
@@ -282,8 +346,13 @@ final class TableStore(spark: SparkSession, root: String) {
     * next read() resurrects the dropped table via recoverTable(). */
   def drop(table: String): Unit = {
     val target = new Path(URI.create(path(table)).normalize().toString)
-    Seq(target, oldPath(table), coldPath(table), tmpPath(table),
-        lockPath(table))
+    Seq(target, oldPath(table), coldPath(table), lockPath(table))
       .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+    // every per-invocation temp/append dir and stray lock breaker, any age
+    val pfx = Seq(s".${target.getName}.__tmp_", s".${target.getName}.__apd_",
+      s".${target.getName}.__lock__.break_")
+    try fs.listStatus(target.getParent).foreach { s =>
+      if (pfx.exists(s.getPath.getName.startsWith)) fs.delete(s.getPath, true)
+    } catch { case _: java.io.FileNotFoundException => () }
   }
 }

@@ -62,19 +62,11 @@ object StreamIngest {
           // micro-batch must not flip a declared-decimal table's at-rest
           // schema back to double (nor touch a legacy double table's)
           val isNew = !store.exists(table)
-          val existingRaw = store.readOrEmpty(table, canonical)
-          val declared = graft.store.SinkTypes.writesDeclared(
-            existingRaw, table, isNew)
-          val existing = graft.store.SinkTypes.engineCast(existingRaw, table)
-          val canonIn =
-            if (declared) graft.store.SinkTypes.declaredRound(canonical, table)
-            else canonical
+          val pol = graft.store.SinkTypes.mergePolicy(
+            store.readOrEmpty(table, canonical), table, isNew, canonical)
           val (merged, revs, counts) = SmartUpdate.merge(
-            canonIn, existing, "date", Seq(valueField), table, now())
-          store.overwrite(table,
-            if (declared) graft.store.SinkTypes.sinkCast(merged, table)
-            else merged,
-            maxFiles = 1)
+            pol.incoming, pol.existing, "date", Seq(valueField), table, now())
+          store.overwrite(table, pol.writeCast(merged, table), maxFiles = 1)
           if (counts.revisions > 0)
             store.append(Registry.RevisionsTable, revs, maxFiles = 1)
         }

@@ -172,6 +172,39 @@ class StorePipelineSpec extends SparkSuite {
     assert(!fs.exists(lock))
   }
 
+  test("crashed-writer temp dirs: swept when stale, kept when live, gone on drop") {
+    val (store, dir) = newStore()
+    store.overwrite("t5", Seq((1, "a")).toDF("k", "v"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staleApd = new Path(s"$dir/.t5.__apd_deadbeef__")
+    val staleTmp = new Path(s"$dir/.t5.__tmp_deadbeef__")
+    val liveTmp = new Path(s"$dir/.t5.__tmp_cafebabe__")
+    Seq(staleApd, staleTmp, liveTmp).foreach(fs.mkdirs)
+    val old = System.currentTimeMillis() - 7L * 3600 * 1000 // > 6h bound
+    Seq(staleApd, staleTmp).foreach(p => fs.setTimes(p, old, -1))
+    // next write reclaims the stale leaks but never a live writer's dir
+    store.append("t5", Seq((2, "b")).toDF("k", "v"), maxFiles = 1)
+    assert(!fs.exists(staleApd) && !fs.exists(staleTmp))
+    assert(fs.exists(liveTmp))
+    assert(store.read("t5").count() == 2)
+    // drop reclaims unconditionally (the table is going away)
+    store.drop("t5")
+    assert(!fs.exists(liveTmp))
+  }
+
+  test("concurrent overwrites of one table: last committed wins, table stays readable") {
+    val (store, _) = newStore()
+    // per-invocation private tmp dirs: neither writer can delete or swap
+    // the other's in-progress output; the lock serializes the two swaps
+    val threads = (0 until 4).map { i =>
+      new Thread(() => store.overwrite("race",
+        Seq((i, s"w$i")).toDF("k", "v"), maxFiles = 1))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val out = store.read("race").collect()
+    assert(out.length == 1 && out.head.getString(1).startsWith("w"))
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
