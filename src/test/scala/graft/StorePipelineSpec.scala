@@ -205,6 +205,30 @@ class StorePipelineSpec extends SparkSuite {
     assert(out.length == 1 && out.head.getString(1).startsWith("w"))
   }
 
+  test("append/compact/overwrite race stress: every appended row survives") {
+    val (store, _) = newStore()
+    // the CDC-log shape: many appenders racing periodic compactions. Every
+    // appended row must be in the final table — compaction merges late
+    // appends, never drops them; the commit lock serializes file-landing
+    // against the swap; per-invocation temp dirs keep writers private.
+    val appenders = (0 until 3).map { t =>
+      new Thread(() => {
+        for (i <- 0 until 8)
+          store.append("log", Seq((t * 100 + i, s"t$t-$i")).toDF("k", "v"),
+            maxFiles = 1)
+      })
+    }
+    val compactor = new Thread(() => {
+      for (_ <- 0 until 5) { store.compact("log"); Thread.sleep(20) }
+    })
+    (appenders :+ compactor).foreach(_.start())
+    (appenders :+ compactor).foreach(_.join())
+    store.compact("log")
+    val keys = store.read("log").collect().map(_.getInt(0)).toSet
+    val expect = (for (t <- 0 until 3; i <- 0 until 8) yield t * 100 + i).toSet
+    assert(keys == expect, s"lost ${expect -- keys}, phantom ${keys -- expect}")
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
