@@ -1657,8 +1657,21 @@ object SparkEntry {
     new java.util.concurrent.ConcurrentHashMap[SparkSession, graft.store.TableStore]()
   private def ingestTwoWorkbooksCached(s: SparkSession): graft.store.TableStore = {
     // evict stopped sessions so a long-lived JVM cycling SparkSessions
-    // doesn't pin each session's object graph + temp-dir store forever
-    twoWbStores.keySet.removeIf(k => k.sparkContext.isStopped && (k ne s))
+    // doesn't pin each session's object graph + temp-dir store forever —
+    // including the store's on-disk temp dir, not just the map entry
+    twoWbStores.entrySet.removeIf { e =>
+      val dead = e.getKey.sparkContext.isStopped && (e.getKey ne s)
+      if (dead) {
+        // the store's root IS the graft-2wb-* temp dir (path("") = root+"/")
+        val rootDir = new java.io.File(e.getValue.path("")).toPath
+        try {
+          java.nio.file.Files.walk(rootDir)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }
+      dead
+    }
     twoWbStores.computeIfAbsent(s, ingestTwoWorkbooks(_))
   }
 

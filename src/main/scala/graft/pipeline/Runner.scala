@@ -95,7 +95,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         store.readOrEmpty(tableName, canonical), tableName, isNew, canonical)
       val (merged, revs, counts) = SmartUpdate.merge(
         pol.incoming, pol.existing, "date", valueFields, tableName, ts)
-      store.overwrite(tableName, pol.writeCast(merged, tableName),
+      store.overwrite(tableName, pol.writeCast(merged),
         maxFiles = 1)
       // revs is a filter over the merge's checkpointed classify (an
       // RDD-backed plan): safe to hand out lazily past the overwrite and
@@ -247,7 +247,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
         val cols = (Seq("date") ++ valueFields ++ Seq("__year")).map(col)
         val out = keptChanged.select(cols: _*).unionByName(fresh.select(cols: _*))
         store.overwritePartitions(tableName,
-          pol.writeCast(out, tableName), Seq("__year"))
+          pol.writeCast(out), Seq("__year"))
       }
       if (counts.revisions > 0)
         store.append(Registry.RevisionsTable,

@@ -68,17 +68,19 @@ object SinkTypes {
     * at-rest schema: decide whether this table carries declared types,
     * normalize the existing side to the engine's double surface, and snap
     * the incoming batch to the declared scale when the contract applies. */
-  final case class MergePolicy(declared: Boolean, existing: DataFrame,
-                               incoming: DataFrame) {
-    /** Cast a merged frame for this table's at-rest layout. */
-    def writeCast(df: DataFrame, tableName: String): DataFrame =
+  final case class MergePolicy(tableName: String, declared: Boolean,
+                               existing: DataFrame, incoming: DataFrame) {
+    /** Cast a merged frame for THIS policy's table's at-rest layout —
+      * the table is pinned at mergePolicy() time so a call site can't
+      * decide `declared` for one table and cast for another. */
+    def writeCast(df: DataFrame): DataFrame =
       if (declared) sinkCast(df, tableName) else df
   }
 
   def mergePolicy(existingRaw: DataFrame, tableName: String, isNew: Boolean,
                   canonical: DataFrame): MergePolicy = {
     val declared = writesDeclared(existingRaw, tableName, isNew)
-    MergePolicy(declared, engineCast(existingRaw, tableName),
+    MergePolicy(tableName, declared, engineCast(existingRaw, tableName),
       if (declared) declaredRound(canonical, tableName) else canonical)
   }
 

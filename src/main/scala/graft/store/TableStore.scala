@@ -50,24 +50,57 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** A temp/append-temp dir older than this is a crashed writer's leak and
-    * is reclaimed by the next write to the table. Generous on purpose: a
+    * is reclaimed by a later write to the table. Generous on purpose: a
     * LIVE tmp dir is one Spark write job in progress, and at real scale
     * that can run for a long time — deleting a live one fails that job
-    * (the source data is untouched). Crashes leak disk for at most this
-    * long plus the gap to the table's next write; drop() reclaims
-    * unconditionally. */
+    * (the source data is untouched). Liveness is judged by the NEWEST
+    * mtime anywhere under the dir, not the top-level dir's (Spark tasks
+    * write under _temporary/ subtrees and never touch the root's mtime),
+    * so a job is live as long as any task has produced output within the
+    * bound. Crashes leak disk for at most this long plus the gap to the
+    * table's next swept write; drop() reclaims unconditionally. */
   private val TmpStaleMs = 6L * 3600 * 1000
 
+  /** Sweep every 64th write per table (and the first): the sweep is one
+    * server-side-filtered glob of the store root, pure overhead in the
+    * common no-leak case, so a streaming ingest writing twice per
+    * micro-batch must not pay it twice per batch forever. */
+  private val SweepEvery = 64L
+  private val sweepTick =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def newestMtime(p: Path): Long = {
+    var newest = fs.getFileStatus(p).getModificationTime
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) newest = newest max it.next().getModificationTime
+    newest
+  }
+
   private def sweepStaleTmp(table: String): Unit = {
+    val n = sweepTick.computeIfAbsent(table,
+      _ => new java.util.concurrent.atomic.AtomicLong()).getAndIncrement()
+    if (n % SweepEvery == 0) sweepLeakedTmp(table)
+  }
+
+  /** Best-effort: a leaked dir that cannot be statted or deleted (ACLs,
+    * object-store throttling) must never fail the caller's WRITE — it
+    * just stays leaked until drop() or an operator removes it.
+    * Package-private so the stale/live boundary is testable directly. */
+  private[graft] def sweepLeakedTmp(table: String): Unit = {
     val t = new Path(URI.create(path(table)).normalize().toString)
-    val pfx = Seq(s".${t.getName}.__tmp_", s".${t.getName}.__apd_")
     val now = System.currentTimeMillis()
-    try fs.listStatus(t.getParent).foreach { s =>
-      val n = s.getPath.getName
-      if (pfx.exists(n.startsWith) && n.endsWith("__") &&
-          now - s.getModificationTime > TmpStaleMs)
-        fs.delete(s.getPath, true)
-    } catch { case _: java.io.FileNotFoundException => () }
+    try {
+      val leaks = fs.globStatus(new Path(t.getParent, s".${t.getName}.__*__"))
+      for (s <- Option(leaks).getOrElse(Array.empty)) {
+        val name = s.getPath.getName
+        if (name.startsWith(s".${t.getName}.__tmp_") ||
+            name.startsWith(s".${t.getName}.__apd_")) // never lock/old/cold
+          try {
+            if (now - newestMtime(s.getPath) > TmpStaleMs)
+              fs.delete(s.getPath, true)
+          } catch { case scala.util.control.NonFatal(_) => () }
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   /** Commit lock serializing append's file-landing against overwrite's and
@@ -85,14 +118,18 @@ final class TableStore(spark: SparkSession, root: String) {
     *     writer's fresh lock (which would cascade a third writer in);
     *   - stale-breaking is rename-then-verify, not blind delete: rename to
     *     a breaker-private name is atomic (exactly one breaker wins), and
-    *     the breaker then re-checks the renamed file is the same stale
-    *     acquisition it observed — if a fresh lock slid into the path
-    *     between stat and rename, it is renamed straight back.
+    *     the verdict is re-derived from the BREAKER's own mtime (rename
+    *     preserves it) — not from anything read at the original path
+    *     beforehand, which a competing breaker's fresh lock could have
+    *     replaced in the meantime. A breaker that finds it stole a fresh
+    *     lock renames it straight back.
     * Boundary (documented, not defended): a holder PAUSED longer than the
     * staleness bound mid-commit (a 30s GC pause inside a few renames) can
-    * still lose the lock — the classic lease-less lock-file limit; a
-    * multi-writer production deployment wants a lease service or a
-    * lakehouse commit log instead of raw parquet. */
+    * still lose the lock — the classic lease-less lock-file limit — and a
+    * failed rename-back of a mistakenly-stolen fresh lock (its path was
+    * re-created in the microseconds in between) strands that holder
+    * lockless; a multi-writer production deployment wants a lease service
+    * or a lakehouse commit log instead of raw parquet. */
   private def lockPath(table: String) = {
     val t = new Path(URI.create(path(table)).normalize().toString)
     new Path(t.getParent, s".${t.getName}.__lock__")
@@ -123,13 +160,16 @@ final class TableStore(spark: SparkSession, root: String) {
           try {
             val st = fs.getFileStatus(lock)
             if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs) {
-              val staleToken = readToken(lock)
               val breaker = new Path(lock.getParent,
                 s"${lock.getName}.break_${token.take(8)}")
               if (fs.rename(lock, breaker)) {
-                // verify we broke the acquisition we judged stale; a fresh
-                // lock that replaced it between stat and rename goes back
-                if (readToken(breaker) == staleToken) fs.delete(breaker, false)
+                // re-derive staleness from the renamed file itself: its
+                // mtime travels with the rename, so this judges whatever
+                // we ACTUALLY took, not whatever we statted moments ago
+                val broke = fs.getFileStatus(breaker)
+                if (System.currentTimeMillis() - broke.getModificationTime >
+                    LockStaleMs)
+                  fs.delete(breaker, false)
                 else if (!fs.rename(breaker, lock)) fs.delete(breaker, false)
               }
             } else Thread.sleep(5)
@@ -151,8 +191,24 @@ final class TableStore(spark: SparkSession, root: String) {
     *     two renames; restore the backup so readers see the pre-swap table;
     *   - target present, compaction backup present -> the crash happened
     *     during the late-append merge; finish it (idempotent) using the
-    *     manifest the backup carries, then drop the backup. */
+    *     manifest the backup carries, then drop the backup.
+    *
+    * The HEALING renames run under the commit lock: a LIVE writer between
+    * atomicSwap's two renames looks exactly like a crash, and an unlocked
+    * healer would rename the backup into place under it (failing its swap
+    * and consuming its restore point). The fast path — no recovery
+    * artifacts present, i.e. always, outside the seconds after a crash —
+    * takes no lock and costs the same existence probes as before; the
+    * state is re-derived inside the lock before healing, so losing the
+    * race to the live writer (or another healer) degrades to a no-op. */
   private def recoverTable(table: String): Unit = {
+    val target = new Path(URI.create(path(table)).normalize().toString)
+    if (fs.exists(coldPath(table)) ||
+        (!fs.exists(target) && fs.exists(oldPath(table))))
+      withTableLock(table) { recoverTableLocked(table) }
+  }
+
+  private def recoverTableLocked(table: String): Unit = {
     val target = new Path(URI.create(path(table)).normalize().toString)
     val old = oldPath(table)
     val cold = coldPath(table)
@@ -274,7 +330,7 @@ final class TableStore(spark: SparkSession, root: String) {
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
     out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     try withTableLock(table) {
-      recoverTable(table)
+      recoverTableLocked(table)
       if (!fs.exists(target)) fs.mkdirs(target)
       for (f <- dataFiles(tmp)) {
         if (!fs.rename(f, new Path(target, f.getName)))
@@ -294,7 +350,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * lands mid-compaction is preserved, not silently lost. The former
     * last window — an append racing the two renames themselves — is closed
     * by the per-table commit lock: append's file-landing and the swap
-    * serialize, with no Spark job ever run under the lock. */
+    * serialize, with no Spark job ever run under the lock.
+    *
+    * Coordination boundary: compact() is safe against concurrent
+    * append()s (that is its contract); it is NOT safe against a
+    * concurrent overwrite() of the same table — the manifest and the
+    * compacted output are derived from a file set an overwrite replaces
+    * wholesale. The engine never does both (compaction targets the
+    * append-only revision log); an external caller must not either. */
   def compact(table: String, targetFiles: Int = 1): Unit = {
     if (!exists(table)) return
     recoverTable(table)

@@ -66,7 +66,7 @@ object StreamIngest {
             store.readOrEmpty(table, canonical), table, isNew, canonical)
           val (merged, revs, counts) = SmartUpdate.merge(
             pol.incoming, pol.existing, "date", Seq(valueField), table, now())
-          store.overwrite(table, pol.writeCast(merged, table), maxFiles = 1)
+          store.overwrite(table, pol.writeCast(merged), maxFiles = 1)
           if (counts.revisions > 0)
             store.append(Registry.RevisionsTable, revs, maxFiles = 1)
         }

@@ -182,10 +182,12 @@ class StorePipelineSpec extends SparkSuite {
     Seq(staleApd, staleTmp, liveTmp).foreach(fs.mkdirs)
     val old = System.currentTimeMillis() - 7L * 3600 * 1000 // > 6h bound
     Seq(staleApd, staleTmp).foreach(p => fs.setTimes(p, old, -1))
-    // next write reclaims the stale leaks but never a live writer's dir
-    store.append("t5", Seq((2, "b")).toDF("k", "v"), maxFiles = 1)
+    // the sweep (run on every 64th write) reclaims the stale leaks but
+    // never a live writer's dir
+    store.sweepLeakedTmp("t5")
     assert(!fs.exists(staleApd) && !fs.exists(staleTmp))
     assert(fs.exists(liveTmp))
+    store.append("t5", Seq((2, "b")).toDF("k", "v"), maxFiles = 1)
     assert(store.read("t5").count() == 2)
     // drop reclaims unconditionally (the table is going away)
     store.drop("t5")
