@@ -90,11 +90,13 @@ final class TableStore(spark: SparkSession, root: String) {
     val t = new Path(URI.create(path(table)).normalize().toString)
     val now = System.currentTimeMillis()
     try {
-      val leaks = fs.globStatus(new Path(t.getParent, s".${t.getName}.__*__"))
+      val leaks = fs.globStatus(new Path(t.getParent, s".${t.getName}.__*"))
       for (s <- Option(leaks).getOrElse(Array.empty)) {
         val name = s.getPath.getName
+        // writer temp dirs + orphaned lock breakers; never lock/old/cold
         if (name.startsWith(s".${t.getName}.__tmp_") ||
-            name.startsWith(s".${t.getName}.__apd_")) // never lock/old/cold
+            name.startsWith(s".${t.getName}.__apd_") ||
+            name.startsWith(s".${t.getName}.__lock__.break_"))
           try {
             if (now - newestMtime(s.getPath) > TmpStaleMs)
               fs.delete(s.getPath, true)
