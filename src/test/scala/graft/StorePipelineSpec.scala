@@ -231,6 +231,32 @@ class StorePipelineSpec extends SparkSuite {
     assert(keys == expect, s"lost ${expect -- keys}, phantom ${keys -- expect}")
   }
 
+  test("recovery waits for a live commit lock — a reader never heals under a writer") {
+    val (store, dir) = newStore()
+    store.overwrite("t6", Seq((1, "a"), (2, "b")).toDF("k", "v"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a live writer mid-swap: target renamed away, commit lock held fresh.
+    // an unlocked healer here would rename the backup into place UNDER the
+    // writer, consuming the restore point its swap depends on
+    assert(fs.rename(new Path(s"$dir/t6"), new Path(s"$dir/.t6.__old__")))
+    fs.create(new Path(s"$dir/.t6.__lock__"), true).close()
+    @volatile var n = -1L
+    val reader = new Thread(() => { n = store.read("t6").count() })
+    reader.start()
+    Thread.sleep(400)
+    // reader is blocked on the lock; the mid-swap state is untouched
+    assert(n == -1L)
+    assert(fs.exists(new Path(s"$dir/.t6.__old__")) &&
+      !fs.exists(new Path(s"$dir/t6")))
+    // writer "crashes" (lock released without finishing): reader acquires,
+    // heals the interrupted swap, and completes
+    fs.delete(new Path(s"$dir/.t6.__lock__"), false)
+    reader.join(30000)
+    assert(n == 2)
+    assert(fs.exists(new Path(s"$dir/t6")) &&
+      !fs.exists(new Path(s"$dir/.t6.__old__")))
+  }
+
   test("readOrEmpty on a missing table returns an empty frame of the template schema") {
     val (store, _) = newStore()
     val like = Seq((1, "a")).toDF("k", "v")
