@@ -16,6 +16,12 @@ object LocalSession {
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // static conf, default 100: the 88-query harness compiles several
+      // hundred distinct WholeStageCodegen classes per pass, so the default
+      // evicts and re-Janino-compiles continuously across interleaved bench
+      // iterations — pure compilation churn billed to whichever query runs
+      // next. Size it to hold the whole harness's generated classes once.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
