@@ -32,5 +32,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// Heap per forked scope (SPARK_DRIVER_MEM overrides both): the run mains
+// (Bench/Verify/Probe) are sized for the 128 GiB local[32] bench host —
+// measured 71.5s -> 68.9s at sf0.1 going 8g -> 24g; the test suite stays
+// at 8g so `sbt test` remains runnable on an ordinary dev machine.
+Compile / run / javaOptions +=
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+Compile / runMain / javaOptions +=
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}"
+Test / javaOptions +=
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}"

@@ -14,8 +14,10 @@ object LocalSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // no spark.driver.memory here: in local mode the JVM is already
+      // running, so that conf is inert (and would misreport the real
+      // heap) — the actual -Xmx is set by build.sbt's forked javaOptions
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       // static conf, default 100: the 88-query harness compiles several
       // hundred distinct WholeStageCodegen classes per pass, so the default
       // evicts and re-Janino-compiles continuously across interleaved bench

@@ -82,6 +82,15 @@ final class TableStore(spark: SparkSession, root: String) {
     if (n % SweepEvery == 0) sweepLeakedTmp(table)
   }
 
+  /** The table's reclaimable-artifact name prefixes — writer temp dirs,
+    * append temp dirs, orphaned lock breakers. ONE list shared by the
+    * periodic sweep and drop() so a new artifact kind can't be added to
+    * one and leak (or resurrect) through the other. Never includes
+    * lock/old/cold: those are live coordination/recovery state. */
+  private def leakPrefixes(tableName: String): Seq[String] =
+    Seq(s".$tableName.__tmp_", s".$tableName.__apd_",
+      s".$tableName.__lock__.break_")
+
   /** Best-effort: a leaked dir that cannot be statted or deleted (ACLs,
     * object-store throttling) must never fail the caller's WRITE — it
     * just stays leaked until drop() or an operator removes it.
@@ -91,12 +100,9 @@ final class TableStore(spark: SparkSession, root: String) {
     val now = System.currentTimeMillis()
     try {
       val leaks = fs.globStatus(new Path(t.getParent, s".${t.getName}.__*"))
+      val pfx = leakPrefixes(t.getName)
       for (s <- Option(leaks).getOrElse(Array.empty)) {
-        val name = s.getPath.getName
-        // writer temp dirs + orphaned lock breakers; never lock/old/cold
-        if (name.startsWith(s".${t.getName}.__tmp_") ||
-            name.startsWith(s".${t.getName}.__apd_") ||
-            name.startsWith(s".${t.getName}.__lock__.break_"))
+        if (pfx.exists(s.getPath.getName.startsWith))
           try {
             if (now - newestMtime(s.getPath) > TmpStaleMs)
               fs.delete(s.getPath, true)
@@ -414,8 +420,7 @@ final class TableStore(spark: SparkSession, root: String) {
     Seq(target, oldPath(table), coldPath(table), lockPath(table))
       .foreach(p => if (fs.exists(p)) fs.delete(p, true))
     // every per-invocation temp/append dir and stray lock breaker, any age
-    val pfx = Seq(s".${target.getName}.__tmp_", s".${target.getName}.__apd_",
-      s".${target.getName}.__lock__.break_")
+    val pfx = leakPrefixes(target.getName)
     try fs.listStatus(target.getParent).foreach { s =>
       if (pfx.exists(s.getPath.getName.startsWith)) fs.delete(s.getPath, true)
     } catch { case _: java.io.FileNotFoundException => () }
