@@ -13,6 +13,11 @@ object LocalSession {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // pinned, not inherited: SinkTypes' loud-overflow contract (declared
+      // DECIMAL(p,s) overflow THROWS, never a silent NULL at rest) rides on
+      // ANSI mode, which is default-true only on Spark 4.x — a cluster with
+      // ANSI off would silently null exactly the values the policy protects
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // no spark.driver.memory here: in local mode the JVM is already
       // running, so that conf is inert (and would misreport the real

@@ -32,23 +32,41 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   */
 object SinkTypes {
 
+  /** The loud-overflow contract rides on ANSI mode (a non-ANSI decimal
+    * cast NULLs on overflow — exactly the silent corruption this policy
+    * exists to prevent), and ANSI is only DEFAULT-true on Spark 4.x.
+    * LocalSession pins it; a library consumer embedding the engine in
+    * their own session might not — so every declared-decimal cast site
+    * asserts it rather than trusting ambient config. */
+  private def requireAnsi(df: DataFrame): Unit =
+    require(df.sparkSession.conf.get("spark.sql.ansi.enabled", "true").toBoolean,
+      "SinkTypes: declared-decimal writes require spark.sql.ansi.enabled=true " +
+        "(without ANSI, declared-precision overflow becomes a silent NULL " +
+        "at rest instead of a loud failure)")
+
   /** Engine frame -> declared at-rest schema, applied at table writes. */
-  def sinkCast(df: DataFrame, tableName: String): DataFrame =
-    Registry.declaredDecimals(tableName).foldLeft(df) {
+  def sinkCast(df: DataFrame, tableName: String): DataFrame = {
+    val dec = Registry.declaredDecimals(tableName)
+    if (dec.nonEmpty) requireAnsi(df)
+    dec.foldLeft(df) {
       case (d, (c, (p, s))) if d.columns.contains(c) =>
         d.withColumn(c, col(c).cast(DecimalType(p, s)))
       case (d, _) => d
     }
+  }
 
   /** Snap engine values to the declared scale (decimal round-trip) before
     * the merge classifies them — the stored row and a re-ingested raw
     * value then compare exactly equal. No-op for undeclared columns. */
-  def declaredRound(df: DataFrame, tableName: String): DataFrame =
-    Registry.declaredDecimals(tableName).foldLeft(df) {
+  def declaredRound(df: DataFrame, tableName: String): DataFrame = {
+    val dec = Registry.declaredDecimals(tableName)
+    if (dec.nonEmpty) requireAnsi(df)
+    dec.foldLeft(df) {
       case (d, (c, (p, s))) if d.columns.contains(c) =>
         d.withColumn(c, col(c).cast(DecimalType(p, s)).cast(DoubleType))
       case (d, _) => d
     }
+  }
 
   /** Whether writes to this table should carry the declared decimals:
     * yes for a table with declarations that is NEW or already written

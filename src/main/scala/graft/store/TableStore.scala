@@ -309,7 +309,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * replaced (dynamic partition overwrite), untouched partitions are
     * neither read nor written. This is the 100 TB incremental-merge write
     * path: a daily batch touching one year rewrites one year, not a decade
-    * of history. Reads prune directories on any `partCol` predicate. */
+    * of history. Reads prune directories on any `partCol` predicate.
+    *
+    * Coordination boundary: unlike overwrite()/append()/compact(), this
+    * path does NOT serialize under the per-table commit lock — the commit
+    * is Spark's dynamic-partition-overwrite committer (staging dirs +
+    * per-partition replacement inside the table dir), which the lock's
+    * whole-directory two-rename protocol cannot wrap without holding the
+    * lock across an entire Spark job. Two writers overwriting DISJOINT
+    * partitions are safe (each replaces only its own partition dirs);
+    * racing it against compact()/overwrite() of the SAME table, or two
+    * writers on the SAME partition, is unsupported — the engine never
+    * does either (partitioned tables are written only by this path, one
+    * dataset's runner/stream at a time; compaction targets the unpartitioned
+    * revision log). A multi-writer deployment wants a lakehouse commit log. */
   def overwritePartitions(table: String, df: DataFrame,
                           partCols: Seq[String]): Unit = {
     recoverTable(table)
@@ -340,12 +353,46 @@ final class TableStore(spark: SparkSession, root: String) {
     try withTableLock(table) {
       recoverTableLocked(table)
       if (!fs.exists(target)) fs.mkdirs(target)
-      for (f <- dataFiles(tmp)) {
-        if (!fs.rename(f, new Path(target, f.getName)))
-          sys.error(s"TableStore: append commit $f -> $target failed")
-      }
+      landFiles(target, tmp)
     } finally fs.delete(tmp, true)
   }
+
+  /** Land every data file from `tmp` into `target` by rename — all-or-
+    * nothing against a FAILED rename: if one returns false partway through
+    * the batch, the files already landed are renamed back into `tmp` before
+    * raising, so the table never holds a half batch and a caller that
+    * retries the whole batch cannot double-append the half that landed
+    * (append's finally then deletes `tmp`, rolled-back files included).
+    * A rollback rename that itself fails leaves that file landed and is
+    * named in the error — the caller must inspect before retrying, exactly
+    * like any other partial-commit report. The rename operation is
+    * injectable (package-private, production default below) because a
+    * mid-batch rename failure cannot be provoked from outside on the
+    * local FS (its rename falls back to a copy) — fault injection is the
+    * only deterministic test of the rollback path. */
+  private[graft] def landFiles(target: Path, tmp: Path,
+      rename: (Path, Path) => Boolean = tryRename): Unit = {
+    val landed = scala.collection.mutable.ArrayBuffer.empty[Path]
+    for (f <- dataFiles(tmp)) {
+      val dest = new Path(target, f.getName)
+      if (!rename(f, dest)) {
+        val stuck = landed.filterNot(d => rename(d, new Path(tmp, d.getName)))
+        sys.error(s"TableStore: append commit $f -> $target failed; " +
+          (if (stuck.isEmpty) "batch rolled back, safe to retry"
+           else s"rollback ALSO failed for ${stuck.mkString(", ")} — " +
+             "those rows are landed, do not blindly retry the batch"))
+      }
+      landed += dest
+    }
+  }
+
+  /** fs.rename with failure normalized to `false`: HDFS signals failure by
+    * returning false, but the local FS's copy fallback (and object-store
+    * shims) can THROW instead — both forms must take landFiles' rollback
+    * path, not skip it. */
+  private def tryRename(src: Path, dst: Path): Boolean =
+    try fs.rename(src, dst)
+    catch { case scala.util.control.NonFatal(_) => false }
 
   /** Compact an append-accumulated table: the revision log gains one
     * small file per merge (one per MICRO-BATCH on a long-lived stream —
@@ -361,11 +408,14 @@ final class TableStore(spark: SparkSession, root: String) {
     * serialize, with no Spark job ever run under the lock.
     *
     * Coordination boundary: compact() is safe against concurrent
-    * append()s (that is its contract); it is NOT safe against a
-    * concurrent overwrite() of the same table — the manifest and the
-    * compacted output are derived from a file set an overwrite replaces
-    * wholesale. The engine never does both (compaction targets the
-    * append-only revision log); an external caller must not either. */
+    * append()s (that is its contract). Against a concurrent overwrite()
+    * or another compact() of the same table it LOSES SAFELY: the commit
+    * re-checks under the lock that the snapshot's files are still live
+    * and aborts as a no-op if the table was swapped underneath (see
+    * compactSnapshot) — at worst the racing compaction's read job fails
+    * loudly when the files vanish mid-scan. It never duplicates rows or
+    * clobbers the winning writer. The engine still never races them
+    * (compaction targets the append-only revision log). */
   def compact(table: String, targetFiles: Int = 1): Unit = {
     if (!exists(table)) return
     recoverTable(table)
@@ -382,14 +432,31 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Compact exactly `snapshot`'s files; anything that lands in the table
     * dir after the snapshot is merged into the result, not deleted — even
     * across a crash: the snapshot manifest is written INTO the table dir
-    * before the swap, so it travels with the backup and recoverTable()
-    * can finish an interrupted merge on the next access instead of
-    * deleting unmerged micro-batches with the backup. Package-private so
-    * the snapshot-vs-late-append race is testable deterministically (the
-    * test passes a deliberately stale snapshot). */
+    * under the commit lock just before the swap, so it travels with the
+    * backup and recoverTable() can finish an interrupted merge on the next
+    * access instead of deleting unmerged micro-batches with the backup.
+    *
+    * Under the lock, BEFORE committing, the live file set is re-checked
+    * against the snapshot: a concurrent compact() or overwrite() that
+    * swapped the table in the meantime replaced the snapshot's files, and
+    * committing our (now stale) compacted copy over it would re-land every
+    * snapshot row as a "late append" — every row duplicated. If any
+    * snapshot file is gone, this compaction ABORTS as a no-op (the rows
+    * live on in whatever replaced them; only the redundant compacted copy
+    * is discarded). This makes concurrent compact-vs-compact and
+    * compact-vs-overwrite lose-safely: the loser aborts (quietly when the
+    * race already happened at entry — the existence probe below; loudly if
+    * the files vanish mid-scan), never commits a duplicate or clobbers the
+    * winner. Package-private so the snapshot-vs-late-append race is
+    * testable deterministically (the test passes a deliberately stale
+    * snapshot). */
   private[graft] def compactSnapshot(table: String, snapshot: Seq[Path],
                                      targetFiles: Int): Unit = {
     if (snapshot.isEmpty) return
+    // lost already: a racing compact/overwrite consumed the snapshot's
+    // files before we even started reading — abort before burning a Spark
+    // job on a commit the under-lock recheck would refuse anyway
+    if (!snapshot.forall(fs.exists)) return
     sweepStaleTmp(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     val tmp = tmpPath(table)
@@ -398,31 +465,50 @@ final class TableStore(spark: SparkSession, root: String) {
       spark.read.parquet(snapshot.map(_.toString): _*)
         .coalesce(targetFiles max 1)
         .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      // manifest first, then swap: from here on the backup carries the
-      // snapshot names, so every crash point is recoverable. The manifest may
-      // land BEFORE the lock — a file appended in between is simply absent
-      // from it and gets merged forward like any other late append.
-      val mf = fs.create(new Path(target, ManifestFile), true)
-      try mf.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
-      finally mf.close()
       withTableLock(table) {
-        atomicSwap(target, tmp, cold)
-        mergeLateAppends(table, target, cold)
+        val live =
+          if (fs.exists(target)) dataFiles(target).map(_.getName).toSet
+          else Set.empty[String]
+        if (snapshot.forall(p => live.contains(p.getName))) {
+          // manifest then swap, both under the lock: the manifest can only
+          // ever describe the swap that immediately follows. A file appended
+          // between the snapshot and the lock is simply absent from it and
+          // gets merged forward like any other late append.
+          val mf = fs.create(new Path(target, ManifestFile), true)
+          try mf.write(snapshot.map(_.getName).mkString("\n").getBytes("UTF-8"))
+          finally mf.close()
+          atomicSwap(target, tmp, cold)
+          mergeLateAppends(table, target, cold)
+        }
       }
     } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Drop the table AND every recovery artifact — otherwise an `.__old__`
     * or `.__cold__` left by an interrupted swap keeps exists() true and the
-    * next read() resurrects the dropped table via recoverTable(). */
+    * next read() resurrects the dropped table via recoverTable().
+    *
+    * Runs under the commit lock: an unlocked drop racing an in-flight
+    * append/overwrite COMMIT would delete the holder's lock (admitting
+    * another writer mid-commit) and the holder's subsequent renames could
+    * partially resurrect the dropped table. Under the lock, an in-flight
+    * commit finishes (or aborts) first and the drop then removes its
+    * result whole. The lock file itself is deleted LAST, by the normal
+    * release path, as its owner. Boundary (documented, not defended): a
+    * writer whose Spark job is still writing its PRIVATE tmp dir (no lock
+    * held during the job) loses that dir here — its commit then fails
+    * loudly with the source data untouched, which is what dropping the
+    * table out from under a writer means. */
   def drop(table: String): Unit = {
     val target = new Path(URI.create(path(table)).normalize().toString)
-    Seq(target, oldPath(table), coldPath(table), lockPath(table))
-      .foreach(p => if (fs.exists(p)) fs.delete(p, true))
-    // every per-invocation temp/append dir and stray lock breaker, any age
     val pfx = leakPrefixes(target.getName)
-    try fs.listStatus(target.getParent).foreach { s =>
-      if (pfx.exists(s.getPath.getName.startsWith)) fs.delete(s.getPath, true)
-    } catch { case _: java.io.FileNotFoundException => () }
+    withTableLock(table) {
+      Seq(target, oldPath(table), coldPath(table))
+        .foreach(p => if (fs.exists(p)) fs.delete(p, true))
+      // every per-invocation temp/append dir and stray lock breaker, any age
+      try fs.listStatus(target.getParent).foreach { s =>
+        if (pfx.exists(s.getPath.getName.startsWith)) fs.delete(s.getPath, true)
+      } catch { case _: java.io.FileNotFoundException => () }
+    }
   }
 }

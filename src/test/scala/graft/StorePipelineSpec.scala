@@ -263,4 +263,158 @@ class StorePipelineSpec extends SparkSuite {
     val out = store.readOrEmpty("nope", like)
     assert(out.isEmpty && out.schema == like.schema)
   }
+
+  test("append commit rolls back landed files when a mid-batch rename fails") {
+    // ADVICE r12 (low): a rename failing partway through append's multi-file
+    // commit must not leave a half batch in the table — a caller retrying
+    // the whole batch would double-append the half that landed. The failure
+    // is injected (the local FS can't be made to fail a rename on demand).
+    val (store, dir) = newStore()
+    store.overwrite("lf", Seq((0, "base")).toDF("k", "v"), maxFiles = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"$dir/lf")
+    val tmp = new Path(s"$dir/.lf.__apd_test__")
+    Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+      .repartition(3).write.parquet(tmp.toString)
+    def parts(p: Path) = fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    val batch = parts(tmp).sorted
+    assert(batch.size == 3)
+    val before = parts(target).toSet
+    // forward rename of the SECOND batch file fails; every other rename
+    // (incl. the rollback of the first) succeeds
+    var calls = 0
+    val failSecond = (src: Path, dst: Path) => {
+      if (dst.getParent == target) { calls += 1; if (calls == 2) false
+        else fs.rename(src, dst) }
+      else fs.rename(src, dst)
+    }
+    val err = intercept[RuntimeException](store.landFiles(target, tmp, failSecond))
+    assert(err.getMessage.contains("rolled back, safe to retry"))
+    assert(parts(target).toSet == before)      // no half batch landed
+    assert(parts(tmp).sorted == batch)         // every file back in tmp
+    assert(store.read("lf").count() == 1)      // table content untouched
+    // retrying the identical batch now succeeds whole
+    store.landFiles(target, tmp, fs.rename)
+    assert(store.read("lf").count() == 4)
+    fs.delete(tmp, true)
+  }
+
+  test("append rollback failure names the stuck file instead of claiming safety") {
+    val (store, dir) = newStore()
+    store.overwrite("lf2", Seq((0, "base")).toDF("k", "v"), maxFiles = 1)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val target = new Path(s"$dir/lf2")
+    val tmp = new Path(s"$dir/.lf2.__apd_test__")
+    Seq((1, "a"), (2, "b")).toDF("k", "v")
+      .repartition(2).write.parquet(tmp.toString)
+    // forward rename of file 2 fails AND the rollback of file 1 fails:
+    // the error must name the landed file so the caller doesn't blind-retry
+    var fwd = 0
+    val failBoth = (src: Path, dst: Path) => {
+      if (dst.getParent == target) { fwd += 1; if (fwd == 2) false
+        else fs.rename(src, dst) }
+      else false // rollback direction: refuse
+    }
+    val err = intercept[RuntimeException](store.landFiles(target, tmp, failBoth))
+    assert(err.getMessage.contains("rollback ALSO failed"))
+    assert(err.getMessage.contains("do not blindly retry"))
+    fs.delete(tmp, true)
+  }
+
+  test("stale-snapshot compaction aborts as a no-op after a racing overwrite") {
+    // ADVICE r12 (medium): compactSnapshot committing a snapshot whose
+    // files a concurrent overwrite/compact replaced would re-land every
+    // snapshot row as a "late append" — each row duplicated. The commit
+    // now re-checks the live file set under the lock and aborts.
+    val (store, dir) = newStore()
+    (1 to 3).foreach(i =>
+      store.append("cs", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val stale = fs.listStatus(new Path(s"$dir/cs")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    // the race: another writer swaps the table before our commit
+    store.overwrite("cs", Seq((9, "winner")).toDF("k", "v"), maxFiles = 1)
+    store.compactSnapshot("cs", stale, targetFiles = 1)
+    val out = store.read("cs").collect().map(r => (r.getInt(0), r.getString(1)))
+    assert(out.toSeq == Seq((9, "winner"))) // winner intact, zero duplicates
+    // the aborted compaction leaves no manifest to confuse recovery
+    assert(!fs.exists(new Path(s"$dir/cs/_compact_manifest")))
+  }
+
+  test("compact-vs-compact: the second commit of one snapshot is a no-op") {
+    val (store, dir) = newStore()
+    (1 to 3).foreach(i =>
+      store.append("cc", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = fs.listStatus(new Path(s"$dir/cc")).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath)
+    store.compactSnapshot("cc", snap, targetFiles = 1)
+    val after = store.read("cc").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet
+    // a second compactor that raced to the same snapshot commits nothing:
+    // the snapshot's files were consumed by the first swap
+    store.compactSnapshot("cc", snap, targetFiles = 1)
+    assert(store.read("cc").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toSet == after)
+    assert(new java.io.File(s"$dir/cc").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+  }
+
+  test("drop takes the commit lock: blocked by a live writer, breaks a stale one") {
+    // ADVICE r12 (low): an unlocked drop racing an in-flight commit would
+    // delete the holder's lock mid-commit. drop() now serializes like any
+    // other committer.
+    val (store, dir) = newStore()
+    store.overwrite("d1", Seq((1, "a")).toDF("k", "v"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = new Path(s"$dir/.d1.__lock__")
+    // live holder: drop must wait for the release, not delete the lock
+    fs.create(lock, true).close()
+    @volatile var dropped = false
+    val dropper = new Thread(() => { store.drop("d1"); dropped = true })
+    dropper.start()
+    Thread.sleep(400)
+    assert(!dropped && store.exists("d1")) // still waiting, table intact
+    fs.delete(lock, false)                 // holder finishes
+    dropper.join(30000)
+    assert(dropped && !store.exists("d1"))
+    assert(!fs.exists(lock))
+    // stale holder (crashed writer): drop breaks the lock and proceeds
+    store.overwrite("d2", Seq((1, "a")).toDF("k", "v"))
+    val lock2 = new Path(s"$dir/.d2.__lock__")
+    fs.create(lock2, true).close()
+    fs.setTimes(lock2, System.currentTimeMillis() - 120000L, -1)
+    store.drop("d2")
+    assert(!store.exists("d2") && !fs.exists(lock2))
+  }
+
+  test("declared-decimal writes refuse a session with ANSI mode off") {
+    // ADVICE r12 (low): without ANSI, declared-precision overflow becomes a
+    // silent NULL at rest — the exact corruption SinkTypes exists to
+    // prevent. LocalSession pins ansi=true; an embedding consumer's session
+    // might not, so the cast sites assert instead of trusting ambient conf.
+    val df = Seq(("2024-01-01", 3.14)).toDF("date", "price")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val err = intercept[IllegalArgumentException](
+        graft.store.SinkTypes.sinkCast(df, "gasprice"))
+      assert(err.getMessage.contains("ansi"))
+      intercept[IllegalArgumentException](
+        graft.store.SinkTypes.declaredRound(df, "gasprice"))
+    } finally spark.conf.set("spark.sql.ansi.enabled", "true")
+    // with ANSI back on, the same cast succeeds and carries DECIMAL(12,2)
+    val cast = graft.store.SinkTypes.sinkCast(df, "gasprice")
+    assert(cast.schema("price").dataType ==
+      org.apache.spark.sql.types.DecimalType(12, 2))
+    // undeclared tables never touch the guard regardless of conf
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try assert(graft.store.SinkTypes.sinkCast(df, "not_a_table").schema ==
+      df.schema)
+    finally spark.conf.set("spark.sql.ansi.enabled", "true")
+  }
 }
