@@ -14,7 +14,8 @@ package graft
   *   2. the same full record prints as one stdout line (greppable:
   *      `"metric"`);
   *   3. the LAST stdout line is a compact summary that fits inside a
-  *      2000-char log tail — total/errors/sf plus the slowest-median
+  *      2000-char log tail — total (median sum) AND value_min (min sum,
+  *      the contention-robust headline), errors/sf, the slowest-median
   *      queries that fit a fixed byte budget and a "queries_omitted"
   *      count pointing at BENCH_FULL.json. Harness log collectors that
   *      keep only the tail of stdout can always parse this final line;
@@ -75,7 +76,14 @@ object Bench {
       rs.map { r => "\"" + r._1 + "\":" + num(f(r)) }
         .mkString("{", ",", "}")
     val total = results.collect { case (_, m, _) if m >= 0 => m }.sum
-    val full = s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${
+    // value_min = sum of per-query mins — the noise-robust headline (r12
+    // verdict #6): a machine-contention window inflates medians ~20% but
+    // each query's min stays at the uncontended floor, so a contended
+    // final run can no longer read as a regression in the committed
+    // artifact. "value" stays the median sum for cross-round continuity.
+    val totalMin = results.collect { case (_, _, mn) if mn >= 0 => mn }.sum
+    val full = s"""{"metric":"total","value":${num(total)},"value_min":${
+      num(totalMin)},"unit":"sec","queries":${
       fmt(results)(_._2)},"queries_min":${fmt(results)(_._3)},"errors":${
       errors.size},"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
@@ -99,7 +107,8 @@ object Bench {
       else if (!closed && used + sz <= budget) { kept += r; used += sz }
       else closed = true
     }
-    println(s"""{"metric":"total","value":${num(total)},"unit":"sec","queries":${
+    println(s"""{"metric":"total","value":${num(total)},"value_min":${
+      num(totalMin)},"unit":"sec","queries":${
       fmt(kept.toSeq)(_._2)},"queries_omitted":${results.size - kept.size
       },"full":"$out","errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()

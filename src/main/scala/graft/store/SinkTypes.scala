@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * that layout (writesDeclared) — the partition-scoped write path
   * replaces only touched partitions, and a table mixing double and
   * decimal physical types across partitions is unreadable. Declared
-  * types apply to tables created under the policy.
+  * types apply to tables created under the policy; an old store opts in
+  * per table via the one-shot whole-table `migrateDeclared` rewrite.
   */
 object SinkTypes {
 
@@ -78,6 +79,31 @@ object SinkTypes {
     dec.nonEmpty && (isNew || dec.keys.forall(c =>
       existing.schema.fields.find(_.name == c)
         .forall(_.dataType.isInstanceOf[DecimalType])))
+  }
+
+  /** One-shot adoption of the declared-decimal layout by a LEGACY all-double
+    * table (the layout `writesDeclared` otherwise pins forever, correctly —
+    * an incremental partition-scoped write must never mix double and decimal
+    * physical types across one table's partitions). This is the whole-table
+    * form that CAN change the layout safely: read everything, snap every
+    * declared column to its DECIMAL(p,s) (the same cast `declaredRound`
+    * applies to incoming values, so post-migration re-ingests of the same
+    * raw data classify as 'unchanged'), and commit through the atomic
+    * whole-table swap — `partCols` preserves a partitioned layout through
+    * it, and a crash mid-rewrite leaves the legacy table intact rather than
+    * a half-migrated mix. Overflow follows the policy's loud-failure
+    * contract (ANSI asserted inside sinkCast). Returns true iff a rewrite
+    * ran: false for tables with no declarations, missing tables, and tables
+    * already under the policy — so a deployment can run it idempotently
+    * across the whole inventory. */
+  def migrateDeclared(store: TableStore, tableName: String,
+                      partCols: Seq[String] = Nil, maxFiles: Int = 0): Boolean = {
+    if (Registry.declaredDecimals(tableName).isEmpty || !store.exists(tableName))
+      return false
+    val current = store.read(tableName)
+    if (writesDeclared(current, tableName, isNew = false)) return false
+    store.overwrite(tableName, sinkCast(current, tableName), maxFiles, partCols)
+    true
   }
 
   /** The one merge-time policy bundle, shared by every merge path

@@ -288,7 +288,8 @@ final class TableStore(spark: SparkSession, root: String) {
     * returning false, not throwing); the `.__old__` backup is deleted only
     * after the new target is verified in place, and an interrupted swap is
     * healed on the next read via recoverTable(). */
-  def overwrite(table: String, df: DataFrame, maxFiles: Int = 0): Unit = {
+  def overwrite(table: String, df: DataFrame, maxFiles: Int = 0,
+                partitionBy: Seq[String] = Nil): Unit = {
     recoverTable(table)
     sweepStaleTmp(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
@@ -296,7 +297,16 @@ final class TableStore(spark: SparkSession, root: String) {
     val old = oldPath(table)
     val out = if (maxFiles > 0) df.coalesce(maxFiles) else df
     try {
-      out.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      // partitionBy keeps a partitioned layout through the WHOLE-TABLE
+      // atomic swap — the full-rewrite complement to overwritePartitions()
+      // (which replaces only touched partitions but is not atomic across
+      // them). A layout-changing rewrite of a partitioned table (schema
+      // migration, re-clustering) must go through here: a crash mid-way
+      // leaves the old table intact, never a table whose partitions mix
+      // the old and new physical layouts.
+      val w = out.write.mode(SaveMode.Overwrite)
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+        .parquet(tmp.toString)
       withTableLock(table) {
         atomicSwap(target, tmp, old)
         if (fs.exists(target) && fs.exists(old)) fs.delete(old, true)
@@ -421,6 +431,26 @@ final class TableStore(spark: SparkSession, root: String) {
     recoverTable(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     compactSnapshot(table, dataFiles(target), targetFiles)
+  }
+
+  /** Top-level data-file count — one directory listing, the cheap signal a
+    * compaction cadence keys on. 0 for a missing table. */
+  def dataFileCount(table: String): Int =
+    if (!exists(table)) 0
+    else {
+      recoverTable(table)
+      dataFiles(new Path(URI.create(path(table)).normalize().toString)).size
+    }
+
+  /** Cadence form of compact(): compact only once the file count EXCEEDS
+    * `threshold`, so a caller on a hot loop (a stream appending one file
+    * per micro-batch) can invoke it every batch and pay one directory
+    * listing until the log actually needs collapsing. Returns whether a
+    * compaction ran. Same safety contract as compact(). */
+  def compactIfOver(table: String, threshold: Int, targetFiles: Int = 1): Boolean = {
+    val over = dataFileCount(table) > math.max(0, threshold)
+    if (over) compact(table, targetFiles)
+    over
   }
 
   private def dataFiles(dir: Path): Seq[Path] =

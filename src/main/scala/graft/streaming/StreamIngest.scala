@@ -42,11 +42,14 @@ object StreamIngest {
     * series (26 series x <=1000 rows, where one file per table IS the
     * correct layout), wrong for a large keyed store: use
     * [[ingestPartitioned]] there, which reads and rewrites only the year
-    * partitions a micro-batch touches. */
+    * partitions a micro-batch touches. `compactRevisionsOver` (opt-in,
+    * 0 = off) compacts the revision log in-stream once it exceeds that
+    * many files — see [[ingestPartitioned]] for the cadence contract. */
   def ingest(obs: DataFrame, store: TableStore, table: String,
              valueField: String, checkpointDir: String,
              now: () => Timestamp,
-             trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+             trigger: Trigger = Trigger.AvailableNow(),
+             compactRevisionsOver: Int = 0): StreamingQuery = {
     // Trigger.AvailableNow = the catch-up/cron shape (drain the backlog,
     // stop); pass ProcessingTime for a long-lived continuous ingest
     obs.writeStream
@@ -67,8 +70,11 @@ object StreamIngest {
           val (merged, revs, counts) = SmartUpdate.merge(
             pol.incoming, pol.existing, "date", Seq(valueField), table, now())
           store.overwrite(table, pol.writeCast(merged), maxFiles = 1)
-          if (counts.revisions > 0)
+          if (counts.revisions > 0) {
             store.append(Registry.RevisionsTable, revs, maxFiles = 1)
+            if (compactRevisionsOver > 0)
+              store.compactIfOver(Registry.RevisionsTable, compactRevisionsOver)
+          }
         }
         ()
       }
@@ -98,13 +104,19 @@ object StreamIngest {
     * append by batchId and dedupe on read.
     *
     * Operational note: each micro-batch with revisions appends ONE small
-    * file to the revision log — run `TableStore.compact(revisionsTable)`
-    * periodically on a long-lived stream to keep its file count bounded
-    * (atomic: readers never observe a partial log). */
+    * file to the revision log — `compactRevisionsOver` (opt-in, 0 = off)
+    * bounds its file count in-stream: after a batch that appended
+    * revisions, the log is compacted once its data-file count exceeds the
+    * threshold (one directory listing per revising batch until then;
+    * atomic, and compact() merges any append racing it — readers never
+    * observe a partial log, appends are never lost). Deployments that
+    * prefer an external cadence leave it 0 and run
+    * `TableStore.compact(revisionsTable)` on their own schedule. */
   def ingestPartitioned(obs: DataFrame, store: TableStore, table: String,
                         valueField: String, checkpointDir: String,
                         now: () => Timestamp,
-                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+                        trigger: Trigger = Trigger.AvailableNow(),
+                        compactRevisionsOver: Int = 0): StreamingQuery = {
     // one Runner for the query's lifetime: its write-through metadata cache
     // stays coherent across micro-batches (one tiny table read at start,
     // not one per batch)
@@ -119,6 +131,8 @@ object StreamIngest {
           col("value").cast("double").as(valueField))
         runner.runDatasetPartitioned(table, canonical, Seq(valueField),
           gateHours = 0)
+        if (compactRevisionsOver > 0)
+          store.compactIfOver(Registry.RevisionsTable, compactRevisionsOver)
         ()
       }
       .start()

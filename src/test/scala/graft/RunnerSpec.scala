@@ -188,6 +188,46 @@ class RunnerSpec extends SparkSuite {
       r2.revisions == 0)
   }
 
+  test("migrateDeclared: a legacy double table adopts the declared layout once, atomically") {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType}
+    import spark.implicits._
+    val (store, runner, _) = newEnv()
+    val gcfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    // pre-policy store: plain double files in a year-partitioned layout —
+    // the layout writesDeclared pins forever (the legacy test above)
+    val legacy = Seq(("2023-01-01", 1.256), ("2024-01-01", 2.25))
+      .toDF("date", "price")
+      .withColumn("__year", substring(col("date"), 1, 4).cast("int"))
+    store.overwritePartitions(gcfg.tableName, legacy, Seq("__year"))
+    assert(spark.read.parquet(store.path(gcfg.tableName))
+      .schema("price").dataType == DoubleType)
+    // the one-shot whole-table rewrite opts the table into the policy
+    assert(graft.store.SinkTypes.migrateDeclared(
+      store, gcfg.tableName, partCols = Seq("__year")))
+    val atRest = spark.read.parquet(store.path(gcfg.tableName))
+    assert(atRest.schema("price").dataType == DecimalType(12, 2))
+    // partitioned layout survives the atomic swap (not flattened)
+    assert(new java.io.File(store.path(gcfg.tableName), "__year=2023").isDirectory)
+    // stored values snapped to the declared scale, double on the surface
+    val api = new graft.api.EngineApi(spark, store)
+    assert(api.pointLookup(gcfg.tableName, "2023-01-01")
+      .get.getAs[Double]("price") == 1.26)
+    // idempotent: a second invocation (inventory-wide sweep) is a no-op,
+    // as is a table with no declarations or no data
+    assert(!graft.store.SinkTypes.migrateDeclared(store, gcfg.tableName))
+    assert(!graft.store.SinkTypes.migrateDeclared(store, "not_a_table"))
+    // post-migration merges write declared AND the original raw value
+    // re-ingests as unchanged — migration snapped with the same cast
+    // declaredRound applies, so adopting the policy can't churn the store
+    val batch = Seq(("2023-01-01", 1.256), ("2025-01-01", 3.14159))
+      .toDF("date", "price")
+    val r = runner.runDatasetPartitioned(gcfg.tableName, batch, Seq("price"))
+    assert(r.status == "success" && r.newRows == 1 && r.updated == 0 &&
+      r.revisions == 0)
+    assert(spark.read.parquet(store.path(gcfg.tableName))
+      .schema("price").dataType == DecimalType(12, 2))
+  }
+
   test("a value overflowing the declared precision fails loudly, never silently") {
     import spark.implicits._
     val (store, runner, _) = newEnv()

@@ -393,6 +393,51 @@ class StorePipelineSpec extends SparkSuite {
     assert(!store.exists("d2") && !fs.exists(lock2))
   }
 
+  test("compactIfOver: the cadence compacts only past the threshold") {
+    val (store, _) = newStore()
+    assert(store.dataFileCount("nope") == 0)
+    assert(!store.compactIfOver("nope", 1)) // missing: false, never throws
+    (1 to 3).foreach(i =>
+      store.append("cad", Seq((i, s"v$i")).toDF("k", "v"), maxFiles = 1))
+    assert(store.dataFileCount("cad") == 3)
+    assert(!store.compactIfOver("cad", threshold = 3)) // 3 <= 3: one listing, no job
+    assert(store.dataFileCount("cad") == 3)
+    store.append("cad", Seq((4, "v4")).toDF("k", "v"), maxFiles = 1)
+    assert(store.compactIfOver("cad", threshold = 3)) // 4 > 3: compacts
+    assert(store.dataFileCount("cad") == 1)
+    assert(store.read("cad").collect().map(_.getInt(0)).toSet == Set(1, 2, 3, 4))
+  }
+
+  test("overwritePartitions: disjoint-partition writers compose, untouched files untouched") {
+    // the documented coordination boundary (r12 verdict #2): this path
+    // commits via Spark's dynamic-partition committer, not the table lock —
+    // safe exactly for writers touching DISJOINT partitions. Two such
+    // writes must both land, and a write must not rewrite (or even touch)
+    // the other's partition files.
+    val (store, dir) = newStore()
+    import org.apache.spark.sql.functions.{col, substring}
+    def part(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("__year", substring(col("date"), 1, 4).cast("int"))
+    store.overwritePartitions("dp",
+      part(Seq(("2023-01-01", 1.0)).toDF("date", "v")), Seq("__year"))
+    val p2023 = new java.io.File(s"$dir/dp/__year=2023")
+    def files2023() = p2023.listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+      .map(f => (f.getName, f.lastModified())).toSet
+    val before = files2023()
+    assert(before.nonEmpty)
+    val writers = Seq(2024, 2025).map { y =>
+      new Thread(() => store.overwritePartitions("dp",
+        part(Seq((s"$y-01-01", y.toDouble)).toDF("date", "v")), Seq("__year")))
+    }
+    writers.foreach(_.start()); writers.foreach(_.join())
+    // all three partitions present; 2023's files byte-for-byte the same
+    assert(files2023() == before)
+    assert(store.read("dp").collect()
+      .map(r => (r.getAs[String]("date"), r.getAs[Double]("v"))).toSet ==
+      Set(("2023-01-01", 1.0), ("2024-01-01", 2024.0), ("2025-01-01", 2025.0)))
+  }
+
   test("declared-decimal writes refuse a session with ANSI mode off") {
     // ADVICE r12 (low): without ANSI, declared-precision overflow becomes a
     // silent NULL at rest — the exact corruption SinkTypes exists to

@@ -42,6 +42,35 @@ class StreamingSpec extends SparkSuite {
     assert(revs.head.getAs[Double]("new_value") == 110.0)
   }
 
+  test("compactRevisionsOver: the in-stream cadence bounds the revision log's file count") {
+    val dir = Files.createTempDirectory("graft-streamcad").toString
+    val store = new TableStore(spark, dir)
+    val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[StreamIngest.Obs]
+    val q = StreamIngest.ingest(mem.toDF(), store, "sales", "sales",
+      s"$dir/_ckpt", () => ts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactRevisionsOver = 2)
+    mem.addData(StreamIngest.Obs("2025-01-01", 100.0))
+    q.processAllAvailable()
+    // five revising micro-batches: each appends ONE file to the revision
+    // log; the cadence compacts whenever the count exceeds 2, so the log
+    // runs 1,2,3->1,2,3->1 instead of growing to 5 files
+    for (i <- 1 to 5) {
+      mem.addData(StreamIngest.Obs("2025-01-01", 100.0 + i))
+      q.processAllAvailable()
+    }
+    q.stop()
+    // every CDC row survives compaction (merged, never dropped)...
+    val revs = store.read(Registry.RevisionsTable).collect()
+    assert(revs.length == 5)
+    assert(revs.map(_.getAs[Double]("new_value")).toSet ==
+      Set(101.0, 102.0, 103.0, 104.0, 105.0))
+    // ...and the file count is bounded by the cadence, not batch count
+    assert(store.dataFileCount(Registry.RevisionsTable) == 1)
+  }
+
   test("stream ingest preserves a declared-decimal table's at-rest schema") {
     import org.apache.spark.sql.types.DecimalType
     val dir = Files.createTempDirectory("graft-streamdec").toString
