@@ -24,16 +24,30 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Normalize a raw-long `ts` column (from a forced-LongType read of
+    * parquet TIMESTAMP(NANOS) under `spark.sql.legacy.parquet.nanosAsLong`)
+    * to MICROSECONDS. The runtime has been observed to deliver the long as
+    * nanos in one session and micros in another — and the batch and
+    * file-stream read paths of the SAME session can even disagree — so a
+    * static divisor is wrong by 1000× whenever the runtime flips. A
+    * per-row magnitude guard is unambiguous: 2024-era nanos are ~1.7e18,
+    * micros ~1.7e15; the 3e17 threshold separates them for any timestamp
+    * between 1979 and year ~11000. Per-row (not per-frame) so a union of
+    * sources with different scales still normalizes correctly. */
+  private[graft] def rawTsToMicros(df: DataFrame): DataFrame =
+    df.withColumn("ts",
+      expr("CASE WHEN ts > 300000000000000000L THEN ts div 1000 ELSE ts END"))
+
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default; read it as raw nanos (legacy conf, runtime-settable)
-    * and convert to a micros TimestampType column. The testdata's nanos are
-    * micro-exact (verified), and nanos/1000 < 2^53 so the arithmetic stays
-    * exact. */
+    * rejects by default; read it as a raw long (legacy conf,
+    * runtime-settable) and convert to a micros TimestampType column via the
+    * magnitude guard above. The testdata's nanos are micro-exact
+    * (verified), and nanos/1000 < 2^53 so the arithmetic stays exact. */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
     if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      rawTsToMicros(raw).withColumn("ts", timestamp_micros(col("ts")))
     else raw
   }
 
@@ -1091,7 +1105,7 @@ object SparkEntry {
       // directory, so stream the parent dir with a glob filter
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = rawTsToMicros(raw).withColumn("ts", timestamp_micros(col("ts")))
       val agg = graft.streaming.StreamIngest.windowedCounts(ev, "ts", "1 hour", "2 hours")
       val qn = "graft_stream_win"
       val q = agg.writeStream
@@ -1168,9 +1182,9 @@ object SparkEntry {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      def src() = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src() = rawTsToMicros(s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(dir))
+        .withColumn("ts", timestamp_micros(col("ts")))
       val dd = graft.streaming.StreamIngest.dedupWithinWatermark(
         src().union(src()), Seq("event_id"), "ts", "2 hours")
       val qn = "graft_stream_dedup_wm"
@@ -1266,7 +1280,7 @@ object SparkEntry {
         StructField("value", DoubleType), StructField("props", StringType)))
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = rawTsToMicros(raw).withColumn("ts", timestamp_micros(col("ts")))
       val joined = graft.streaming.StreamIngest.attributionJoin(ev, 30)
       val qn = "graft_stream_attr"
       // a stream-stream join keeps TWO keyed state stores PER shuffle
@@ -1316,9 +1330,12 @@ object SparkEntry {
       val stream = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
         .union(s.readStream.schema(rawSchema).parquet(sentinelDir))
-      val ev = stream.select(
+      // the sentinel file carries plain-INT64 nanos while the events file's
+      // scale depends on the runtime's TIMESTAMP(NANOS) handling — the
+      // per-row magnitude guard normalizes both sides of the union
+      val ev = rawTsToMicros(stream).select(
         col("user_id").as("userId"),
-        timestamp_millis(expr("ts div 1000000")).as("ts"),
+        timestamp_millis(expr("ts div 1000")).as("ts"),
         col("event_type").as("eventType"))
         .as[graft.streaming.StreamIngest.Ev]
       val sessions = graft.streaming.StreamIngest.sessionize(ev, gapMinutes = 30)

@@ -311,4 +311,53 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((7L, 1L, 3L), (8L, 5L, 6L)))
   }
+
+  test("streamed events ts normalizes to the fixture's real year (runtime-representation guard)") {
+    // Regression pin for the round-13 field failure: the file-stream parquet
+    // source's forced-LongType read of events.parquet (TIMESTAMP(NANOS)
+    // under spark.sql.legacy.parquet.nanosAsLong) delivered MICROS in one
+    // runtime and NANOS in another — while the batch read path kept nanos.
+    // Queries that divide by a static factor then collapse 30 days of 2024
+    // events into ~43 minutes of 1970. SparkEntry.rawTsToMicros normalizes
+    // by magnitude; this test fails on any future silent runtime flip that
+    // escapes the guard, in `sbt test` instead of the driver run.
+    import org.apache.spark.sql.types._
+    val file = "/root/testdata/sf0.001/events.parquet"
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+
+    // batch path (proven against the DuckDB oracle): the reference year
+    val batch = spark.read.parquet(file)
+    val batchTs =
+      if (batch.schema("ts").dataType == LongType)
+        SparkEntry.rawTsToMicros(batch).withColumn("ts", timestamp_micros(col("ts")))
+      else batch
+    val batchYears = batchTs.select(year(min("ts")), year(max("ts"))).head()
+
+    // file-stream path through the same normalization
+    val streamed = SparkEntry.rawTsToMicros(
+      spark.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet("/root/testdata/sf0.001"))
+      .withColumn("ts", timestamp_micros(col("ts")))
+    val qn = "graft_ts_guard"
+    val q = streamed.groupBy().agg(min("ts").as("lo"), max("ts").as("hi"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val streamYears = spark.table(qn)
+      .select(year(col("lo")), year(col("hi"))).head()
+
+    // the fixture holds January 2024 events; 1970 (over-division) and
+    // year-56000+ (missed division) both fail loudly here
+    assert(batchYears.getInt(0) == 2024 && batchYears.getInt(1) == 2024,
+      s"batch events ts landed in ${batchYears.getInt(0)}..${batchYears.getInt(1)}, want 2024")
+    assert(streamYears.getInt(0) == 2024 && streamYears.getInt(1) == 2024,
+      s"streamed events ts landed in ${streamYears.getInt(0)}..${streamYears.getInt(1)}, want 2024")
+  }
 }
