@@ -95,14 +95,37 @@ object SinkTypes {
     * contract (ANSI asserted inside sinkCast). Returns true iff a rewrite
     * ran: false for tables with no declarations, missing tables, and tables
     * already under the policy — so a deployment can run it idempotently
-    * across the whole inventory. */
+    * across the whole inventory.
+    *
+    * Partition-layout safety: the on-disk layout is probed first. A
+    * partitioned table migrated with empty `partCols` inherits its existing
+    * layout (it is never silently flattened — a later partition-scoped
+    * write onto a flattened table would build a mixed flat+partitioned
+    * tree that Spark's partition discovery rejects, leaving the table
+    * unreadable); passing `partCols` that DISAGREE with the existing
+    * layout fails loudly for the same reason. The table must be quiesced
+    * during migration — no runner or stream writing it — as the
+    * read→rewrite runs outside the commit lock (the store's documented
+    * single-writer boundary): a write landing between the lazy read and
+    * the swap would be discarded by the whole-table swap. */
   def migrateDeclared(store: TableStore, tableName: String,
                       partCols: Seq[String] = Nil, maxFiles: Int = 0): Boolean = {
     if (Registry.declaredDecimals(tableName).isEmpty || !store.exists(tableName))
       return false
+    val layout = store.partitionColumns(tableName)
+    val effectiveParts =
+      if (partCols.isEmpty) layout
+      else {
+        require(layout.isEmpty || layout == partCols,
+          s"migrateDeclared('$tableName'): requested partition columns " +
+            s"${partCols.mkString("[", ",", "]")} conflict with the " +
+            s"existing on-disk layout ${layout.mkString("[", ",", "]")}; " +
+            "rewriting would create a mixed directory tree Spark cannot read")
+        partCols
+      }
     val current = store.read(tableName)
     if (writesDeclared(current, tableName, isNew = false)) return false
-    store.overwrite(tableName, sinkCast(current, tableName), maxFiles, partCols)
+    store.overwrite(tableName, sinkCast(current, tableName), maxFiles, effectiveParts)
     true
   }
 

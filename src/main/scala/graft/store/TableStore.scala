@@ -425,7 +425,9 @@ final class TableStore(spark: SparkSession, root: String) {
     * compactSnapshot) — at worst the racing compaction's read job fails
     * loudly when the files vanish mid-scan. It never duplicates rows or
     * clobbers the winning writer. The engine still never races them
-    * (compaction targets the append-only revision log). */
+    * (compaction targets the append-only revision log). Scope: table-root
+    * files only — unpartitioned tables; a partitioned table's files live
+    * under `name=value` subdirs and are left untouched. */
   def compact(table: String, targetFiles: Int = 1): Unit = {
     if (!exists(table)) return
     recoverTable(table)
@@ -433,8 +435,43 @@ final class TableStore(spark: SparkSession, root: String) {
     compactSnapshot(table, dataFiles(target), targetFiles)
   }
 
+  /** The on-disk `name=value` partition layout of a table, in nesting
+    * order — Nil for an unpartitioned (flat) table. One listing per
+    * partition level: each level's directory names must agree on the
+    * column (Hive layout guarantees it; a disagreement means a corrupted
+    * mixed tree and fails loudly here rather than at Spark's partition
+    * discovery). Used by migrateDeclared to refuse to silently flatten a
+    * partitioned table. */
+  def partitionColumns(table: String): Seq[String] = {
+    if (!exists(table)) return Nil
+    val cols = Seq.newBuilder[String]
+    var dir = new Path(URI.create(path(table)).normalize().toString)
+    var descending = true
+    while (descending) {
+      // a name=value dir is a partition dir even with a leading underscore
+      // (the store's own __year layout) — mirror Spark's discovery, which
+      // exempts '='-bearing names from the hidden-file convention
+      val subdirs = fs.listStatus(dir).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.contains('='))
+      if (subdirs.isEmpty) descending = false
+      else {
+        val names = subdirs.map(_.getPath.getName.takeWhile(_ != '=')).distinct
+        require(names.size == 1,
+          s"table '$table': conflicting partition columns at one level: " +
+            names.sorted.mkString(", "))
+        cols += names.head
+        dir = subdirs.head.getPath
+      }
+    }
+    cols.result()
+  }
+
   /** Top-level data-file count — one directory listing, the cheap signal a
-    * compaction cadence keys on. 0 for a missing table. */
+    * compaction cadence keys on. 0 for a missing table. Counts the table
+    * ROOT only: for a partitioned table (files under `name=value` subdirs)
+    * this returns 0, so compactIfOver never fires there — compact() and
+    * compactIfOver() apply to unpartitioned tables only (the engine's one
+    * compaction target, the flat revision log). */
   def dataFileCount(table: String): Int =
     if (!exists(table)) 0
     else {
@@ -445,8 +482,11 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Cadence form of compact(): compact only once the file count EXCEEDS
     * `threshold`, so a caller on a hot loop (a stream appending one file
     * per micro-batch) can invoke it every batch and pay one directory
-    * listing until the log actually needs collapsing. Returns whether a
-    * compaction ran. Same safety contract as compact(). */
+    * listing until the log actually needs collapsing. Returns whether the
+    * threshold was exceeded — i.e. a compaction was ATTEMPTED; compact()
+    * itself can still no-op internally (table dropped by a racing writer,
+    * stale-snapshot abort under the commit lock). Unpartitioned tables
+    * only, like compact(). Same safety contract as compact(). */
   def compactIfOver(table: String, threshold: Int, targetFiles: Int = 1): Boolean = {
     val over = dataFileCount(table) > math.max(0, threshold)
     if (over) compact(table, targetFiles)

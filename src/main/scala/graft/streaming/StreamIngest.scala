@@ -105,11 +105,13 @@ object StreamIngest {
     *
     * Operational note: each micro-batch with revisions appends ONE small
     * file to the revision log — `compactRevisionsOver` (opt-in, 0 = off)
-    * bounds its file count in-stream: after a batch that appended
-    * revisions, the log is compacted once its data-file count exceeds the
-    * threshold (one directory listing per revising batch until then;
-    * atomic, and compact() merges any append racing it — readers never
-    * observe a partial log, appends are never lost). Deployments that
+    * bounds its file count in-stream: the log is compacted once its
+    * data-file count exceeds the threshold. The check runs after EVERY
+    * micro-batch (the partitioned runner doesn't report whether the batch
+    * revised anything), so each batch pays one directory listing — plus
+    * the log's recovery probe — even when nothing was appended; atomic,
+    * and compact() merges any append racing it, so readers never observe
+    * a partial log and appends are never lost. Deployments that
     * prefer an external cadence leave it 0 and run
     * `TableStore.compact(revisionsTable)` on their own schedule. */
   def ingestPartitioned(obs: DataFrame, store: TableStore, table: String,

@@ -228,6 +228,39 @@ class RunnerSpec extends SparkSuite {
       .schema("price").dataType == DecimalType(12, 2))
   }
 
+  test("migrateDeclared never silently flattens a partitioned table") {
+    import org.apache.spark.sql.types.DecimalType
+    import spark.implicits._
+    val (store, _, _) = newEnv()
+    val gcfg = Registry.edbConfigs.find(_.name == "gas_price").get
+    val legacy = Seq(("2023-01-01", 1.256), ("2024-01-01", 2.25))
+      .toDF("date", "price")
+      .withColumn("__year", substring(col("date"), 1, 4).cast("int"))
+    store.overwritePartitions(gcfg.tableName, legacy, Seq("__year"))
+    assert(store.partitionColumns(gcfg.tableName) == Seq("__year"))
+    // empty partCols on a partitioned table: the on-disk layout is probed
+    // and inherited — the table is NOT rewritten flat (a flattened table
+    // plus a later partition-scoped write would build the mixed tree
+    // Spark's partition discovery rejects as 'Conflicting directory
+    // structures', i.e. an unreadable table)
+    assert(graft.store.SinkTypes.migrateDeclared(store, gcfg.tableName))
+    assert(new java.io.File(store.path(gcfg.tableName), "__year=2023").isDirectory)
+    assert(store.partitionColumns(gcfg.tableName) == Seq("__year"))
+    val atRest = spark.read.parquet(store.path(gcfg.tableName))
+    assert(atRest.schema("price").dataType == DecimalType(12, 2))
+    // partCols that contradict the existing layout fail loudly instead of
+    // writing the conflicting tree; the table is untouched
+    val fresh = newEnv()._1
+    fresh.overwritePartitions(gcfg.tableName, legacy, Seq("__year"))
+    intercept[IllegalArgumentException] {
+      graft.store.SinkTypes.migrateDeclared(
+        fresh, gcfg.tableName, partCols = Seq("date"))
+    }
+    assert(fresh.partitionColumns(gcfg.tableName) == Seq("__year"))
+    assert(spark.read.parquet(fresh.path(gcfg.tableName))
+      .schema("price").dataType != DecimalType(12, 2))
+  }
+
   test("a value overflowing the declared precision fails loudly, never silently") {
     import spark.implicits._
     val (store, runner, _) = newEnv()
