@@ -53,6 +53,14 @@ object Bench {
     val samples = collection.mutable.Map.empty[String, List[Double]]
       .withDefaultValue(Nil)
     for (_ <- 1 to iters; (name, fn) <- list) {
+      // drop any persisted entry a previous run left (operators with
+      // materialize=true return caller-owned cached frames the bench
+      // cannot unpersist after its action): a plan-keyed cache entry
+      // surviving into the next iteration would serve it a cached read
+      // and report a phantom speedup — the r10 bench-honesty bug, which
+      // resurfaced in focused SPARK_GRAFT_ONLY subsets that exclude the
+      // queries whose own unpersist coincidentally evicted the entry
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()

@@ -743,12 +743,16 @@ object SparkEntry {
       // AND both verify-join sides; without the operator's scoped cache
       // the lazy plan recomputes it ~3x (Catalyst has no common-subplan
       // reuse across joins), ~3x wall. The pair-list cache entry this
-      // leaves is plan-keyed (bounded: one per distinct input) and its
-      // DATA is dropped when the operator unpersists the shingle cache,
-      // so repeated bench iterations recompute honestly — measured
-      // medians track mins. (r10's 0.25s figure for the then-default
-      // lazy+persist form measured CACHED re-reads after iteration 1;
-      // the eager number here is the real per-run cost.)
+      // leaves is plan-keyed and REMAINS persisted after the query (the
+      // operator's contract: the caller owns unpersist, and a bench
+      // harness consuming the returned frame has no post-action hook to
+      // release it) — Bench therefore clears the session cache before
+      // every timed run, so iterations recompute honestly whether or not
+      // dedup_cluster (whose own unpersist happens to evict the shared
+      // plan-keyed entry) is in the run set. Honest eager cost at sf0.1
+      // ~4-5s; a cached re-read measures ~0.5s (the r10 honesty bug, and
+      // the r14 focused-subset reprise that motivated the Bench-level
+      // clear).
       Dedup.minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
           materialize = true)

@@ -105,13 +105,12 @@ object StreamIngest {
     *
     * Operational note: each micro-batch with revisions appends ONE small
     * file to the revision log — `compactRevisionsOver` (opt-in, 0 = off)
-    * bounds its file count in-stream: the log is compacted once its
-    * data-file count exceeds the threshold. The check runs after EVERY
-    * micro-batch (the partitioned runner doesn't report whether the batch
-    * revised anything), so each batch pays one directory listing — plus
-    * the log's recovery probe — even when nothing was appended; atomic,
-    * and compact() merges any append racing it, so readers never observe
-    * a partial log and appends are never lost. Deployments that
+    * bounds its file count in-stream: after a batch that appended
+    * revisions, the log is compacted once its data-file count exceeds the
+    * threshold (one directory listing per revising batch; non-revising
+    * batches pay nothing — atomic, and compact() merges any append racing
+    * it, so readers never observe a partial log and appends are never
+    * lost). Deployments that
     * prefer an external cadence leave it 0 and run
     * `TableStore.compact(revisionsTable)` on their own schedule. */
   def ingestPartitioned(obs: DataFrame, store: TableStore, table: String,
@@ -131,9 +130,12 @@ object StreamIngest {
         val canonical = batch.select(
           col("date").cast("string").as("date"),
           col("value").cast("double").as(valueField))
-        runner.runDatasetPartitioned(table, canonical, Seq(valueField),
-          gateHours = 0)
-        if (compactRevisionsOver > 0)
+        val result = runner.runDatasetPartitioned(table, canonical,
+          Seq(valueField), gateHours = 0)
+        // gate on the batch's own revision count, like ingest(): a
+        // non-revising micro-batch pays neither the cadence listing nor
+        // the revision log's recovery probe
+        if (compactRevisionsOver > 0 && result.revisions > 0)
           store.compactIfOver(Registry.RevisionsTable, compactRevisionsOver)
         ()
       }
