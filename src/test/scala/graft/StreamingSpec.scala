@@ -138,6 +138,46 @@ class StreamingSpec extends SparkSuite {
     assert(revs.head.getAs[Double]("new_value") == 30.0)
   }
 
+  test("ingestPartitioned: compaction cadence gated on the batch's own revisions") {
+    val dir = Files.createTempDirectory("graft-streamgate").toString
+    val store = new TableStore(spark, dir)
+    val ts = Timestamp.valueOf("2025-06-01 00:00:00")
+    implicit val sq = spark.sqlContext
+    // seed an over-threshold revision log WITHOUT cadence: three revising
+    // micro-batches, one appended file each
+    val seed = MemoryStream[StreamIngest.Obs]
+    val qSeed = StreamIngest.ingest(seed.toDF(), store, "sales", "sales",
+      s"$dir/_ckpt_seed", () => ts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    seed.addData(StreamIngest.Obs("2025-01-01", 100.0))
+    qSeed.processAllAvailable()
+    for (i <- 1 to 3) {
+      seed.addData(StreamIngest.Obs("2025-01-01", 100.0 + i))
+      qSeed.processAllAvailable()
+    }
+    qSeed.stop()
+    assert(store.dataFileCount(Registry.RevisionsTable) == 3)
+    // a partitioned stream with the cadence on: a batch that only ADDS
+    // rows (no revisions) must not touch the over-threshold log — the
+    // gate skips both the compaction and its directory listing, because
+    // only revising batches can grow the log
+    val mem = MemoryStream[StreamIngest.Obs]
+    val q = StreamIngest.ingestPartitioned(mem.toDF(), store, "psales",
+      "psales", s"$dir/_ckpt", () => ts,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      compactRevisionsOver = 2)
+    mem.addData(StreamIngest.Obs("2025-03-01", 1.0))
+    q.processAllAvailable()
+    assert(store.dataFileCount(Registry.RevisionsTable) == 3)
+    // a REVISING batch appends (4 files) and trips the cadence: compacted
+    mem.addData(StreamIngest.Obs("2025-03-01", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.dataFileCount(Registry.RevisionsTable) == 1)
+    // all four CDC rows survive the compaction
+    assert(store.read(Registry.RevisionsTable).count() == 4)
+  }
+
   test("ingestPartitioned: restart from the checkpoint continues, never replays") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-restart").toString
