@@ -427,9 +427,11 @@ final class TableStore(spark: SparkSession, root: String) {
     * clobbers the winning writer. The engine still never races them
     * (compaction targets the append-only revision log). Scope: table-root
     * files only — unpartitioned tables; a partitioned table's files live
-    * under `name=value` subdirs and are left untouched. */
-  def compact(table: String, targetFiles: Int = 1): Unit = {
-    if (!exists(table)) return
+    * under `name=value` subdirs and are left untouched. Returns true iff
+    * a compacted copy committed (false: missing table, or a lose-safe
+    * abort against a racing writer). */
+  def compact(table: String, targetFiles: Int = 1): Boolean = {
+    if (!exists(table)) return false
     recoverTable(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     compactSnapshot(table, dataFiles(target), targetFiles)
@@ -482,16 +484,14 @@ final class TableStore(spark: SparkSession, root: String) {
   /** Cadence form of compact(): compact only once the file count EXCEEDS
     * `threshold`, so a caller on a hot loop (a stream appending one file
     * per micro-batch) can invoke it every batch and pay one directory
-    * listing until the log actually needs collapsing. Returns whether the
-    * threshold was exceeded — i.e. a compaction was ATTEMPTED; compact()
-    * itself can still no-op internally (table dropped by a racing writer,
-    * stale-snapshot abort under the commit lock). Unpartitioned tables
-    * only, like compact(). Same safety contract as compact(). */
-  def compactIfOver(table: String, threshold: Int, targetFiles: Int = 1): Boolean = {
-    val over = dataFileCount(table) > math.max(0, threshold)
-    if (over) compact(table, targetFiles)
-    over
-  }
+    * listing until the log actually needs collapsing. Returns true iff a
+    * compaction actually COMMITTED: false when the count is at/under the
+    * threshold, and also when compact() itself lost safely to a racing
+    * writer (table dropped, stale-snapshot abort under the commit lock).
+    * Unpartitioned tables only, like compact(). Same safety contract as
+    * compact(). */
+  def compactIfOver(table: String, threshold: Int, targetFiles: Int = 1): Boolean =
+    dataFileCount(table) > math.max(0, threshold) && compact(table, targetFiles)
 
   private def dataFiles(dir: Path): Seq[Path] =
     fs.listStatus(dir).toSeq
@@ -517,16 +517,18 @@ final class TableStore(spark: SparkSession, root: String) {
     * compact-vs-overwrite lose-safely: the loser aborts (quietly when the
     * race already happened at entry — the existence probe below; loudly if
     * the files vanish mid-scan), never commits a duplicate or clobbers the
-    * winner. Package-private so the snapshot-vs-late-append race is
-    * testable deterministically (the test passes a deliberately stale
-    * snapshot). */
+    * winner. Returns true iff the compacted copy actually COMMITTED (the
+    * swap ran); false on empty snapshot or either abort path, so callers
+    * (compact, compactIfOver) can report truthfully. Package-private so
+    * the snapshot-vs-late-append race is testable deterministically (the
+    * test passes a deliberately stale snapshot). */
   private[graft] def compactSnapshot(table: String, snapshot: Seq[Path],
-                                     targetFiles: Int): Unit = {
-    if (snapshot.isEmpty) return
+                                     targetFiles: Int): Boolean = {
+    if (snapshot.isEmpty) return false
     // lost already: a racing compact/overwrite consumed the snapshot's
     // files before we even started reading — abort before burning a Spark
     // job on a commit the under-lock recheck would refuse anyway
-    if (!snapshot.forall(fs.exists)) return
+    if (!snapshot.forall(fs.exists)) return false
     sweepStaleTmp(table)
     val target = new Path(URI.create(path(table)).normalize().toString)
     val tmp = tmpPath(table)
@@ -549,7 +551,8 @@ final class TableStore(spark: SparkSession, root: String) {
           finally mf.close()
           atomicSwap(target, tmp, cold)
           mergeLateAppends(table, target, cold)
-        }
+          true
+        } else false
       }
     } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }

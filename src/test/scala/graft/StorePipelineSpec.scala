@@ -68,7 +68,7 @@ class StorePipelineSpec extends SparkSuite {
         !s.getPath.getName.startsWith("."))
       .map(_.getPath)
     store.append("revlog", Seq((4, "late")).toDF("k", "v"), maxFiles = 1)
-    store.compactSnapshot("revlog", snapshot, targetFiles = 1)
+    assert(store.compactSnapshot("revlog", snapshot, targetFiles = 1))
     val out = store.read("revlog").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet
     assert(out == Set((1, "v1"), (2, "v2"), (3, "v3"), (4, "late")))
@@ -337,7 +337,7 @@ class StorePipelineSpec extends SparkSuite {
       .map(_.getPath)
     // the race: another writer swaps the table before our commit
     store.overwrite("cs", Seq((9, "winner")).toDF("k", "v"), maxFiles = 1)
-    store.compactSnapshot("cs", stale, targetFiles = 1)
+    assert(!store.compactSnapshot("cs", stale, targetFiles = 1)) // reports the abort
     val out = store.read("cs").collect().map(r => (r.getInt(0), r.getString(1)))
     assert(out.toSeq == Seq((9, "winner"))) // winner intact, zero duplicates
     // the aborted compaction leaves no manifest to confuse recovery
@@ -353,12 +353,13 @@ class StorePipelineSpec extends SparkSuite {
       .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
         !s.getPath.getName.startsWith("."))
       .map(_.getPath)
-    store.compactSnapshot("cc", snap, targetFiles = 1)
+    assert(store.compactSnapshot("cc", snap, targetFiles = 1))
     val after = store.read("cc").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet
     // a second compactor that raced to the same snapshot commits nothing:
-    // the snapshot's files were consumed by the first swap
-    store.compactSnapshot("cc", snap, targetFiles = 1)
+    // the snapshot's files were consumed by the first swap — and it
+    // REPORTS the no-op (compactIfOver surfaces this same signal)
+    assert(!store.compactSnapshot("cc", snap, targetFiles = 1))
     assert(store.read("cc").collect()
       .map(r => (r.getInt(0), r.getString(1))).toSet == after)
     assert(new java.io.File(s"$dir/cc").listFiles()
