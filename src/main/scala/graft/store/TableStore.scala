@@ -438,34 +438,47 @@ final class TableStore(spark: SparkSession, root: String) {
   }
 
   /** The on-disk `name=value` partition layout of a table, in nesting
-    * order — Nil for an unpartitioned (flat) table. One listing per
-    * partition level: each level's directory names must agree on the
-    * column (Hive layout guarantees it; a disagreement means a corrupted
-    * mixed tree and fails loudly here rather than at Spark's partition
-    * discovery). Used by migrateDeclared to refuse to silently flatten a
-    * partitioned table. */
+    * order — Nil for an unpartitioned (flat) table. Derived from the
+    * DATA FILES' directory paths (one recursive listing — the same work
+    * Spark's partition discovery does), not from a single-branch
+    * directory walk: a stray empty or shallower sibling dir left by an
+    * interrupted writer can't truncate or skew the answer, and every
+    * file must agree on one column sequence (a disagreement means a
+    * corrupted mixed tree and fails loudly here rather than at Spark's
+    * partition discovery). A `name=value` dir counts as a partition dir
+    * even with a leading underscore (the store's own __year layout) —
+    * mirroring Spark, which exempts '='-bearing names from the
+    * hidden-file convention. Used by migrateDeclared to refuse to
+    * silently flatten a partitioned table. */
   def partitionColumns(table: String): Seq[String] = {
     if (!exists(table)) return Nil
-    val cols = Seq.newBuilder[String]
-    var dir = new Path(URI.create(path(table)).normalize().toString)
-    var descending = true
-    while (descending) {
-      // a name=value dir is a partition dir even with a leading underscore
-      // (the store's own __year layout) — mirror Spark's discovery, which
-      // exempts '='-bearing names from the hidden-file convention
-      val subdirs = fs.listStatus(dir).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.contains('='))
-      if (subdirs.isEmpty) descending = false
-      else {
-        val names = subdirs.map(_.getPath.getName.takeWhile(_ != '=')).distinct
-        require(names.size == 1,
-          s"table '$table': conflicting partition columns at one level: " +
-            names.sorted.mkString(", "))
-        cols += names.head
-        dir = subdirs.head.getPath
+    recoverTable(table)
+    val root = new Path(URI.create(path(table)).normalize().toString)
+    val rootDepth = root.depth()
+    val it = fs.listFiles(root, true)
+    val layouts = collection.mutable.Set.empty[Seq[String]]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
+        // dir segments strictly between the table root and the file
+        val segs = Iterator.iterate(f.getParent)(_.getParent)
+          .takeWhile(p => p != null && p.depth() > rootDepth)
+          .map(_.getName).toSeq.reverse
+        // partition dirs only: a plain (no '=') subdir tree is not a
+        // Hive layout; all-or-nothing per file path
+        if (segs.forall(_.contains('=')))
+          layouts += segs.map(_.takeWhile(_ != '='))
+        else if (segs.exists(_.contains('=')))
+          layouts += Seq("__mixed__")
       }
     }
-    cols.result()
+    if (layouts.isEmpty) Nil
+    else {
+      require(layouts.size == 1 && layouts.head != Seq("__mixed__"),
+        s"table '$table': inconsistent partition directory layout across " +
+          s"data files: ${layouts.toSeq.map(_.mkString("/")).sorted.mkString("; ")}")
+      layouts.head
+    }
   }
 
   /** Top-level data-file count — one directory listing, the cheap signal a

@@ -463,4 +463,32 @@ class StorePipelineSpec extends SparkSuite {
       df.schema)
     finally spark.conf.set("spark.sql.ansi.enabled", "true")
   }
+
+  test("partitionColumns: file-derived layout survives stray dirs, rejects mixed trees") {
+    val (store, dir) = newStore()
+    // flat table -> Nil; missing table -> Nil
+    store.overwrite("flat", Seq((1, "a")).toDF("k", "v"))
+    assert(store.partitionColumns("flat") == Nil)
+    assert(store.partitionColumns("nope") == Nil)
+    // partitioned layout, plus a stray EMPTY partition dir (interrupted
+    // writer debris): layout derives from data files, so the stray dir
+    // can neither truncate nor skew the answer
+    val part = Seq(("2023-01-01", 1.0), ("2024-01-01", 2.0)).toDF("date", "v")
+      .withColumn("__year", org.apache.spark.sql.functions
+        .substring(org.apache.spark.sql.functions.col("date"), 1, 4).cast("int"))
+    store.overwritePartitions("py", part, Seq("__year"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(s"$dir/py/__year=1999"))      // empty: no data files
+    fs.mkdirs(new Path(s"$dir/py/junk"))             // non-partition subdir, empty
+    assert(store.partitionColumns("py") == Seq("__year"))
+    // a MIXED flat+partitioned tree (the unreadable state the
+    // migrateDeclared guard exists to prevent) fails loudly
+    val flatFile = fs.listStatus(new Path(s"$dir/flat")).toSeq
+      .map(_.getPath).find(_.getName.endsWith(".parquet")).get
+    org.apache.hadoop.fs.FileUtil.copy(fs, flatFile, fs,
+      new Path(s"$dir/py/stray.parquet"), false,
+      spark.sparkContext.hadoopConfiguration)
+    val e = intercept[IllegalArgumentException](store.partitionColumns("py"))
+    assert(e.getMessage.contains("inconsistent partition directory layout"))
+  }
 }

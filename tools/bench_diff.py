@@ -20,17 +20,27 @@ def load(p):
     # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
     # (and its headline truncates to the top queries — prefer BENCH_FULL
     # dumps when both rounds have them)
-    return d.get("parsed", d) if "queries" not in d else d
+    d = d.get("parsed", d) if "queries" not in d else d
+    # drop Bench's -1.0 zero-success sentinels (under *_error keys):
+    # they are markers, not timings, and would corrupt sums and ratios
+    for k in ("queries", "queries_min"):
+        if k in d:
+            d[k] = {q: v for q, v in d[k].items() if v >= 0}
+    return d
 
 old = load(old_path)
 new = load(new_path)
 
 o_med, n_med = old.get("queries", {}), new.get("queries", {})
 o_min, n_min = old.get("queries_min", o_med), new.get("queries_min", n_med)
+for label, dump in (("old", old), ("new", new)):
+    if "queries_min" not in dump:
+        print(f"WARNING: {label} dump has no queries_min — its 'min' "
+              "column below is actually MEDIANS (pre-r12 dump?)")
 
 print(f"total median: {old.get('value')} -> {new.get('value')}   "
-      f"min-sum: {old.get('value_min', sum(o_min.values()))} -> "
-      f"{new.get('value_min', sum(n_min.values()))}")
+      f"min-sum: {old.get('value_min', round(sum(o_min.values()), 3))} -> "
+      f"{new.get('value_min', round(sum(n_min.values()), 3))}")
 
 rows = []
 for q in sorted(set(o_min) & set(n_min)):
