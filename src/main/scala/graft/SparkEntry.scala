@@ -24,19 +24,12 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** Normalize a raw-long `ts` column (from a forced-LongType read of
-    * parquet TIMESTAMP(NANOS) under `spark.sql.legacy.parquet.nanosAsLong`)
-    * to MICROSECONDS. The runtime has been observed to deliver the long as
-    * nanos in one session and micros in another — and the batch and
-    * file-stream read paths of the SAME session can even disagree — so a
-    * static divisor is wrong by 1000× whenever the runtime flips. A
-    * per-row magnitude guard is unambiguous: 2024-era nanos are ~1.7e18,
-    * micros ~1.7e15; the 3e17 threshold separates them for any timestamp
-    * between 1979 and year ~11000. Per-row (not per-frame) so a union of
-    * sources with different scales still normalizes correctly. */
+  /** Alias for [[graft.sources.EventTime.rawTsToMicros]] — the
+    * operator-library owner of the nanos/micros runtime-representation
+    * defense (full contract documented there). Kept here so harness call
+    * sites and the StreamingSpec regression pin read unchanged. */
   private[graft] def rawTsToMicros(df: DataFrame): DataFrame =
-    df.withColumn("ts",
-      expr("CASE WHEN ts > 300000000000000000L THEN ts div 1000 ELSE ts END"))
+    graft.sources.EventTime.rawTsToMicros(df)
 
   /** events.parquet carries TIMESTAMP(NANOS), which Spark's parquet reader
     * rejects by default; read it as a raw long (legacy conf,
@@ -172,7 +165,9 @@ object SparkEntry {
         val autoR = autoDs.map { case (t, df, vf) =>
           runner.runDatasetPartitioned(t, df, vf)
         }
-        val restR = runner.runAllParallel(rest, parallelism = 5)
+        // fan-out defaults to the session-derived value; the pool is
+        // already capped at the 5-dataset list size
+        val restR = runner.runAllParallel(rest)
         (autoR ++ restR).map(r =>
           (r.dataset, phase, r.status, r.newRows, r.updated, r.revisions))
       }
@@ -710,10 +705,10 @@ object SparkEntry {
               (cfg.tableName, canon, Seq(snake))
           }
         }
-        // parallelism 8 measured fastest at fixture scale, re-confirmed
-        // round 10 (8: 10.2s vs 13: 12.0s median, sf0.1 local[32] —
-        // higher fan-out adds scheduler/IO contention, not throughput)
-        runner.runAllParallel(datasets, parallelism = 8)
+        // fan-out derives from the session (Runner.defaultIngestParallelism:
+        // defaultParallelism/4 = 8 on local[32], the round-10 measured
+        // optimum) instead of a hard-coded literal
+        runner.runAllParallel(datasets)
         new EngineApi(s, store).panelFull()
           .filter(col("date").between("2020-01-01", "2024-12-31"))
           .orderBy("date")

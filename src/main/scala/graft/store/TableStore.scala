@@ -131,10 +131,18 @@ final class TableStore(spark: SparkSession, root: String) {
     *     beforehand, which a competing breaker's fresh lock could have
     *     replaced in the meantime. A breaker that finds it stole a fresh
     *     lock renames it straight back.
-    * Boundary (documented, not defended): a holder PAUSED longer than the
-    * staleness bound mid-commit (a 30s GC pause inside a few renames) can
-    * still lose the lock — the classic lease-less lock-file limit — and a
-    * failed rename-back of a mistakenly-stolen fresh lock (its path was
+    * The lock carries a HEARTBEAT while held: the owner re-touches the
+    * lock file's mtime on a timer (period = staleness bound / 3), and the
+    * staleness verdict reads mtime — so it judges HEARTBEAT age, not
+    * acquisition age. A slow-but-alive holder (throttled object-store
+    * renames, a long recovery under the lock) keeps the lock indefinitely;
+    * only a holder whose JVM stopped beating — death, or a full
+    * stop-the-world freeze longer than the bound (which freezes the
+    * heartbeat thread with everything else) — is broken.
+    * Boundary (documented, not defended): that full-freeze case remains —
+    * the classic lease-less lock-file limit, now narrowed from "paused
+    * anywhere past the bound" to "entire JVM frozen past the bound" — and
+    * a failed rename-back of a mistakenly-stolen fresh lock (its path was
     * re-created in the microseconds in between) strands that holder
     * lockless; a multi-writer production deployment wants a lease service
     * or a lakehouse commit log instead of raw parquet. */
@@ -143,7 +151,10 @@ final class TableStore(spark: SparkSession, root: String) {
     new Path(t.getParent, s".${t.getName}.__lock__")
   }
 
-  private val LockStaleMs = 30000L
+  /** Staleness bound on the lock HEARTBEAT (mtime age). Package-private
+    * and mutable only so tests can shorten it to exercise the
+    * break/no-break boundary without 30s sleeps. */
+  @volatile private[graft] var lockStaleMs: Long = 30000L
 
   private def readToken(p: Path): Option[String] =
     try {
@@ -152,7 +163,7 @@ final class TableStore(spark: SparkSession, root: String) {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
-  private def withTableLock[A](table: String)(body: => A): A = {
+  private[graft] def withTableLock[A](table: String)(body: => A): A = {
     val lock = lockPath(table)
     val token = java.util.UUID.randomUUID().toString
     var acquired = false
@@ -167,7 +178,7 @@ final class TableStore(spark: SparkSession, root: String) {
           // held by another writer: break it if stale, else wait briefly
           try {
             val st = fs.getFileStatus(lock)
-            if (System.currentTimeMillis() - st.getModificationTime > LockStaleMs) {
+            if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs) {
               val breaker = new Path(lock.getParent,
                 s"${lock.getName}.break_${token.take(8)}")
               if (fs.rename(lock, breaker)) {
@@ -176,7 +187,7 @@ final class TableStore(spark: SparkSession, root: String) {
                 // we ACTUALLY took, not whatever we statted moments ago
                 val broke = fs.getFileStatus(breaker)
                 if (System.currentTimeMillis() - broke.getModificationTime >
-                    LockStaleMs)
+                    lockStaleMs)
                   fs.delete(breaker, false)
                 else if (!fs.rename(breaker, lock)) fs.delete(breaker, false)
               }
@@ -184,8 +195,24 @@ final class TableStore(spark: SparkSession, root: String) {
           } catch { case _: java.io.FileNotFoundException => () }
       }
     }
+    // heartbeat: re-touch the lock's mtime while the body runs, so the
+    // staleness verdict above judges "stopped beating", not "held long".
+    // Token-checked per beat: after a (full-freeze) stale-break, the path
+    // may hold ANOTHER writer's fresh lock, which we must not refresh.
+    // Every beat failure is swallowed — the heartbeat is an aliveness
+    // signal, never a correctness dependency.
+    val period = math.max(1L, lockStaleMs / 3)
+    val beat = TableStore.heartbeatPool.scheduleWithFixedDelay(
+      () => try {
+        if (readToken(lock).contains(token))
+          fs.setTimes(lock, System.currentTimeMillis(), -1)
+      } catch { case scala.util.control.NonFatal(_) => () },
+      period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
-    finally if (readToken(lock).contains(token)) fs.delete(lock, false)
+    finally {
+      beat.cancel(false)
+      if (readToken(lock).contains(token)) fs.delete(lock, false)
+    }
   }
 
   /** A table "exists" if its directory OR an interrupted-swap backup does —
@@ -445,27 +472,48 @@ final class TableStore(spark: SparkSession, root: String) {
     * interrupted writer can't truncate or skew the answer, and every
     * file must agree on one column sequence (a disagreement means a
     * corrupted mixed tree and fails loudly here rather than at Spark's
-    * partition discovery). A `name=value` dir counts as a partition dir
-    * even with a leading underscore (the store's own __year layout) —
-    * mirroring Spark, which exempts '='-bearing names from the
-    * hidden-file convention. Used by migrateDeclared to refuse to
-    * silently flatten a partitioned table. */
+    * partition discovery). Hidden-path filtering mirrors Spark's
+    * `shouldFilterOutPathName` applied PER LEVEL, not just to the leaf
+    * file name: a file under a hidden intermediate dir — a name starting
+    * with '.' (`.spark-staging-<job>/...` from a crashed dynamic
+    * overwrite) or with '_' and no '=' (`_temporary/...` from an
+    * in-flight job) — is writer debris Spark itself would never read, so
+    * it can't skew or block the answer here either. A `name=value` dir
+    * still counts as a partition dir even with a leading underscore (the
+    * store's own __year layout) — mirroring Spark, which exempts
+    * '='-bearing names from the hidden-file convention. Used by
+    * migrateDeclared to refuse to silently flatten a partitioned table.
+    *
+    * Cost: O(data files) in the worst case — one recursive listing of
+    * the table tree, the same cost Spark's own partition discovery pays
+    * on first read. Only reachable from migrateDeclared (a quiesced
+    * admin operation), never on a hot path. The walk short-circuits on
+    * the first CONFLICTING file (two layouts, or a mixed
+    * plain/'='-bearing path): the first visible data file fixes the
+    * candidate layout and every later file only needs to agree, so a
+    * corrupt tree fails loudly without listing the rest of it. */
   def partitionColumns(table: String): Seq[String] = {
     if (!exists(table)) return Nil
     recoverTable(table)
     val root = new Path(URI.create(path(table)).normalize().toString)
     val rootDepth = root.depth()
+    // Spark's shouldFilterOutPathName, per path level: '.'-prefixed always
+    // hidden; '_'-prefixed hidden unless it's a name=value partition dir.
+    def hidden(name: String): Boolean =
+      name.startsWith(".") || (name.startsWith("_") && !name.contains('='))
     val it = fs.listFiles(root, true)
     val layouts = collection.mutable.Set.empty[Seq[String]]
-    while (it.hasNext) {
+    while (it.hasNext && layouts.size < 2 && !layouts.contains(Seq("__mixed__"))) {
       val f = it.next().getPath
-      if (!f.getName.startsWith("_") && !f.getName.startsWith(".")) {
-        // dir segments strictly between the table root and the file
-        val segs = Iterator.iterate(f.getParent)(_.getParent)
-          .takeWhile(p => p != null && p.depth() > rootDepth)
-          .map(_.getName).toSeq.reverse
+      // dir segments strictly between the table root and the file
+      val segs = Iterator.iterate(f.getParent)(_.getParent)
+        .takeWhile(p => p != null && p.depth() > rootDepth)
+        .map(_.getName).toSeq.reverse
+      if (!hidden(f.getName) && !segs.exists(hidden)) {
         // partition dirs only: a plain (no '=') subdir tree is not a
-        // Hive layout; all-or-nothing per file path
+        // Hive layout (Spark's flat read ignores it); all-or-nothing
+        // per file path — a path MIXING '='-bearing and plain segments
+        // is a corrupt tree and flags loudly
         if (segs.forall(_.contains('=')))
           layouts += segs.map(_.takeWhile(_ != '='))
         else if (segs.exists(_.contains('=')))
@@ -596,5 +644,22 @@ final class TableStore(spark: SparkSession, root: String) {
         if (pfx.exists(s.getPath.getName.startsWith)) fs.delete(s.getPath, true)
       } catch { case _: java.io.FileNotFoundException => () }
     }
+  }
+}
+
+object TableStore {
+  /** One JVM-wide daemon thread drives every held lock's heartbeat: beats
+    * are sub-millisecond metadata touches at a many-second cadence, so a
+    * single thread serves any realistic number of concurrently-held locks
+    * (the engine holds at most a handful, briefly). Daemon — never blocks
+    * JVM exit; an exiting holder's lock is healed by the staleness bound. */
+  private val heartbeatPool: java.util.concurrent.ScheduledThreadPoolExecutor = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "tablestore-lock-heartbeat")
+      t.setDaemon(true)
+      t
+    })
+    p.setRemoveOnCancelPolicy(true)
+    p
   }
 }

@@ -314,6 +314,18 @@ class RunnerSpec extends SparkSuite {
       Set(cfg.tableName, gasCfg.tableName))
   }
 
+  test("ingest fan-out derives from the session, bounded [2,16]") {
+    val (_, runner, _) = newEnv()
+    // local[32] suite session: defaultParallelism/4 reproduces the
+    // round-10 measured optimum of 8; the formula floors at 2 and caps
+    // at 16 for smaller/larger drivers
+    val dp = spark.sparkContext.defaultParallelism
+    assert(runner.defaultIngestParallelism ==
+      math.min(16, math.max(2, dp / 4)))
+    assert(runner.defaultIngestParallelism >= 2 &&
+      runner.defaultIngestParallelism <= 16)
+  }
+
   test("run summary persists one row per dataset") {
     val (store, runner, _) = newEnv()
     val (canon, snake) = canonical()

@@ -481,14 +481,68 @@ class StorePipelineSpec extends SparkSuite {
     fs.mkdirs(new Path(s"$dir/py/__year=1999"))      // empty: no data files
     fs.mkdirs(new Path(s"$dir/py/junk"))             // non-partition subdir, empty
     assert(store.partitionColumns("py") == Seq("__year"))
-    // a MIXED flat+partitioned tree (the unreadable state the
-    // migrateDeclared guard exists to prevent) fails loudly
+    // crashed-writer debris under HIDDEN intermediate dirs: a dynamic
+    // overwrite's .spark-staging-<job>/ tree and an in-flight job's
+    // _temporary/ tree hold data files with NON-hidden leaf names.
+    // Hidden-path filtering applies per level (Spark's
+    // shouldFilterOutPathName), so the debris neither skews the layout
+    // nor blocks migrateDeclared on an otherwise-healthy table.
+    val hconf = spark.sparkContext.hadoopConfiguration
     val flatFile = fs.listStatus(new Path(s"$dir/flat")).toSeq
       .map(_.getPath).find(_.getName.endsWith(".parquet")).get
     org.apache.hadoop.fs.FileUtil.copy(fs, flatFile, fs,
-      new Path(s"$dir/py/stray.parquet"), false,
-      spark.sparkContext.hadoopConfiguration)
+      new Path(s"$dir/py/.spark-staging-42/__year=2030/part-0.parquet"),
+      false, hconf)
+    org.apache.hadoop.fs.FileUtil.copy(fs, flatFile, fs,
+      new Path(s"$dir/py/_temporary/0/task_1/part-1.parquet"), false, hconf)
+    assert(store.partitionColumns("py") == Seq("__year"))
+    // a path MIXING '='-bearing and plain VISIBLE segments is a corrupt
+    // tree and fails loudly (not silently ignored like a pure-plain one)
+    org.apache.hadoop.fs.FileUtil.copy(fs, flatFile, fs,
+      new Path(s"$dir/py/__year=2024/extra/part-2.parquet"), false, hconf)
+    val em = intercept[IllegalArgumentException](store.partitionColumns("py"))
+    assert(em.getMessage.contains("inconsistent partition directory layout"))
+    fs.delete(new Path(s"$dir/py/__year=2024/extra"), true)
+    assert(store.partitionColumns("py") == Seq("__year"))
+    // a MIXED flat+partitioned tree (the unreadable state the
+    // migrateDeclared guard exists to prevent) fails loudly
+    org.apache.hadoop.fs.FileUtil.copy(fs, flatFile, fs,
+      new Path(s"$dir/py/stray.parquet"), false, hconf)
     val e = intercept[IllegalArgumentException](store.partitionColumns("py"))
     assert(e.getMessage.contains("inconsistent partition directory layout"))
+  }
+
+  test("lock heartbeat: slow-but-alive holder is not broken; dead holder is") {
+    val (store, dir) = newStore()
+    store.overwrite("hb", Seq((1, "a")).toDF("k", "v"))
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prior = store.lockStaleMs
+    // shortened bound so the boundary is exercised without 30s sleeps
+    store.lockStaleMs = 400L
+    try {
+      // SLOW-BUT-ALIVE holder: holds the lock for 4x the staleness bound.
+      // The heartbeat (bound/3 cadence) keeps the mtime fresh, so the
+      // contender below must WAIT for the release — before the heartbeat,
+      // it would stale-break in at ~bound and enter mid-hold.
+      @volatile var aEnd = 0L
+      val a = new Thread(() => store.withTableLock("hb") {
+        Thread.sleep(1600); aEnd = System.nanoTime()
+      })
+      a.start()
+      Thread.sleep(200) // let A acquire
+      var bStart = 0L
+      store.withTableLock("hb") { bStart = System.nanoTime() }
+      a.join(30000)
+      assert(aEnd != 0L && bStart > aEnd,
+        "contender entered while a live holder was inside the lock")
+      // DEAD holder: a lock file with no heartbeat (crashed JVM) past the
+      // bound is still broken promptly — the heal path is unchanged
+      val lock = new Path(s"$dir/.hb.__lock__")
+      fs.create(lock, true).close()
+      fs.setTimes(lock, System.currentTimeMillis() - 10000L, -1)
+      var entered = false
+      store.withTableLock("hb") { entered = true }
+      assert(entered)
+    } finally store.lockStaleMs = prior
   }
 }

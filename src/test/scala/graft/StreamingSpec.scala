@@ -352,6 +352,21 @@ class StreamingSpec extends SparkSuite {
     assert(out.toSeq == Seq((7L, 1L, 3L), (8L, 5L, 6L)))
   }
 
+  test("EventTime.rawTsToMicros: per-row magnitude guard over mixed scales") {
+    import spark.implicits._
+    val microsVal = 1717200000000000L          // 2024-06-01 in micros
+    val nanosVal = 1717200000000000000L        // the same instant in nanos
+    val mixed = Seq(microsVal, nanosVal,
+      graft.sources.EventTime.NanosThreshold,        // at threshold: micros
+      graft.sources.EventTime.NanosThreshold + 1     // just over: nanos
+    ).toDF("ts")
+    val out = graft.sources.EventTime.rawTsToMicros(mixed)
+      .as[Long].collect().toSeq
+    assert(out == Seq(microsVal, microsVal,
+      graft.sources.EventTime.NanosThreshold,
+      (graft.sources.EventTime.NanosThreshold + 1) / 1000))
+  }
+
   test("streamed events ts normalizes to the fixture's real year (runtime-representation guard)") {
     // Regression pin for the round-13 field failure: the file-stream parquet
     // source's forced-LongType read of events.parquet (TIMESTAMP(NANOS)
@@ -363,7 +378,11 @@ class StreamingSpec extends SparkSuite {
     // escapes the guard, in `sbt test` instead of the driver run.
     import org.apache.spark.sql.types._
     val file = "/root/testdata/sf0.001/events.parquet"
+    // shared suite session: save and restore the legacy-reader flag so the
+    // behavior change can't leak into later tests (ordering-independent)
+    val priorNanos = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try {
     val rawSchema = StructType(Seq(
       StructField("event_id", LongType), StructField("ts", LongType),
       StructField("user_id", LongType), StructField("event_type", StringType),
@@ -399,5 +418,9 @@ class StreamingSpec extends SparkSuite {
       s"batch events ts landed in ${batchYears.getInt(0)}..${batchYears.getInt(1)}, want 2024")
     assert(streamYears.getInt(0) == 2024 && streamYears.getInt(1) == 2024,
       s"streamed events ts landed in ${streamYears.getInt(0)}..${streamYears.getInt(1)}, want 2024")
+    } finally priorNanos match {
+      case Some(v) => spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", v)
+      case None    => spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    }
   }
 }

@@ -1,7 +1,12 @@
 #!/usr/bin/env python3
 """Compare two bench dumps (BENCH_FULL.json shape) query by query.
 
-Usage: python3 tools/bench_diff.py <old.json> <new.json> [threshold]
+Usage: python3 tools/bench_diff.py [old.json] <new.json> [threshold]
+
+With a single dump argument, the old side defaults to the checked-in
+quiet-box floor set `BENCH_FLOORS.json` (the accepted round's
+`queries_min`), so routine adjudications compare against the accepted
+floor rather than the previous — possibly contended — round.
 
 Prints the headline totals, then every query whose MIN moved more than
 `threshold` (default 0.15 = 15%) in either direction, with both median
@@ -9,12 +14,34 @@ and min deltas. Medians on a contended box lie; `queries_min` is the
 noise-robust statistic (see COVERAGE.md's jitter adjudications) — that
 is why regressions/improvements are keyed on min, with the median shown
 alongside for contention context.
+
+Headline sums are recomputed uniformly from the sentinel-filtered
+per-query maps on BOTH sides (never mixed with dump-stored totals,
+which predate the filter); the dump-stored totals are printed on a
+separate line when present, for cross-reference.
 """
 import json
+import os
 import sys
 
-old_path, new_path = sys.argv[1], sys.argv[2]
-threshold = float(sys.argv[3]) if len(sys.argv) > 3 else 0.15
+args = sys.argv[1:]
+threshold = 0.15
+files = []
+for a in args:
+    try:
+        threshold = float(a)
+    except ValueError:
+        files.append(a)
+if len(files) == 1:
+    floors = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_FLOORS.json")
+    files = [floors] + files
+    print(f"(old side defaulted to accepted floors: {floors})")
+if len(files) != 2:
+    sys.exit("usage: bench_diff.py [old.json] <new.json> [threshold]")
+old_path, new_path = files
+
+
 def load(p):
     d = json.load(open(p))
     # the driver's BENCH_r{N}.json wraps the bench line under "parsed"
@@ -28,6 +55,7 @@ def load(p):
             d[k] = {q: v for q, v in d[k].items() if v >= 0}
     return d
 
+
 old = load(old_path)
 new = load(new_path)
 
@@ -38,9 +66,20 @@ for label, dump in (("old", old), ("new", new)):
         print(f"WARNING: {label} dump has no queries_min — its 'min' "
               "column below is actually MEDIANS (pre-r12 dump?)")
 
-print(f"total median: {old.get('value')} -> {new.get('value')}   "
-      f"min-sum: {old.get('value_min', round(sum(o_min.values()), 3))} -> "
-      f"{new.get('value_min', round(sum(n_min.values()), 3))}")
+
+def fmt_sum(m):
+    return round(sum(m.values()), 3) if m else None
+
+
+# both headline columns computed the same way: sums over the filtered
+# per-query maps (dump-stored 'value'/'value_min' predate the filter)
+print(f"total median-sum: {fmt_sum(o_med)} -> {fmt_sum(n_med)}   "
+      f"min-sum: {fmt_sum(o_min)} -> {fmt_sum(n_min)}")
+stored = [old.get("value"), new.get("value"),
+          old.get("value_min"), new.get("value_min")]
+if any(v is not None for v in stored):
+    print(f"  (dump-stored: median {stored[0]} -> {stored[1]}, "
+          f"min {stored[2]} -> {stored[3]})")
 
 rows = []
 for q in sorted(set(o_min) & set(n_min)):
