@@ -115,10 +115,12 @@ final class TableStore(spark: SparkSession, root: String) {
     * compaction's two-rename swap window. Only FAST metadata operations run
     * under it (renames, a recovery check) — never a Spark write job — so
     * contention is bounded by filesystem rename latency. Acquisition is
-    * create-exclusive (atomic on HDFS and object-store committers; the
-    * local-FS check-then-create race is narrower than the rename race it
-    * closes); a crashed holder is healed by the staleness bound, which sits
-    * orders of magnitude above any rename's duration.
+    * create-exclusive on EVERY filesystem: atomic on HDFS and object-store
+    * committers via fs.create(overwrite=false), and on local filesystems
+    * via NIO CREATE_NEW (O_CREAT|O_EXCL) — Hadoop's local create(false) is
+    * check-then-create and measurably loses exclusion under contention
+    * (see createExclusive). A crashed holder is healed by the staleness
+    * bound, which sits orders of magnitude above any rename's duration.
     *
     * The lock file carries a per-acquisition OWNER TOKEN:
     *   - release deletes the lock only if the token is still ours, so a
@@ -163,18 +165,50 @@ final class TableStore(spark: SparkSession, root: String) {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** Create the lock file exclusively, token inside; false if it exists.
+    * On a LOCAL filesystem Hadoop's create(overwrite=false) is
+    * CHECK-then-create — two contenders can both pass the check and both
+    * believe they acquired (measured: 23/160 lost updates under an
+    * 8-thread hammer). Local paths therefore go through NIO CREATE_NEW
+    * (POSIX O_CREAT|O_EXCL — genuinely atomic); HDFS and object-store
+    * schemes keep fs.create(false), which is atomic there. */
+  private def createExclusive(lock: Path, token: String): Boolean = {
+    val scheme = lock.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      val p = java.nio.file.Paths.get(lock.toUri.getPath)
+      try {
+        java.nio.file.Files.write(p, token.getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.nio.file.NoSuchFileException =>
+          // parent missing (first write to a fresh store root): create it
+          // and retry once — CREATE_NEW does not mkdirs like fs.create
+          try {
+            java.nio.file.Files.createDirectories(p.getParent)
+            java.nio.file.Files.write(p, token.getBytes("UTF-8"),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+            true
+          } catch { case _: java.io.IOException => false }
+        case _: java.io.IOException => false
+      }
+    } else
+      try {
+        val out = fs.create(lock, false)
+        try out.write(token.getBytes("UTF-8"))
+        finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+  }
+
   private[graft] def withTableLock[A](table: String)(body: => A): A = {
     val lock = lockPath(table)
     val token = java.util.UUID.randomUUID().toString
     var acquired = false
     while (!acquired) {
-      try {
-        val out = fs.create(lock, false)
-        try out.write(token.getBytes("UTF-8"))
-        finally out.close()
-        acquired = true
-      } catch {
-        case _: java.io.IOException =>
+      if (createExclusive(lock, token)) acquired = true
+      else {
           // held by another writer: break it if stale, else wait briefly
           try {
             val st = fs.getFileStatus(lock)

@@ -545,4 +545,28 @@ class StorePipelineSpec extends SparkSuite {
       assert(entered)
     } finally store.lockStaleMs = prior
   }
+
+  test("lock: mutual exclusion holds under contention with the heartbeat path") {
+    val (store, _) = newStore()
+    val prior = store.lockStaleMs
+    store.lockStaleMs = 500L
+    try {
+      // lost-update detector: get/sleep/set is atomic ONLY if the lock
+      // serializes holders; AtomicInteger supplies cross-thread visibility
+      // while leaving the read-modify-write unprotected on purpose
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 8).map(_ => new Thread(() =>
+        try (1 to 20).foreach { _ =>
+          store.withTableLock("mx") {
+            val c = counter.get(); Thread.sleep(1); counter.set(c + 1)
+          }
+        } catch { case t: Throwable => errs.add(t) }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(errs.isEmpty, s"locked section threw: ${errs.peek()}")
+      assert(counter.get() == 160,
+        s"lost updates: ${160 - counter.get()} of 160 increments vanished")
+    } finally store.lockStaleMs = prior
+  }
 }
