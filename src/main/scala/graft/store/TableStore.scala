@@ -202,6 +202,29 @@ final class TableStore(spark: SparkSession, root: String) {
       } catch { case _: java.io.IOException => false }
   }
 
+  /** Rename the breaker file back to the lock path, FAILING if the path
+    * was re-created in the meantime — never replacing it. HDFS rename
+    * already has fail-if-exists semantics. POSIX rename(2) silently
+    * REPLACES an existing destination (and Hadoop's local rename and NIO
+    * ATOMIC_MOVE both inherit that), which would clobber another writer's
+    * fresh lock and leave TWO writers believing they hold it — so local
+    * paths go through a hard link (atomic, EEXIST on an occupied path)
+    * plus breaker delete. A failed rename-back strands the stolen lock's
+    * owner lockless (the documented boundary) on every filesystem alike. */
+  private[graft] def renameBackExclusive(breaker: Path, lock: Path): Boolean = {
+    val scheme = lock.toUri.getScheme
+    if (scheme == null || scheme == "file") {
+      try {
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(lock.toUri.getPath),
+          java.nio.file.Paths.get(breaker.toUri.getPath))
+        java.nio.file.Files.deleteIfExists(
+          java.nio.file.Paths.get(breaker.toUri.getPath))
+        true
+      } catch { case _: java.io.IOException => false }
+    } else fs.rename(breaker, lock)
+  }
+
   private[graft] def withTableLock[A](table: String)(body: => A): A = {
     val lock = lockPath(table)
     val token = java.util.UUID.randomUUID().toString
@@ -223,7 +246,8 @@ final class TableStore(spark: SparkSession, root: String) {
                 if (System.currentTimeMillis() - broke.getModificationTime >
                     lockStaleMs)
                   fs.delete(breaker, false)
-                else if (!fs.rename(breaker, lock)) fs.delete(breaker, false)
+                else if (!renameBackExclusive(breaker, lock))
+                  fs.delete(breaker, false)
               }
             } else Thread.sleep(5)
           } catch { case _: java.io.FileNotFoundException => () }

@@ -546,6 +546,31 @@ class StorePipelineSpec extends SparkSuite {
     } finally store.lockStaleMs = prior
   }
 
+  test("renameBackExclusive never replaces a re-created lock") {
+    val (store, dir) = newStore()
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def put(p: Path, s: String): Unit = {
+      val o = fs.create(p, true); o.write(s.getBytes("UTF-8")); o.close()
+    }
+    def get(p: Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val lock = new Path(s"$dir/.rb.__lock__")
+    val breaker = new Path(s"$dir/.rb.__lock__.break_t")
+    // occupied destination (another writer re-created the lock mid-steal):
+    // POSIX rename(2) would silently REPLACE it — the rename-back must
+    // FAIL and leave the fresh lock byte-intact instead
+    put(lock, "fresh-owner"); put(breaker, "stolen")
+    assert(!store.renameBackExclusive(breaker, lock))
+    assert(get(lock) == "fresh-owner")
+    // free destination: the rename-back restores the stolen lock
+    fs.delete(lock, false)
+    assert(store.renameBackExclusive(breaker, lock))
+    assert(get(lock) == "stolen")
+    assert(!fs.exists(breaker))
+  }
+
   test("lock: mutual exclusion holds under contention with the heartbeat path") {
     val (store, _) = newStore()
     val prior = store.lockStaleMs
