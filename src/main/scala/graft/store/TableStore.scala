@@ -221,7 +221,11 @@ final class TableStore(spark: SparkSession, root: String) {
         java.nio.file.Files.deleteIfExists(
           java.nio.file.Paths.get(breaker.toUri.getPath))
         true
-      } catch { case _: java.io.IOException => false }
+        // NonFatal, not just IOException: a link-less filesystem throws
+        // UnsupportedOperationException, which must degrade to "rename-back
+        // failed" (breaker deleted, owner stranded — the documented
+        // boundary), never escape the acquire loop
+      } catch { case scala.util.control.NonFatal(_) => false }
     } else fs.rename(breaker, lock)
   }
 
