@@ -21,6 +21,12 @@ import java.sql.Timestamp
 object Runner {
   final case class DatasetResult(dataset: String, status: String,
                                  newRows: Long, updated: Long, revisions: Long)
+
+  /** The fan-out formula behind defaultIngestParallelism, factored out so
+    * the shape is testable against synthetic session widths (the suite
+    * session is not local[32]). */
+  def ingestParallelismFor(defaultParallelism: Int): Int =
+    math.min(16, math.max(2, defaultParallelism / 4))
 }
 
 final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp) {
@@ -148,7 +154,7 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     * and the store's commit lock, not on executor threads, so fan-out
     * past ~2× the optimum only adds contention. */
   def defaultIngestParallelism: Int =
-    math.min(16, math.max(2, spark.sparkContext.defaultParallelism / 4))
+    Runner.ingestParallelismFor(spark.sparkContext.defaultParallelism)
 
   /** §7.6(a): per-dataset PARALLEL execution — the reference's sequential
     * 26-dataset loop (main_azure.py:136-152) becomes a pool of concurrent

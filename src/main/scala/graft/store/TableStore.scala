@@ -165,6 +165,14 @@ final class TableStore(spark: SparkSession, root: String) {
       finally in.close()
     } catch { case _: java.io.IOException => None }
 
+  /** The lock sits on a local disk iff the RESOLVED filesystem is local —
+    * judged from `fs`, never from the lock path's own (possibly absent)
+    * scheme: a scheme-less root resolves against fs.defaultFS, which may
+    * be HDFS, and routing such a lock to driver-local NIO would both lose
+    * cross-node exclusion and strand an undeletable local lock file. */
+  private def isLocalFs: Boolean =
+    fs.getUri.getScheme == "file"
+
   /** Create the lock file exclusively, token inside; false if it exists.
     * On a LOCAL filesystem Hadoop's create(overwrite=false) is
     * CHECK-then-create — two contenders can both pass the check and both
@@ -173,8 +181,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * (POSIX O_CREAT|O_EXCL — genuinely atomic); HDFS and object-store
     * schemes keep fs.create(false), which is atomic there. */
   private def createExclusive(lock: Path, token: String): Boolean = {
-    val scheme = lock.toUri.getScheme
-    if (scheme == null || scheme == "file") {
+    if (isLocalFs) {
       val p = java.nio.file.Paths.get(lock.toUri.getPath)
       try {
         java.nio.file.Files.write(p, token.getBytes("UTF-8"),
@@ -212,8 +219,7 @@ final class TableStore(spark: SparkSession, root: String) {
     * plus breaker delete. A failed rename-back strands the stolen lock's
     * owner lockless (the documented boundary) on every filesystem alike. */
   private[graft] def renameBackExclusive(breaker: Path, lock: Path): Boolean = {
-    val scheme = lock.toUri.getScheme
-    if (scheme == null || scheme == "file") {
+    if (isLocalFs) {
       try {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(lock.toUri.getPath),
@@ -261,13 +267,28 @@ final class TableStore(spark: SparkSession, root: String) {
     // staleness verdict above judges "stopped beating", not "held long".
     // Token-checked per beat: after a (full-freeze) stale-break, the path
     // may hold ANOTHER writer's fresh lock, which we must not refresh.
-    // Every beat failure is swallowed — the heartbeat is an aliveness
-    // signal, never a correctness dependency.
+    // setTimes is VERIFIED per beat: Hadoop's FileSystem.setTimes default
+    // is an empty no-op and object-store connectors don't override it
+    // (object mtime is immutable in place) — a beat whose mtime did not
+    // advance falls back to rewriting the lock file with the same token,
+    // which re-creates the object and so refreshes its timestamp. The
+    // rewrite's clobber window (our lock stale-broken and re-acquired
+    // between the token check and the write) requires the JVM frozen past
+    // the staleness bound first — the same documented full-freeze
+    // boundary as everywhere else. Every beat failure is swallowed — the
+    // heartbeat is an aliveness signal, never a correctness dependency.
     val period = math.max(1L, lockStaleMs / 3)
     val beat = TableStore.heartbeatPool.scheduleWithFixedDelay(
       () => try {
-        if (readToken(lock).contains(token))
+        if (readToken(lock).contains(token)) {
+          val before = fs.getFileStatus(lock).getModificationTime
           fs.setTimes(lock, System.currentTimeMillis(), -1)
+          if (fs.getFileStatus(lock).getModificationTime <= before) {
+            val out = fs.create(lock, true)
+            try out.write(token.getBytes("UTF-8"))
+            finally out.close()
+          }
+        }
       } catch { case scala.util.control.NonFatal(_) => () },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body

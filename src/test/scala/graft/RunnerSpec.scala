@@ -315,15 +315,21 @@ class RunnerSpec extends SparkSuite {
   }
 
   test("ingest fan-out derives from the session, bounded [2,16]") {
+    // pin CONCRETE values at the load-bearing widths, not the formula
+    // re-evaluated against itself: 32 (the production local[32] session —
+    // must reproduce the round-10 measured optimum of 8), the floor, the
+    // cap, and the boundaries around both
+    assert(graft.pipeline.Runner.ingestParallelismFor(32) == 8)
+    assert(graft.pipeline.Runner.ingestParallelismFor(1) == 2)   // floor
+    assert(graft.pipeline.Runner.ingestParallelismFor(8) == 2)
+    assert(graft.pipeline.Runner.ingestParallelismFor(12) == 3)
+    assert(graft.pipeline.Runner.ingestParallelismFor(64) == 16) // cap
+    assert(graft.pipeline.Runner.ingestParallelismFor(256) == 16)
+    // and the instance method routes through the session's width
     val (_, runner, _) = newEnv()
-    // local[32] suite session: defaultParallelism/4 reproduces the
-    // round-10 measured optimum of 8; the formula floors at 2 and caps
-    // at 16 for smaller/larger drivers
-    val dp = spark.sparkContext.defaultParallelism
     assert(runner.defaultIngestParallelism ==
-      math.min(16, math.max(2, dp / 4)))
-    assert(runner.defaultIngestParallelism >= 2 &&
-      runner.defaultIngestParallelism <= 16)
+      graft.pipeline.Runner.ingestParallelismFor(
+        spark.sparkContext.defaultParallelism))
   }
 
   test("run summary persists one row per dataset") {

@@ -517,19 +517,24 @@ class StorePipelineSpec extends SparkSuite {
     store.overwrite("hb", Seq((1, "a")).toDF("k", "v"))
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val prior = store.lockStaleMs
-    // shortened bound so the boundary is exercised without 30s sleeps
-    store.lockStaleMs = 400L
+    // shortened bound so the boundary is exercised without 30s sleeps —
+    // but wide enough (1s; ~333ms beat cadence) that an ordinary GC pause
+    // can't age the mtime past the bound and fail the test spuriously
+    store.lockStaleMs = 1000L
     try {
-      // SLOW-BUT-ALIVE holder: holds the lock for 4x the staleness bound.
-      // The heartbeat (bound/3 cadence) keeps the mtime fresh, so the
-      // contender below must WAIT for the release — before the heartbeat,
-      // it would stale-break in at ~bound and enter mid-hold.
+      // SLOW-BUT-ALIVE holder: holds the lock for 3x the staleness bound.
+      // The heartbeat keeps the mtime fresh, so the contender below must
+      // WAIT for the release — before the heartbeat, it would stale-break
+      // in at ~bound and enter mid-hold.
+      val aHolds = new java.util.concurrent.CountDownLatch(1)
       @volatile var aEnd = 0L
       val a = new Thread(() => store.withTableLock("hb") {
-        Thread.sleep(1600); aEnd = System.nanoTime()
+        aHolds.countDown()
+        Thread.sleep(3000); aEnd = System.nanoTime()
       })
       a.start()
-      Thread.sleep(200) // let A acquire
+      // latch, not a fixed sleep: B must not race A for first acquisition
+      assert(aHolds.await(30, java.util.concurrent.TimeUnit.SECONDS))
       var bStart = 0L
       store.withTableLock("hb") { bStart = System.nanoTime() }
       a.join(30000)

@@ -19,27 +19,13 @@ Headline sums are recomputed uniformly from the sentinel-filtered
 per-query maps on BOTH sides (never mixed with dump-stored totals,
 which predate the filter); the dump-stored totals are printed on a
 separate line when present, for cross-reference.
+
+Import-safe: `load()` is shared with tools/update_floors.py, so the
+dump-unwrap and sentinel-filter rules live in exactly one place.
 """
 import json
 import os
 import sys
-
-args = sys.argv[1:]
-threshold = 0.15
-files = []
-for a in args:
-    try:
-        threshold = float(a)
-    except ValueError:
-        files.append(a)
-if len(files) == 1:
-    floors = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "BENCH_FLOORS.json")
-    files = [floors] + files
-    print(f"(old side defaulted to accepted floors: {floors})")
-if len(files) != 2:
-    sys.exit("usage: bench_diff.py [old.json] <new.json> [threshold]")
-old_path, new_path = files
 
 
 def load(p):
@@ -56,50 +42,75 @@ def load(p):
     return d
 
 
-old = load(old_path)
-new = load(new_path)
+def main(argv):
+    # an existing file is always a file, even if its name parses as a
+    # float; only a non-file numeric argument is the threshold
+    threshold = 0.15
+    files = []
+    for a in argv:
+        if not os.path.exists(a):
+            try:
+                threshold = float(a)
+                continue
+            except ValueError:
+                pass
+        files.append(a)
+    if len(files) == 1:
+        floors = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_FLOORS.json")
+        files = [floors] + files
+        print(f"(old side defaulted to accepted floors: {floors})")
+    if len(files) != 2:
+        sys.exit("usage: bench_diff.py [old.json] <new.json> [threshold]")
+    old_path, new_path = files
 
-o_med, n_med = old.get("queries", {}), new.get("queries", {})
-o_min, n_min = old.get("queries_min", o_med), new.get("queries_min", n_med)
-for label, dump in (("old", old), ("new", new)):
-    if "queries_min" not in dump:
-        print(f"WARNING: {label} dump has no queries_min — its 'min' "
-              "column below is actually MEDIANS (pre-r12 dump?)")
+    old = load(old_path)
+    new = load(new_path)
+
+    o_med, n_med = old.get("queries", {}), new.get("queries", {})
+    o_min = old.get("queries_min", o_med)
+    n_min = new.get("queries_min", n_med)
+    for label, dump in (("old", old), ("new", new)):
+        if "queries_min" not in dump:
+            print(f"WARNING: {label} dump has no queries_min — its 'min' "
+                  "column below is actually MEDIANS (pre-r12 dump?)")
+
+    def fmt_sum(m):
+        return round(sum(m.values()), 3) if m else None
+
+    # both headline columns computed the same way: sums over the filtered
+    # per-query maps (dump-stored 'value'/'value_min' predate the filter)
+    print(f"total median-sum: {fmt_sum(o_med)} -> {fmt_sum(n_med)}   "
+          f"min-sum: {fmt_sum(o_min)} -> {fmt_sum(n_min)}")
+    stored = [old.get("value"), new.get("value"),
+              old.get("value_min"), new.get("value_min")]
+    if any(v is not None for v in stored):
+        print(f"  (dump-stored: median {stored[0]} -> {stored[1]}, "
+              f"min {stored[2]} -> {stored[3]})")
+
+    rows = []
+    for q in sorted(set(o_min) & set(n_min)):
+        a, b = o_min[q], n_min[q]
+        if a <= 0:
+            continue
+        ratio = b / a
+        if abs(ratio - 1.0) > threshold:
+            rows.append((ratio, q, a, b, o_med.get(q), n_med.get(q)))
+
+    for ratio, q, a, b, ma, mb in sorted(rows, reverse=True):
+        tag = "SLOWER" if ratio > 1 else "faster"
+        print(f"  {q:28s} min {a:7.3f} -> {b:7.3f}  ({ratio:5.2f}x {tag})"
+              f"   median {ma} -> {mb}")
+
+    only_old = sorted(set(o_min) - set(n_min))
+    only_new = sorted(set(n_min) - set(o_min))
+    if only_old:
+        print("removed:", ", ".join(only_old))
+    if only_new:
+        print("added:  ", ", ".join(only_new))
+    if not rows:
+        print(f"  no per-query min moved more than {threshold:.0%}")
 
 
-def fmt_sum(m):
-    return round(sum(m.values()), 3) if m else None
-
-
-# both headline columns computed the same way: sums over the filtered
-# per-query maps (dump-stored 'value'/'value_min' predate the filter)
-print(f"total median-sum: {fmt_sum(o_med)} -> {fmt_sum(n_med)}   "
-      f"min-sum: {fmt_sum(o_min)} -> {fmt_sum(n_min)}")
-stored = [old.get("value"), new.get("value"),
-          old.get("value_min"), new.get("value_min")]
-if any(v is not None for v in stored):
-    print(f"  (dump-stored: median {stored[0]} -> {stored[1]}, "
-          f"min {stored[2]} -> {stored[3]})")
-
-rows = []
-for q in sorted(set(o_min) & set(n_min)):
-    a, b = o_min[q], n_min[q]
-    if a <= 0:
-        continue
-    ratio = b / a
-    if abs(ratio - 1.0) > threshold:
-        rows.append((ratio, q, a, b, o_med.get(q), n_med.get(q)))
-
-for ratio, q, a, b, ma, mb in sorted(rows, reverse=True):
-    tag = "SLOWER" if ratio > 1 else "faster"
-    print(f"  {q:28s} min {a:7.3f} -> {b:7.3f}  ({ratio:5.2f}x {tag})"
-          f"   median {ma} -> {mb}")
-
-only_old = sorted(set(o_min) - set(n_min))
-only_new = sorted(set(n_min) - set(o_min))
-if only_old:
-    print("removed:", ", ".join(only_old))
-if only_new:
-    print("added:  ", ", ".join(only_new))
-if not rows:
-    print(f"  no per-query min moved more than {threshold:.0%}")
+if __name__ == "__main__":
+    main(sys.argv[1:])

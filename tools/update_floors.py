@@ -14,12 +14,14 @@ import json
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from bench_diff import load  # shared dump-unwrap + sentinel filter
+
 if len(sys.argv) != 3:
     sys.exit("usage: update_floors.py <BENCH_FULL.json> <round-number>")
 src, rnd = sys.argv[1], int(sys.argv[2])
-d = json.load(open(src))
-d = d.get("parsed", d) if "queries" not in d else d
-qm = {q: v for q, v in d.get("queries_min", {}).items() if v >= 0}
+d = load(src)
+qm = d.get("queries_min", {})
 if not qm:
     sys.exit(f"{src} has no usable queries_min")
 out = {
