@@ -275,8 +275,13 @@ final class TableStore(spark: SparkSession, root: String) {
     // rewrite's clobber window (our lock stale-broken and re-acquired
     // between the token check and the write) requires the JVM frozen past
     // the staleness bound first — the same documented full-freeze
-    // boundary as everywhere else. Every beat failure is swallowed — the
-    // heartbeat is an aliveness signal, never a correctness dependency.
+    // boundary as everywhere else. A rewrite racing our own RELEASE can
+    // also recreate the just-deleted lock as an orphan (no-op-setTimes
+    // filesystems only, beat in flight at release time); it carries a
+    // dead token, blocks writers for at most one staleness bound, and is
+    // then broken — self-healing, like every crashed-holder lock. Every
+    // beat failure is swallowed — the heartbeat is an aliveness signal,
+    // never a correctness dependency.
     val period = math.max(1L, lockStaleMs / 3)
     val beat = TableStore.heartbeatPool.scheduleWithFixedDelay(
       () => try {
