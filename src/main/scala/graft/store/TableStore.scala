@@ -115,12 +115,20 @@ final class TableStore(spark: SparkSession, root: String) {
     * compaction's two-rename swap window. Only FAST metadata operations run
     * under it (renames, a recovery check) — never a Spark write job — so
     * contention is bounded by filesystem rename latency. Acquisition is
-    * create-exclusive on EVERY filesystem: atomic on HDFS and object-store
-    * committers via fs.create(overwrite=false), and on local filesystems
-    * via NIO CREATE_NEW (O_CREAT|O_EXCL) — Hadoop's local create(false) is
+    * create-exclusive where the filesystem can actually provide it: on
+    * HDFS via fs.create(overwrite=false) (atomic there — the NameNode
+    * serializes the create), and on local filesystems via NIO CREATE_NEW
+    * (POSIX O_CREAT|O_EXCL) — Hadoop's local create(false) is
     * check-then-create and measurably loses exclusion under contention
-    * (see createExclusive). A crashed holder is healed by the staleness
-    * bound, which sits orders of magnitude above any rename's duration.
+    * (see createExclusive). On OBJECT-STORE schemes (S3A, ABFS, GCS)
+    * neither create-exclusive nor rename is atomic — both are
+    * check-then-act over HTTP — so there the whole lock, breaker rename
+    * included, is BEST-EFFORT: two breakers can both believe they won.
+    * Single-writer deployments (this engine's contract) are unaffected;
+    * a multi-writer deployment on an object store needs the lease
+    * service / lakehouse commit log called out in the boundary note
+    * below. A crashed holder is healed by the staleness bound, which
+    * sits orders of magnitude above any rename's duration.
     *
     * The lock file carries a per-acquisition OWNER TOKEN:
     *   - release deletes the lock only if the token is still ours, so a
@@ -260,7 +268,16 @@ final class TableStore(spark: SparkSession, root: String) {
                   fs.delete(breaker, false)
               }
             } else Thread.sleep(5)
-          } catch { case _: java.io.FileNotFoundException => () }
+          } catch {
+            // lock vanished between createExclusive and getFileStatus —
+            // usually the holder released; loop and re-contend. But this
+            // arm also catches the pathological case where createExclusive
+            // keeps mapping a PERSISTENT error (EACCES, quota) to false
+            // while the path never exists: without a sleep that becomes a
+            // silent hot spin that never surfaces the error, so pause the
+            // same 5ms as the held-lock arm before re-contending.
+            case _: java.io.FileNotFoundException => Thread.sleep(5)
+          }
       }
     }
     // heartbeat: re-touch the lock's mtime while the body runs, so the
@@ -275,31 +292,72 @@ final class TableStore(spark: SparkSession, root: String) {
     // rewrite's clobber window (our lock stale-broken and re-acquired
     // between the token check and the write) requires the JVM frozen past
     // the staleness bound first — the same documented full-freeze
-    // boundary as everywhere else. A rewrite racing our own RELEASE can
-    // also recreate the just-deleted lock as an orphan (no-op-setTimes
-    // filesystems only, beat in flight at release time); it carries a
-    // dead token, blocks writers for at most one staleness bound, and is
-    // then broken — self-healing, like every crashed-holder lock. Every
-    // beat failure is swallowed — the heartbeat is an aliveness signal,
-    // never a correctness dependency.
+    // boundary as everywhere else. A rewrite racing our own RELEASE is
+    // PREVENTED, not just documented: the beat body and release
+    // synchronize on `beatGate`, and release flips `released` INSIDE the
+    // monitor — so release first waits out any in-flight beat, then makes
+    // every later-firing beat a no-op, and only then deletes the lock. No
+    // orphan lock can be recreated behind the delete on any filesystem.
+    // Beat failures never fail the holder (the heartbeat is an aliveness
+    // signal, never a correctness dependency) but they are COUNTED: a
+    // live holder on a throttled/flaky filesystem that misses beats past
+    // the staleness bound can lose the lock while still running, so
+    // sustained failure logs a rate-limited warning here and the release
+    // path below warns when the token shows the lock was in fact lost —
+    // an overlapped commit window is at least observable.
     val period = math.max(1L, lockStaleMs / 3)
+    val beatGate = new Object
+    var released = false      // guarded by beatGate (monitor gives visibility)
+    var beatFailures = 0L     // consecutive; guarded by beatGate
+    var lastFailWarnMs = 0L   // guarded by beatGate
     val beat = TableStore.heartbeatPool.scheduleWithFixedDelay(
-      () => try {
-        if (readToken(lock).contains(token)) {
-          val before = fs.getFileStatus(lock).getModificationTime
-          fs.setTimes(lock, System.currentTimeMillis(), -1)
-          if (fs.getFileStatus(lock).getModificationTime <= before) {
-            val out = fs.create(lock, true)
-            try out.write(token.getBytes("UTF-8"))
-            finally out.close()
+      () => beatGate.synchronized {
+        if (!released) {
+          try {
+            if (readToken(lock).contains(token)) {
+              val before = fs.getFileStatus(lock).getModificationTime
+              fs.setTimes(lock, System.currentTimeMillis(), -1)
+              if (fs.getFileStatus(lock).getModificationTime <= before) {
+                val out = fs.create(lock, true)
+                try out.write(token.getBytes("UTF-8"))
+                finally out.close()
+              }
+            }
+            beatFailures = 0
+          } catch {
+            case scala.util.control.NonFatal(e) =>
+              beatFailures += 1
+              val now = System.currentTimeMillis()
+              if (beatFailures * period > lockStaleMs &&
+                  now - lastFailWarnMs > lockStaleMs) {
+                lastFailWarnMs = now
+                TableStore.log.warn(
+                  s"TableStore: lock heartbeat for '$table' has failed " +
+                  s"$beatFailures consecutive times (> staleness bound) — " +
+                  s"the lock may be stale-broken under this live holder: $e")
+              }
           }
         }
-      } catch { case scala.util.control.NonFatal(_) => () },
+      },
       period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     try body
     finally {
       beat.cancel(false)
-      if (readToken(lock).contains(token)) fs.delete(lock, false)
+      beatGate.synchronized { released = true } // waits out an in-flight beat
+      readToken(lock) match {
+        case Some(t) if t == token => fs.delete(lock, false)
+        case Some(_) =>
+          // another writer's token at our lock path: we were stale-broken
+          // while running (JVM freeze past the bound, or sustained beat
+          // failures above) — the commit that just completed may have
+          // overlapped the breaking writer's. Surface it; deleting THEIR
+          // lock would cascade a third writer in.
+          TableStore.log.warn(
+            s"TableStore: lock for '$table' was lost while held (token " +
+            "replaced by another writer) — the completed commit may have " +
+            "overlapped a concurrent one")
+        case None => ()
+      }
     }
   }
 
@@ -736,6 +794,8 @@ final class TableStore(spark: SparkSession, root: String) {
 }
 
 object TableStore {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[TableStore])
+
   /** One JVM-wide daemon thread drives every held lock's heartbeat: beats
     * are sub-millisecond metadata touches at a many-second cadence, so a
     * single thread serves any realistic number of concurrently-held locks

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import java.net.URI
+
+/** A local-disk Hadoop FileSystem masquerading as a REMOTE one, so tests
+  * can drive `TableStore`'s non-local lock branch (`isLocalFs == false`)
+  * through its real code paths without a cluster:
+  *
+  *   - scheme `mockhdfs` (not `file`), so `createExclusive` takes the
+  *     `fs.create(overwrite=false)` path and `renameBackExclusive` takes
+  *     the `fs.rename` path instead of their NIO local forks;
+  *   - `rename` REFUSES an existing destination (HDFS semantics). POSIX
+  *     rename(2) silently replaces — which is exactly the hazard the
+  *     non-local branch relies on HDFS to NOT have, so the mock must not
+  *     inherit it from the local disk underneath;
+  *   - `setTimes` is a NO-OP (object-store semantics: object mtime is
+  *     immutable in place), forcing the lock heartbeat's verified-beat
+  *     fallback to REWRITE the lock file to advance its timestamp.
+  *
+  * Registered per-conf via `fs.mockhdfs.impl`; backed by a temp directory
+  * on local disk, so file contents/mtimes behave normally otherwise.
+  */
+class MockHdfsFileSystem extends RawLocalFileSystem {
+  override def getUri: URI = URI.create("mockhdfs:///")
+  override def getScheme: String = "mockhdfs"
+
+  override def rename(src: Path, dst: Path): Boolean =
+    if (exists(dst)) false else super.rename(src, dst)
+
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+}
