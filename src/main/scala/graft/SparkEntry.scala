@@ -1104,7 +1104,7 @@ object SparkEntry {
       // directory, so stream the parent dir with a glob filter
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = rawTsToMicros(raw).withColumn("ts", timestamp_micros(col("ts")))
+      val ev = graft.streaming.StreamIngest.normalizeRawTs(raw)
       val agg = graft.streaming.StreamIngest.windowedCounts(ev, "ts", "1 hour", "2 hours")
       val qn = "graft_stream_win"
       val q = agg.writeStream
@@ -1181,9 +1181,9 @@ object SparkEntry {
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
-      def src() = rawTsToMicros(s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(dir))
-        .withColumn("ts", timestamp_micros(col("ts")))
+      def src() = graft.streaming.StreamIngest.normalizeRawTs(
+        s.readStream.schema(rawSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir))
       val dd = graft.streaming.StreamIngest.dedupWithinWatermark(
         src().union(src()), Seq("event_id"), "ts", "2 hours")
       val qn = "graft_stream_dedup_wm"
@@ -1279,7 +1279,7 @@ object SparkEntry {
         StructField("value", DoubleType), StructField("props", StringType)))
       val raw = s.readStream.schema(rawSchema)
         .option("pathGlobFilter", "events.parquet").parquet(dir)
-      val ev = rawTsToMicros(raw).withColumn("ts", timestamp_micros(col("ts")))
+      val ev = graft.streaming.StreamIngest.normalizeRawTs(raw)
       val joined = graft.streaming.StreamIngest.attributionJoin(ev, 30)
       val qn = "graft_stream_attr"
       // a stream-stream join keeps TWO keyed state stores PER shuffle

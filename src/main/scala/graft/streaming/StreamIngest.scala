@@ -142,6 +142,19 @@ object StreamIngest {
       .start()
   }
 
+  /** Normalize a RAW-LONG event-time column (epoch nanos or micros, decided
+    * per row) into a proper TimestampType column — the streaming module's
+    * own entry point for the nanos/micros runtime-representation defense,
+    * so an operator-library user reading `TIMESTAMP(NANOS)` parquet under
+    * `spark.sql.legacy.parquet.nanosAsLong` gets the guard without going
+    * through the harness. The magnitude guard itself is owned by
+    * [[graft.sources.EventTime.rawTsToMicros]] (full contract there);
+    * this wraps it with the `timestamp_micros` cast every watermark/window
+    * operator below expects. Pure column expressions — stream-safe. */
+  def normalizeRawTs(df: DataFrame, tsCol: String = "ts"): DataFrame =
+    graft.sources.EventTime.rawTsToMicros(df, tsCol)
+      .withColumn(tsCol, timestamp_micros(col(tsCol)))
+
   /** Event-time tumbling-window counts with a watermark: the canonical
     * streaming aggregation (late rows beyond the watermark are dropped,
     * in-watermark updates revise the window row — upsert semantics that

@@ -44,24 +44,39 @@ def load(p):
 
 def main(argv):
     # an existing file is always a file, even if its name parses as a
-    # float; only a non-file numeric argument is the threshold
+    # float. A missing path must FAIL BY NAME, never be silently consumed:
+    # a non-numeric typo would otherwise reach json.load's raw traceback,
+    # and a numeric-looking typo would silently become the threshold (with
+    # the old side then silently defaulting to the floors file). So a
+    # numeric argument counts as the threshold only when at least one real
+    # file argument accompanies it.
+    usage = "usage: bench_diff.py [old.json] <new.json> [threshold]"
     threshold = 0.15
-    files = []
+    files, numerics = [], []
     for a in argv:
-        if not os.path.exists(a):
+        if os.path.exists(a):
+            files.append(a)
+        else:
             try:
-                threshold = float(a)
-                continue
+                numerics.append(float(a))
             except ValueError:
-                pass
-        files.append(a)
+                sys.exit(f"bench_diff.py: no such file: {a}\n{usage}")
+    if numerics and not files:
+        sys.exit("bench_diff.py: no dump file given — numeric argument(s) "
+                 f"{numerics} look like a mistyped path, not a threshold\n"
+                 f"{usage}")
+    if len(numerics) > 1:
+        sys.exit(f"bench_diff.py: more than one threshold given: {numerics}\n"
+                 f"{usage}")
+    if numerics:
+        threshold = numerics[0]
     if len(files) == 1:
         floors = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_FLOORS.json")
         files = [floors] + files
         print(f"(old side defaulted to accepted floors: {floors})")
     if len(files) != 2:
-        sys.exit("usage: bench_diff.py [old.json] <new.json> [threshold]")
+        sys.exit(usage)
     old_path, new_path = files
 
     old = load(old_path)
