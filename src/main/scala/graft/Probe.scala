@@ -209,6 +209,38 @@ object Probe {
           f"p99_over_p50=${pct(0.99).toDouble / pct(0.5).max(1)}%.2f " +
           f"time=$secs%.2fs")
 
+      // V2 edb-grid BatchScan at 10x the file count: the distributed-parse
+      // claim is that scan cost is ONE partition per file, parsed entirely
+      // executor-side — so 10x the files costs ~10x the task work spread
+      // over the same threads (per-file throughput flat), never a 10x
+      // driver-side parse loop. Dirs of n and 10n copies of the checked-in
+      // workbook fixture; min-of-3 full scans each; publishes files/sec at
+      // both scales plus the row-count check (rows = files x 13 grid rows).
+      case "gridscale" =>
+        val n = args.lift(1).map(_.toInt).getOrElse(32)
+        val fx = if (java.nio.file.Files.exists(
+            java.nio.file.Paths.get("fixtures"))) "fixtures"
+          else "/root/repo/fixtures"
+        val src = java.nio.file.Paths.get(s"$fx/edb_auto_sales.csv")
+        def mkDir(files: Int): String = {
+          val d = java.nio.file.Files.createTempDirectory(s"graft-grid$files")
+          (1 to files).foreach(i => java.nio.file.Files.copy(src,
+            d.resolve(f"extract_$i%05d.csv")))
+          d.toString
+        }
+        def scanRows(dir: String): Long =
+          spark.read.format("edb-grid").option("dataLocation", "A6:K18")
+            .load(dir).count()
+        def minOf3(dir: String): Double =
+          (1 to 3).map(_ => timed(scanRows(dir))._2).min
+        val (small, big) = (mkDir(n), mkDir(10 * n))
+        val (rowsSmall, rowsBig) = (scanRows(small), scanRows(big)) // warm
+        val (tS, tB) = (minOf3(small), minOf3(big))
+        println(f"[probe] gridscale files=$n/${10 * n} " +
+          f"rows=$rowsSmall/$rowsBig time=$tS%.2fs/$tB%.2fs " +
+          f"files_per_sec=${n / tS}%.0f/${10 * n / tB}%.0f " +
+          f"time_ratio=${tB / tS}%.2f (data 10x)")
+
       case other => sys.error(s"unknown probe: $other")
     }
     spark.stop()

@@ -152,9 +152,22 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     * a smaller driver (floor 2 keeps some overlap), and is capped at 16
     * on bigger ones — concurrent jobs contend on the driver's scheduler
     * and the store's commit lock, not on executor threads, so fan-out
-    * past ~2× the optimum only adds contention. */
+    * past ~2× the optimum only adds contention.
+    *
+    * Shape probed off the measured point (round 16, three independent
+    * quiet-box `panel_all` sweeps at sf0.1): fan-out 4 is consistently
+    * ~45% slower (mins 8.3-9.6s vs 5.7-6.6s at 8); 8 and 16 are
+    * statistically indistinguishable (mins 5.7-6.6 vs 5.4-6.1s, medians
+    * overlapping across sessions) — the response surface is FLAT from 8
+    * to 16 and falls off below. dp/4 picks the flat region's low end,
+    * which also minimizes commit-lock/scheduler contention; deployments
+    * where executor-side parse (the V2 edb-grid source) moves the
+    * bottleneck can raise `spark.graft.ingest.parallelism` toward the
+    * cap instead of editing the formula. */
   def defaultIngestParallelism: Int =
-    Runner.ingestParallelismFor(spark.sparkContext.defaultParallelism)
+    spark.conf.getOption("spark.graft.ingest.parallelism").map(_.toInt)
+      .getOrElse(
+        Runner.ingestParallelismFor(spark.sparkContext.defaultParallelism))
 
   /** §7.6(a): per-dataset PARALLEL execution — the reference's sequential
     * 26-dataset loop (main_azure.py:136-152) becomes a pool of concurrent

@@ -367,6 +367,20 @@ class StreamingSpec extends SparkSuite {
       (graft.sources.EventTime.NanosThreshold + 1) / 1000))
   }
 
+  test("StreamIngest.normalizeRawTs: streaming module owns the guard + timestamp cast") {
+    // the operator-library entry point: a raw-long ts column (mixed nanos
+    // and micros) comes back as TimestampType at the right instants,
+    // without any harness involvement
+    import spark.implicits._
+    val mixed = Seq(1717200000000000L, 1717200000000000000L).toDF("ts")
+    val out = StreamIngest.normalizeRawTs(mixed)
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+    val instants = out.select(date_format(col("ts"),
+      "yyyy-MM-dd HH:mm:ss").as("s")).as[String].collect().toSeq
+    assert(instants == Seq("2024-06-01 00:00:00", "2024-06-01 00:00:00"))
+  }
+
   test("streamed events ts normalizes to the fixture's real year (runtime-representation guard)") {
     // Regression pin for the round-13 field failure: the file-stream parquet
     // source's forced-LongType read of events.parquet (TIMESTAMP(NANOS)
