@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions._
   * shapes the sf-scaled bench doesn't naturally produce. Each subcommand
   * prints one `[probe]` line; not part of the driver contract. */
 object Probe {
+
+  /** The nanosAsLong read of TIMESTAMP(NANOS) parquet is runtime-dependent
+    * (see [[graft.sources.EventTime]]): the SAME conf + file has delivered
+    * a raw nanos LONG in one session and a TIMESTAMP_NTZ in another (it
+    * flipped again between rounds 15 and 16). Probe outputs must be
+    * deterministic regardless, so events' ts is normalized to a PLAIN
+    * INT64 nanos column before writing: already-long passes through;
+    * a timestamp read converts via unix_micros (session tz pinned UTC, so
+    * NTZ wall-time is the true instant) ×1000 — exact, < 2^63. Readers
+    * then always see a raw long and the per-row magnitude guard applies. */
+  private[graft] def eventsAsRawNanos(
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType) df
+    else df.withColumn("ts",
+      unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+
   def main(args: Array[String]): Unit = {
     val spark = LocalSession.build(defaultCpus = "32")
 
@@ -116,7 +132,8 @@ object Probe {
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         writeDir(copies { k =>
-          val ev = spark.read.parquet(s"$src/events.parquet")
+          val ev = Probe.eventsAsRawNanos(
+            spark.read.parquet(s"$src/events.parquet"))
           ev.select((col("event_id") + k * 100000000L).as("event_id"),
             (col("ts") + k).as("ts"), // raw nanos long
             (col("user_id") + k * 10000000L).as("user_id"),
@@ -165,8 +182,9 @@ object Probe {
             "orders", "customer", "part")) {
           if (t == "events")
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(s"$src/$t.parquet")
-            .repartition(32).write.mode("overwrite")
+          val df = spark.read.parquet(s"$src/$t.parquet")
+          val out = if (t == "events") Probe.eventsAsRawNanos(df) else df
+          out.repartition(32).write.mode("overwrite")
             .parquet(s"$dst/$t.parquet")
         }
         println(s"[probe] relayout src=$src dst=$dst done")
