@@ -310,6 +310,23 @@ final class TableStore(spark: SparkSession, root: String) {
     var released = false      // guarded by beatGate (monitor gives visibility)
     var beatFailures = 0L     // consecutive; guarded by beatGate
     var lastFailWarnMs = 0L   // guarded by beatGate
+    // a "missed" beat is any beat that did not refresh OUR lock's mtime:
+    // an IO failure, but equally a token that could not be read back or is
+    // no longer ours (readToken maps transient read errors to None, and a
+    // stale-broken lock shows another writer's token — both mean the
+    // protection is not being renewed). Called only under beatGate.
+    def missedBeat(why: => String): Unit = {
+      beatFailures += 1
+      val now = System.currentTimeMillis()
+      if (beatFailures * period > lockStaleMs &&
+          now - lastFailWarnMs > lockStaleMs) {
+        lastFailWarnMs = now
+        TableStore.log.warn(
+          s"TableStore: lock heartbeat for '$table' has missed " +
+          s"$beatFailures consecutive beats (> staleness bound) — the " +
+          s"lock may be stale-broken under this live holder ($why)")
+      }
+    }
     val beat = TableStore.heartbeatPool.scheduleWithFixedDelay(
       () => beatGate.synchronized {
         if (!released) {
@@ -322,20 +339,10 @@ final class TableStore(spark: SparkSession, root: String) {
                 try out.write(token.getBytes("UTF-8"))
                 finally out.close()
               }
-            }
-            beatFailures = 0
+              beatFailures = 0
+            } else missedBeat("owner token unreadable or replaced at the lock path")
           } catch {
-            case scala.util.control.NonFatal(e) =>
-              beatFailures += 1
-              val now = System.currentTimeMillis()
-              if (beatFailures * period > lockStaleMs &&
-                  now - lastFailWarnMs > lockStaleMs) {
-                lastFailWarnMs = now
-                TableStore.log.warn(
-                  s"TableStore: lock heartbeat for '$table' has failed " +
-                  s"$beatFailures consecutive times (> staleness bound) — " +
-                  s"the lock may be stale-broken under this live holder: $e")
-              }
+            case scala.util.control.NonFatal(e) => missedBeat(e.toString)
           }
         }
       },
