@@ -236,10 +236,8 @@ object Probe {
       // both scales plus the row-count check (rows = files x 13 grid rows).
       case "gridscale" =>
         val n = args.lift(1).map(_.toInt).getOrElse(32)
-        val fx = if (java.nio.file.Files.exists(
-            java.nio.file.Paths.get("fixtures"))) "fixtures"
-          else "/root/repo/fixtures"
-        val src = java.nio.file.Paths.get(s"$fx/edb_auto_sales.csv")
+        val src = java.nio.file.Paths.get(
+          s"${SparkEntry.fixturesDir}/edb_auto_sales.csv")
         def mkDir(files: Int): String = {
           val d = java.nio.file.Files.createTempDirectory(s"graft-grid$files")
           (1 to files).foreach(i => java.nio.file.Files.copy(src,
@@ -252,12 +250,15 @@ object Probe {
         def minOf3(dir: String): Double =
           (1 to 3).map(_ => timed(scanRows(dir))._2).min
         val (small, big) = (mkDir(n), mkDir(10 * n))
-        val (rowsSmall, rowsBig) = (scanRows(small), scanRows(big)) // warm
-        val (tS, tB) = (minOf3(small), minOf3(big))
-        println(f"[probe] gridscale files=$n/${10 * n} " +
-          f"rows=$rowsSmall/$rowsBig time=$tS%.2fs/$tB%.2fs " +
-          f"files_per_sec=${n / tS}%.0f/${10 * n / tB}%.0f " +
-          f"time_ratio=${tB / tS}%.2f (data 10x)")
+        try {
+          val (rowsSmall, rowsBig) = (scanRows(small), scanRows(big)) // warm
+          val (tS, tB) = (minOf3(small), minOf3(big))
+          println(f"[probe] gridscale files=$n/${10 * n} " +
+            f"rows=$rowsSmall/$rowsBig time=$tS%.2fs/$tB%.2fs " +
+            f"files_per_sec=${n / tS}%.0f/${10 * n / tB}%.0f " +
+            f"time_ratio=${tB / tS}%.2f (data 10x)")
+        } finally Seq(small, big).foreach(d =>
+          org.apache.hadoop.fs.FileUtil.fullyDelete(new java.io.File(d)))
 
       case other => sys.error(s"unknown probe: $other")
     }

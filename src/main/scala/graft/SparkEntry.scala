@@ -24,6 +24,14 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** The checked-in source-payload fixtures (FIXTURES.md), resolved
+    * relative first so a checkout anywhere works, with the canonical repo
+    * path as the fallback for harness runs whose cwd is elsewhere. ONE
+    * owner — the lifecycle queries and Probe all resolve through here. */
+  private[graft] def fixturesDir: String =
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
+      "fixtures" else "/root/repo/fixtures"
+
   /** Alias for [[graft.sources.EventTime.rawTsToMicros]] — the
     * operator-library owner of the nanos/micros runtime-representation
     * defense (full contract documented there). Kept here so harness call
@@ -99,8 +107,7 @@ object SparkEntry {
     import graft.config.Registry
     import graft.pipeline.Runner
     import graft.store.TableStore
-    val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
-      "fixtures" else "/root/repo/fixtures"
+    val fx = fixturesDir
     val dir = java.nio.file.Files.createTempDirectory("graft-e2e").toString
     val store = new TableStore(s, dir)
     var nowV = java.sql.Timestamp.valueOf("2025-06-01 00:00:00")
@@ -627,8 +634,7 @@ object SparkEntry {
     "v2_grid_panel" -> ((s, _) => {
       import graft.config.Registry
       import graft.sources.GridSource
-      val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
-        "fixtures" else "/root/repo/fixtures"
+      val fx = fixturesDir
       def seriesV2(file: String, cfgName: String): DataFrame = {
         val cfg = Registry.edbConfigs.find(_.name == cfgName).get
         val grid = s.read.format("edb-grid")
@@ -1643,8 +1649,7 @@ object SparkEntry {
     import graft.config.Registry
     import graft.pipeline.Runner
     import graft.sources.GridSource
-    val fx = if (java.nio.file.Files.exists(java.nio.file.Paths.get("fixtures")))
-      "fixtures" else "/root/repo/fixtures"
+    val fx = fixturesDir
     val dir = java.nio.file.Files.createTempDirectory("graft-2wb").toString
     val store = new graft.store.TableStore(s, dir)
     val runner = new Runner(s, store,

@@ -165,9 +165,19 @@ final class Runner(spark: SparkSession, store: TableStore, now: () => Timestamp)
     * bottleneck can raise `spark.graft.ingest.parallelism` toward the
     * cap instead of editing the formula. */
   def defaultIngestParallelism: Int =
-    spark.conf.getOption("spark.graft.ingest.parallelism").map(_.toInt)
-      .getOrElse(
-        Runner.ingestParallelismFor(spark.sparkContext.defaultParallelism))
+    spark.conf.getOption("spark.graft.ingest.parallelism").map { v =>
+      // validated loudly and verbatim (it may deliberately exceed the
+      // formula's cap — that is what the override is FOR); only a value
+      // that would break the pool (<=0, non-numeric) is a config error
+      val p = try v.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"spark.graft.ingest.parallelism must be a positive integer, got '$v'")
+      }
+      require(p > 0,
+        s"spark.graft.ingest.parallelism must be positive, got $p")
+      p
+    }.getOrElse(
+      Runner.ingestParallelismFor(spark.sparkContext.defaultParallelism))
 
   /** §7.6(a): per-dataset PARALLEL execution — the reference's sequential
     * 26-dataset loop (main_azure.py:136-152) becomes a pool of concurrent

@@ -247,12 +247,14 @@ final class TableStore(spark: SparkSession, root: String) {
     val lock = lockPath(table)
     val token = java.util.UUID.randomUUID().toString
     var acquired = false
+    var unacquirableSinceMs = 0L // first of an unbroken run of create-fails-AND-no-lock-visible
     while (!acquired) {
       if (createExclusive(lock, token)) acquired = true
       else {
           // held by another writer: break it if stale, else wait briefly
           try {
             val st = fs.getFileStatus(lock)
+            unacquirableSinceMs = 0L // a lock file exists: normal contention
             if (System.currentTimeMillis() - st.getModificationTime > lockStaleMs) {
               val breaker = new Path(lock.getParent,
                 s"${lock.getName}.break_${token.take(8)}")
@@ -273,10 +275,23 @@ final class TableStore(spark: SparkSession, root: String) {
             // usually the holder released; loop and re-contend. But this
             // arm also catches the pathological case where createExclusive
             // keeps mapping a PERSISTENT error (EACCES, quota) to false
-            // while the path never exists: without a sleep that becomes a
-            // silent hot spin that never surfaces the error, so pause the
-            // same 5ms as the held-lock arm before re-contending.
-            case _: java.io.FileNotFoundException => Thread.sleep(5)
+            // while the path never exists: sleep so that isn't a hot spin,
+            // and once the no-lock-visible condition has persisted past a
+            // staleness bound — far longer than any release/re-acquire
+            // window — warn (rate-limited to once per bound) so the hang
+            // has a cause in the log instead of being silent.
+            case _: java.io.FileNotFoundException =>
+              val now = System.currentTimeMillis()
+              if (unacquirableSinceMs == 0L) unacquirableSinceMs = now
+              else if (now - unacquirableSinceMs > lockStaleMs) {
+                TableStore.log.warn(
+                  s"TableStore: lock for '$table' unacquirable for " +
+                  s"${now - unacquirableSinceMs}ms — create keeps failing " +
+                  "while no lock file exists (persistent create error? " +
+                  "permissions/quota on the lock's parent directory)")
+                unacquirableSinceMs = now
+              }
+              Thread.sleep(5)
           }
       }
     }
@@ -351,7 +366,9 @@ final class TableStore(spark: SparkSession, root: String) {
     finally {
       beat.cancel(false)
       beatGate.synchronized { released = true } // waits out an in-flight beat
-      readToken(lock) match {
+      // one retry on the read: readToken maps a TRANSIENT read failure to
+      // None, which must not silently skip deleting our own lock
+      readToken(lock).orElse(readToken(lock)) match {
         case Some(t) if t == token => fs.delete(lock, false)
         case Some(_) =>
           // another writer's token at our lock path: we were stale-broken
@@ -363,7 +380,18 @@ final class TableStore(spark: SparkSession, root: String) {
             s"TableStore: lock for '$table' was lost while held (token " +
             "replaced by another writer) — the completed commit may have " +
             "overlapped a concurrent one")
-        case None => ()
+        case None =>
+          // None + file absent: normal (we were stale-broken and the
+          // breaker deleted it). None + file PRESENT: the token cannot be
+          // read, so deleting could destroy another writer's fresh lock —
+          // leave it (a stale leftover of ours self-heals in one bound)
+          // but say so, since writers block on it in the meantime.
+          if (try fs.exists(lock)
+              catch { case scala.util.control.NonFatal(_) => false })
+            TableStore.log.warn(
+              s"TableStore: release of '$table' could not read the lock's " +
+              "owner token — leaving the lock file in place (if it is ours " +
+              "it self-heals via the staleness bound)")
       }
     }
   }

@@ -330,6 +330,16 @@ class RunnerSpec extends SparkSuite {
     assert(runner.defaultIngestParallelism ==
       graft.pipeline.Runner.ingestParallelismFor(
         spark.sparkContext.defaultParallelism))
+    // the conf override wins verbatim (may exceed the formula's cap);
+    // non-positive and non-numeric values fail loudly, never reach the pool
+    try {
+      spark.conf.set("spark.graft.ingest.parallelism", "24")
+      assert(runner.defaultIngestParallelism == 24)
+      spark.conf.set("spark.graft.ingest.parallelism", "0")
+      intercept[IllegalArgumentException](runner.defaultIngestParallelism)
+      spark.conf.set("spark.graft.ingest.parallelism", "eight")
+      intercept[IllegalArgumentException](runner.defaultIngestParallelism)
+    } finally spark.conf.unset("spark.graft.ingest.parallelism")
   }
 
   test("run summary persists one row per dataset") {

@@ -24,6 +24,7 @@ Import-safe: `load()` is shared with tools/update_floors.py, so the
 dump-unwrap and sentinel-filter rules live in exactly one place.
 """
 import json
+import math
 import os
 import sys
 
@@ -69,6 +70,13 @@ def main(argv):
         sys.exit(f"bench_diff.py: more than one threshold given: {numerics}\n"
                  f"{usage}")
     if numerics:
+        # nan/inf/negative parse as floats but degenerate the comparison
+        # (abs(ratio-1) > nan is False for EVERY query — a silently
+        # toothless adjudication); only a finite non-negative value is a
+        # usable threshold
+        if not math.isfinite(numerics[0]) or numerics[0] < 0:
+            sys.exit("bench_diff.py: threshold must be finite and "
+                     f"non-negative, got {numerics[0]}\n{usage}")
         threshold = numerics[0]
     if len(files) == 1:
         floors = os.path.join(os.path.dirname(os.path.dirname(
