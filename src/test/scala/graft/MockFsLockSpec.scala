@@ -96,6 +96,26 @@ class MockFsLockSpec extends SparkSuite {
     } finally store.lockStaleMs = prior
   }
 
+  test("beat failures never break the holder: body completes, lock released") {
+    val (store, root, fs) = newMockStore()
+    val lock = new Path(s"$root/.flaky.__lock__")
+    val prior = store.lockStaleMs
+    store.lockStaleMs = 300L // ~100ms beats, all of which will throw
+    MockHdfsFileSystem.throwOnSetTimes.set(true)
+    try {
+      var ran = false
+      store.withTableLock("flaky") {
+        Thread.sleep(500) // several throwing beats while held
+        ran = true
+      }
+      assert(ran, "holder body did not complete under beat failures")
+      assert(!fs.exists(lock), "lock not released after beat failures")
+    } finally {
+      MockHdfsFileSystem.throwOnSetTimes.set(false)
+      store.lockStaleMs = prior
+    }
+  }
+
   test("release never leaves an orphan lock behind a racing rewrite beat") {
     val (store, root, fs) = newMockStore()
     val lock = new Path(s"$root/.orph.__lock__")

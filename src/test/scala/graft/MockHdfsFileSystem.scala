@@ -28,5 +28,17 @@ class MockHdfsFileSystem extends RawLocalFileSystem {
   override def rename(src: Path, dst: Path): Boolean =
     if (exists(dst)) false else super.rename(src, dst)
 
-  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = ()
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    if (MockHdfsFileSystem.throwOnSetTimes.get())
+      throw new java.io.IOException("injected: setTimes throttled")
+    else () // object-store no-op
+}
+
+object MockHdfsFileSystem {
+  /** Failure injection for the lock heartbeat: when set, every setTimes
+    * throws (a throttled/flaky store) instead of no-op'ing — the beat must
+    * swallow it (counting a missed beat) and the holder/release must be
+    * unaffected. Global because Hadoop's FileSystem cache hands every test
+    * the same instance per scheme. */
+  val throwOnSetTimes = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
