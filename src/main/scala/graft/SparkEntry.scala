@@ -933,6 +933,20 @@ object SparkEntry {
         .orderBy("split")
     }),
 
+    // Training-data sampling: corpus mixing to a target domain composition
+    // (40/30/20/10 over four sources within a 40k-char budget). At sf0.01
+    // the first three domains are too small to fill their allocation (kept
+    // whole, the min(1, _) arm) while src3 is genuinely sampled — both
+    // paths execute. The oracle re-derives the per-domain keep fraction
+    // and the md5 priority threshold independently.
+    "sample_mix" -> ((s, dir) => {
+      Sampling.mixCorpus(t(s, dir, "documents"), "source", "doc_id",
+        "n_chars", Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2,
+          "src3" -> 0.1), 40000L)
+        .select("source", "doc_id", "n_chars")
+        .orderBy("source", "doc_id")
+    }),
+
     // Embedding int8 QUANTIZATION round-trip contract: per vector, the
     // cosine between original and dequantized embedding and the max
     // absolute reconstruction error — the 4x-compression fidelity check a
@@ -2444,6 +2458,23 @@ object SparkEntry {
         |    ELSE 'train' END AS split
         |  FROM documents)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "sample_mix" ->
+      """WITH shares(source, target_share) AS (VALUES
+        |    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
+        |    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
+        |  frac AS (
+        |    SELECT d.source,
+        |      least(CAST(1.0 AS DOUBLE),
+        |            s.target_share * 40000 / CAST(sum(d.n_chars) AS DOUBLE))
+        |        AS keep_frac
+        |    FROM documents d JOIN shares s ON d.source = s.source
+        |    GROUP BY d.source, s.target_share)
+        |SELECT d.source, d.doc_id, d.n_chars
+        |FROM documents d JOIN frac f ON d.source = f.source
+        |WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |        / power(16, 12) < f.keep_frac
+        |ORDER BY d.source, d.doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -52,4 +52,40 @@ object Sampling {
   def capPerStratum(df: DataFrame, strataCols: Seq[String], keyCol: String,
                     cap: Int): DataFrame =
     stratifiedSample(df, strataCols, keyCol, cap).drop("sample_rank")
+
+  /** Corpus mixing to a target domain composition: sample each domain down
+    * so its kept MASS (tokens/chars, `massCol`) approximates
+    * `share * budget`, the way a pre-training run assembles "x% web, y%
+    * code, z% books" out of wildly unequal raw pools. Per domain the keep
+    * fraction is `min(1, share * budget / domainMass)` — a domain too
+    * small to fill its allocation is kept whole (the mix degrades toward
+    * availability, it never upsamples), and rows survive by
+    * [[hashPriority]] threshold, so the selection is deterministic,
+    * engine-portable, and MONOTONE in the budget: growing the budget only
+    * ever ADDS documents (a re-mix for a larger run strictly extends the
+    * smaller corpus — no churn in what was already selected). Domains
+    * absent from `targetShares` are dropped: the mix spec is the corpus
+    * definition.
+    *
+    * Scale shape: one partial-aggregated `groupBy(domain)` over the corpus
+    * (domain cardinality is tiny), then a broadcast join of the per-domain
+    * fractions back onto the corpus and a map-side filter — the corpus
+    * itself never shuffles, so this runs at 100 TB for the cost of one
+    * scan plus one scan-and-filter. */
+  def mixCorpus(df: DataFrame, domainCol: String, keyCol: String,
+                massCol: String, targetShares: Map[String, Double],
+                budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val shares = targetShares.toSeq.toDF(domainCol, "target_share")
+    val frac = df.groupBy(domainCol)
+      .agg(sum(col(massCol)).cast("double").as("domain_mass"))
+      .join(shares, Seq(domainCol))
+      .select(col(domainCol),
+        least(lit(1.0), col("target_share") * budget / col("domain_mass"))
+          .as("keep_frac"))
+    df.join(broadcast(frac), Seq(domainCol))
+      .filter(hashPriority(col(keyCol)) < col("keep_frac"))
+      .drop("keep_frac")
+  }
 }

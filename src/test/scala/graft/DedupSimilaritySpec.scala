@@ -290,6 +290,40 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(again == split.orderBy("doc_id").select("split").as[String].collect().toSeq)
   }
 
+  test("mixCorpus: hits target mass, keeps small domains whole, monotone in budget") {
+    import graft.ops.Sampling
+    // three domains with very different raw mass; each row weighs 10
+    val docs = ((1L to 400L).map(i => (i, "web", 10L)) ++
+      (401L to 440L).map(i => (i, "code", 10L)) ++
+      (441L to 640L).map(i => (i, "books", 10L)) ++
+      (641L to 700L).map(i => (i, "junk", 10L)))
+      .toDF("doc_id", "domain", "mass")
+    val shares = Map("web" -> 0.5, "code" -> 0.3, "books" -> 0.2)
+    val mixed = Sampling.mixCorpus(docs, "domain", "doc_id", "mass", shares, 1000L)
+    val kept = mixed.groupBy("domain").agg(sum("mass").as("m"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("junk")) // not in the mix spec -> dropped
+    // code: share*budget = 300 < domain mass 400 -> sampled toward 300;
+    // books: 200 >= mass... books mass = 200*10 = 2000 > 200 -> sampled.
+    // web: target 500 out of 4000 -> sampled. Hash sampling is binomial
+    // around the target, so assert a loose band, not equality.
+    assert(kept("web") > 200 && kept("web") < 800, s"web kept ${kept("web")}")
+    assert(kept("code") > 120 && kept("code") < 400, s"code kept ${kept("code")}")
+    // a domain too small to fill its allocation is kept WHOLE
+    val tiny = Sampling.mixCorpus(docs, "domain", "doc_id", "mass",
+      Map("code" -> 1.0), 100000L)
+    assert(tiny.count() == 40)
+    // monotone: a larger budget strictly extends the smaller selection
+    val small = mixed.select("doc_id").as[Long].collect().toSet
+    val big = Sampling.mixCorpus(docs, "domain", "doc_id", "mass", shares, 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(small.subsetOf(big))
+    // deterministic across runs
+    val again = Sampling.mixCorpus(docs, "domain", "doc_id", "mass", shares, 1000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == small)
+  }
+
   test("approx sketches within tolerance of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
