@@ -24,7 +24,12 @@ object Runner {
 
   /** The fan-out formula behind defaultIngestParallelism, factored out so
     * the shape is testable against synthetic session widths (the suite
-    * session is not local[32]). */
+    * session is not local[32]). The /4 divisor encodes the DRIVER-parse
+    * ingest path (each slot burns a core parsing workbook grids before its
+    * tiny Spark jobs; probed flat across 4/8/16 on local[32], COVERAGE.md
+    * round 15) — if the executor-side V2 `edb-grid` source ever becomes
+    * the default ingest path, the parse cost moves off the driver and the
+    * min(16, _) cap becomes the binding term to revisit. */
   def ingestParallelismFor(defaultParallelism: Int): Int =
     math.min(16, math.max(2, defaultParallelism / 4))
 }

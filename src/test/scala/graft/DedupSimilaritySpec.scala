@@ -303,10 +303,10 @@ class DedupSimilaritySpec extends SparkSuite {
     val kept = mixed.groupBy("domain").agg(sum("mass").as("m"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(!kept.contains("junk")) // not in the mix spec -> dropped
-    // code: share*budget = 300 < domain mass 400 -> sampled toward 300;
-    // books: 200 >= mass... books mass = 200*10 = 2000 > 200 -> sampled.
-    // web: target 500 out of 4000 -> sampled. Hash sampling is binomial
-    // around the target, so assert a loose band, not equality.
+    // every domain's allocation (web 500, code 300, books 200) is below
+    // its raw mass (4000 / 400 / 2000), so all three genuinely sample.
+    // Hash sampling is binomial around the target, so assert a loose
+    // band, not equality.
     assert(kept("web") > 200 && kept("web") < 800, s"web kept ${kept("web")}")
     assert(kept("code") > 120 && kept("code") < 400, s"code kept ${kept("code")}")
     // a domain too small to fill its allocation is kept WHOLE
