@@ -1539,6 +1539,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // DSIR end-to-end: importance weights -> Poisson PPS resample, i.e.
+    // actually MATERIALIZE the target-shifted corpus the weights
+    // describe (expected 100 docs drawn proportional to score_avg_ppm).
+    // The oracle re-derives weights, the total, and every md5 inclusion
+    // threshold independently.
+    "importance_resample" -> ((s, dir) => {
+      val scored = Corpus.importanceWeights(t(s, dir, "documents"),
+        "doc_id", "text", col("source") === "src0")
+      Sampling.weightedSample(scored, "doc_id", "score_avg_ppm", 100L)
+        .select("doc_id", "n_toks", "score_ppm", "score_avg_ppm")
+        .orderBy("doc_id")
+    }),
+
     // Z-order (Morton) layout key over (l_orderkey, l_partkey): the bit
     // interleave that clusters a table so parquet min-max stats prune
     // scans filtered on EITHER column. Pure static shift/and expressions
@@ -2893,6 +2906,44 @@ object SparkEntry {
         |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
         |FROM dt JOIN wts USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "importance_resample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source = 'src0' AS is_t,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |stats AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_c,
+        |    CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS cnt_t
+        |  FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
+        |    CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM stats),
+        |wts AS (
+        |  SELECT tok,
+        |    (1000000 * (cnt_t + 1) * (n_c + v)) // ((cnt_c + 1) * (n_t + v))
+        |      AS w_ppm
+        |  FROM stats, tot),
+        |dt AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY doc_id, tok),
+        |scored AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+        |    CAST(SUM(cnt * w_ppm) AS BIGINT) AS score_ppm,
+        |    CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
+        |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
+        |  FROM dt JOIN wts USING (tok)
+        |  GROUP BY doc_id),
+        |tw AS (SELECT CAST(SUM(score_avg_ppm) AS DOUBLE) AS total_w FROM scored)
+        |SELECT doc_id, n_toks, score_ppm, score_avg_ppm
+        |FROM scored, tw
+        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |        / power(16, 12)
+        |      < least(CAST(1.0 AS DOUBLE),
+        |              CAST(100.0 AS DOUBLE) * score_avg_ppm / total_w)
+        |ORDER BY doc_id""".stripMargin,
 
     // Same clamp + bit-interleave arithmetic re-derived with integer
     // shifts; DuckDB's >>/<</& match Spark's on non-negative BIGINTs.

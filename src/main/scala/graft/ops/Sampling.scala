@@ -88,4 +88,29 @@ object Sampling {
       .filter(hashPriority(col(keyCol)) < col("keep_frac"))
       .drop("keep_frac")
   }
+
+  /** Poisson PPS sample: keep each row with inclusion probability
+    * `min(1, expectedRows * weight / totalWeight)` — probability
+    * proportional to a non-negative weight column, expected sample size
+    * `expectedRows` (exact only when no row's share exceeds 1/n; heavier
+    * rows saturate at certainty and the realized size runs slightly
+    * under). This is the RESAMPLING half of importance sampling: feed it
+    * [[graft.ops.Corpus.importanceWeights]] scores and it materializes
+    * the DSIR-style target-shifted corpus the weights describe. Inclusion
+    * is judged by [[hashPriority]], so the draw is deterministic,
+    * engine-portable, and MONOTONE in `expectedRows` (enlarging the
+    * sample only adds rows) — and deliberately avoids the classic
+    * u^(1/w) / -ln(u)/w reservoir keys, whose transcendental-function
+    * last-ulp differences are not reproducible across engines.
+    *
+    * Scale shape: one all-to-one total (map-side partial aggregate),
+    * broadcast back, map-side filter — no shuffle of the data. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     expectedRows: Long): DataFrame = {
+    val tot = df.agg(sum(col(weightCol)).cast("double").as("__total_w"))
+    df.crossJoin(broadcast(tot))
+      .filter(hashPriority(col(keyCol)) < least(lit(1.0),
+        lit(expectedRows.toDouble) * col(weightCol) / col("__total_w")))
+      .drop("__total_w")
+  }
 }

@@ -324,6 +324,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(again == small)
   }
 
+  test("weightedSample: expected size, zero weight excluded, monotone, deterministic") {
+    import graft.ops.Sampling
+    // 1000 rows, weights 0..9 cycling: expected-100 sample should land
+    // near 100 and favor heavy rows ~linearly in weight
+    val rows = (1L to 1000L).map(i => (i, (i % 10).toDouble)).toDF("id", "w")
+    val s = Sampling.weightedSample(rows, "id", "w", 100L)
+    val n = s.count()
+    assert(n > 55 && n < 160, s"expected ~100, got $n") // binomial band
+    // zero-weight rows can never be drawn
+    assert(s.filter(col("w") === 0.0).count() == 0)
+    // heavier rows are drawn more often (aggregate check: mean kept
+    // weight well above the population mean of 4.5)
+    val meanW = s.agg(avg("w")).collect().head.getDouble(0)
+    assert(meanW > 4.5, s"PPS sample mean weight $meanW not above uniform mean")
+    // monotone in the expected size; deterministic across runs
+    val ids = s.select("id").as[Long].collect().toSet
+    val bigger = Sampling.weightedSample(rows, "id", "w", 300L)
+      .select("id").as[Long].collect().toSet
+    assert(ids.subsetOf(bigger))
+    val again = Sampling.weightedSample(rows, "id", "w", 100L)
+      .select("id").as[Long].collect().toSet
+    assert(again == ids)
+  }
+
   test("approx sketches within tolerance of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
