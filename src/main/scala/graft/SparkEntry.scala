@@ -1627,6 +1627,14 @@ object SparkEntry {
       s"h -> CAST((h*h + h) % 1000003 AS DOUBLE) / 500000.0 - 1.0)[1]))) >= 0 " +
       s"THEN (1 << (${np - 1} - p)) ELSE 0 END))"
 
+  /** DuckDB expression mirroring Sampling.hashPriority bit-for-bit: the
+    * first 12 md5 hex digits of the key scaled into [0, 1). One owner for
+    * the sample_stratified / sample_mix / importance_resample oracles so
+    * a precision change can never desynchronize them. */
+  private def duckHashPriority(key: String): String =
+    s"CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 1, 12)) " +
+      "AS BIGINT) / power(16, 12)"
+
   /** Shared CTE chain deriving the banded MinHash-LSH near-dup pairs in
     * DuckDB (word-3-gram shingles, md5-seeded universal-hash 64-min
     * signatures, 16 bands of 4, exact-Jaccard verify) — ends at `v`
@@ -1659,6 +1667,43 @@ object SparkEntry {
       |  FROM cand JOIN sh x ON x.id = idA JOIN sh y ON y.id = idB)""".stripMargin
 
   private val minhashPairCtes: String = minhashPairCtesFrom("documents")
+
+  /** Shared CTE chain deriving the per-doc DSIR importance scores in
+    * DuckDB (Laplace-smoothed target-vs-corpus token likelihood ratios in
+    * exact ppm int64 arithmetic, mirroring Corpus.importanceWeights) —
+    * ends at `scored` (doc_id, n_toks, score_ppm, score_avg_ppm). One
+    * owner for the importance_weights and importance_resample oracles so
+    * a smoothing/scale change can never validate one against stale
+    * weights while the other stays green. */
+  private val importanceScoredCtes: String =
+    s"""toks AS (
+      |  SELECT doc_id, source = 'src0' AS is_t,
+      |    unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      |  FROM documents),
+      |stats AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_c,
+      |    CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS cnt_t
+      |  FROM toks GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
+      |    CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+      |    CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM stats),
+      |wts AS (
+      |  SELECT tok,
+      |    (1000000 * (cnt_t + 1) * (n_c + v)) // ((cnt_c + 1) * (n_t + v))
+      |      AS w_ppm
+      |  FROM stats, tot),
+      |dt AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY doc_id, tok),
+      |scored AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+      |    CAST(SUM(cnt * w_ppm) AS BIGINT) AS score_ppm,
+      |    CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
+      |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
+      |  FROM dt JOIN wts USING (tok)
+      |  GROUP BY doc_id)""".stripMargin
 
   /** DuckDB cosine between two list columns, same fold order as
     * Similarity.dot/l2Norm (ascending index, double accumulation). */
@@ -2455,11 +2500,10 @@ object SparkEntry {
         |WHERE cosine >= 0.2 ORDER BY idA, idB""".stripMargin,
 
     "sample_stratified" ->
-      """SELECT lang, doc_id, sample_rank FROM (
+      s"""SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id,
         |    row_number() OVER (PARTITION BY lang ORDER BY
-        |      CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-        |        / power(16, 12), doc_id) AS sample_rank
+        |      ${duckHashPriority("doc_id")}, doc_id) AS sample_rank
         |  FROM documents)
         |WHERE sample_rank <= 3 ORDER BY lang, sample_rank""".stripMargin,
 
@@ -2473,7 +2517,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "sample_mix" ->
-      """WITH shares(source, target_share) AS (VALUES
+      s"""WITH shares(source, target_share) AS (VALUES
         |    ('src0', CAST(0.4 AS DOUBLE)), ('src1', CAST(0.3 AS DOUBLE)),
         |    ('src2', CAST(0.2 AS DOUBLE)), ('src3', CAST(0.1 AS DOUBLE))),
         |  frac AS (
@@ -2485,8 +2529,7 @@ object SparkEntry {
         |    GROUP BY d.source, s.target_share)
         |SELECT d.source, d.doc_id, d.n_chars
         |FROM documents d JOIN frac f ON d.source = f.source
-        |WHERE CAST(concat('0x', substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-        |        / power(16, 12) < f.keep_frac
+        |WHERE ${duckHashPriority("d.doc_id")} < f.keep_frac
         |ORDER BY d.source, d.doc_id""".stripMargin,
 
     "text_stats" ->
@@ -2879,68 +2922,16 @@ object SparkEntry {
     // Laplace-smoothed unigram ratio weights in ppm (integer division on
     // BIGINT, matching Spark's DIV), target = source 'src0'.
     "importance_weights" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source = 'src0' AS is_t,
-        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-        |  FROM documents),
-        |stats AS (
-        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_c,
-        |    CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS cnt_t
-        |  FROM toks GROUP BY tok),
-        |tot AS (
-        |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
-        |    CAST(SUM(cnt_t) AS BIGINT) AS n_t,
-        |    CAST(COUNT(*) AS BIGINT) AS v
-        |  FROM stats),
-        |wts AS (
-        |  SELECT tok,
-        |    (1000000 * (cnt_t + 1) * (n_c + v)) // ((cnt_c + 1) * (n_t + v))
-        |      AS w_ppm
-        |  FROM stats, tot),
-        |dt AS (
-        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM toks GROUP BY doc_id, tok)
-        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
-        |  CAST(SUM(cnt * w_ppm) AS BIGINT) AS score_ppm,
-        |  CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
-        |    // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
-        |FROM dt JOIN wts USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $importanceScoredCtes
+        |SELECT doc_id, n_toks, score_ppm, score_avg_ppm
+        |FROM scored ORDER BY doc_id""".stripMargin,
 
     "importance_resample" ->
-      """WITH toks AS (
-        |  SELECT doc_id, source = 'src0' AS is_t,
-        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-        |  FROM documents),
-        |stats AS (
-        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_c,
-        |    CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS cnt_t
-        |  FROM toks GROUP BY tok),
-        |tot AS (
-        |  SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
-        |    CAST(SUM(cnt_t) AS BIGINT) AS n_t,
-        |    CAST(COUNT(*) AS BIGINT) AS v
-        |  FROM stats),
-        |wts AS (
-        |  SELECT tok,
-        |    (1000000 * (cnt_t + 1) * (n_c + v)) // ((cnt_c + 1) * (n_t + v))
-        |      AS w_ppm
-        |  FROM stats, tot),
-        |dt AS (
-        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM toks GROUP BY doc_id, tok),
-        |scored AS (
-        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
-        |    CAST(SUM(cnt * w_ppm) AS BIGINT) AS score_ppm,
-        |    CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
-        |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
-        |  FROM dt JOIN wts USING (tok)
-        |  GROUP BY doc_id),
+      s"""WITH $importanceScoredCtes,
         |tw AS (SELECT CAST(SUM(score_avg_ppm) AS DOUBLE) AS total_w FROM scored)
         |SELECT doc_id, n_toks, score_ppm, score_avg_ppm
         |FROM scored, tw
-        |WHERE CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-        |        / power(16, 12)
+        |WHERE ${duckHashPriority("doc_id")}
         |      < least(CAST(1.0 AS DOUBLE),
         |              CAST(100.0 AS DOUBLE) * score_avg_ppm / total_w)
         |ORDER BY doc_id""".stripMargin,

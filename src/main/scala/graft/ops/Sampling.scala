@@ -71,22 +71,31 @@ object Sampling {
     * (domain cardinality is tiny), then a broadcast join of the per-domain
     * fractions back onto the corpus and a map-side filter — the corpus
     * itself never shuffles, so this runs at 100 TB for the cost of one
-    * scan plus one scan-and-filter. */
+    * scan plus one scan-and-filter.
+    *
+    * Masses sum through DECIMAL(28,9) (quantized to 9 dp) so the total is
+    * exact and partition-order-independent even for fractional mass
+    * columns; a NULL or all-zero domain mass yields keep fraction 0 (the
+    * domain contributes nothing), never a kept row. */
   def mixCorpus(df: DataFrame, domainCol: String, keyCol: String,
                 massCol: String, targetShares: Map[String, Double],
                 budget: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val shares = targetShares.toSeq.toDF(domainCol, "target_share")
+    val shares = targetShares.toSeq.toDF(domainCol, "__target_share")
     val frac = df.groupBy(domainCol)
-      .agg(sum(col(massCol)).cast("double").as("domain_mass"))
+      .agg(sum(col(massCol).cast("decimal(28,9)")).cast("double")
+        .as("__domain_mass"))
       .join(shares, Seq(domainCol))
       .select(col(domainCol),
-        least(lit(1.0), col("target_share") * budget / col("domain_mass"))
-          .as("keep_frac"))
+        least(lit(1.0),
+          coalesce(nanvl(when(col("__domain_mass") > 0.0,
+            col("__target_share") * budget / col("__domain_mass")),
+            lit(0.0)), lit(0.0)))
+          .as("__keep_frac"))
     df.join(broadcast(frac), Seq(domainCol))
-      .filter(hashPriority(col(keyCol)) < col("keep_frac"))
-      .drop("keep_frac")
+      .filter(hashPriority(col(keyCol)) < col("__keep_frac"))
+      .drop("__keep_frac")
   }
 
   /** Poisson PPS sample: keep each row with inclusion probability
@@ -104,13 +113,27 @@ object Sampling {
     * last-ulp differences are not reproducible across engines.
     *
     * Scale shape: one all-to-one total (map-side partial aggregate),
-    * broadcast back, map-side filter — no shuffle of the data. */
+    * broadcast back, map-side filter — no shuffle of the data.
+    *
+    * Weights sum through DECIMAL(28,9) (quantized to 9 dp) so the total
+    * is exact and partition-order-independent even for fractional weight
+    * columns; NULL weights and a zero/NULL total yield inclusion
+    * probability 0 — such rows are undrawable, and an all-zero-weight
+    * corpus samples to empty rather than to itself. */
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
                      expectedRows: Long): DataFrame = {
-    val tot = df.agg(sum(col(weightCol)).cast("double").as("__total_w"))
+    val tot = df.agg(sum(col(weightCol).cast("decimal(28,9)")).cast("double")
+      .as("__total_w"))
+    // NULL weights and a zero/NULL total must yield threshold 0 (row
+    // undrawable), never 1: least() SKIPS null operands in both Spark and
+    // SQL, so an unguarded NULL/NaN ratio would collapse least(1, ratio)
+    // to 1 and keep the row with certainty — and ANSI mode would throw on
+    // the zero-total division before that, so the divisor is gated too.
     df.crossJoin(broadcast(tot))
       .filter(hashPriority(col(keyCol)) < least(lit(1.0),
-        lit(expectedRows.toDouble) * col(weightCol) / col("__total_w")))
+        coalesce(nanvl(when(col("__total_w") > 0.0,
+          lit(expectedRows.toDouble) * col(weightCol) / col("__total_w")),
+          lit(0.0)), lit(0.0))))
       .drop("__total_w")
   }
 }

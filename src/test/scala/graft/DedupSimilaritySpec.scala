@@ -346,6 +346,19 @@ class DedupSimilaritySpec extends SparkSuite {
     val again = Sampling.weightedSample(rows, "id", "w", 100L)
       .select("id").as[Long].collect().toSet
     assert(again == ids)
+    // NULL weights are undrawable (least() skips nulls — an unguarded
+    // NULL ratio would keep such rows with certainty), and an all-zero
+    // corpus samples to EMPTY, not to itself (0/0 -> NaN -> threshold 0)
+    val withNull = Seq((1L, Some(5.0)), (2L, None), (3L, Some(5.0)))
+      .toDF("id", "w")
+    assert(Sampling.weightedSample(withNull, "id", "w", 2L)
+      .filter(col("w").isNull).count() == 0)
+    val allZero = (1L to 50L).map(i => (i, 0.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(allZero, "id", "w", 10L).count() == 0)
+    // same guard on mixCorpus: an all-zero-mass domain contributes nothing
+    val zeroMass = (1L to 20L).map(i => (i, "a", 0L)).toDF("id", "dom", "m")
+    assert(Sampling.mixCorpus(zeroMass, "dom", "id", "m",
+      Map("a" -> 1.0), 100L).count() == 0)
   }
 
   test("approx sketches within tolerance of exact") {
