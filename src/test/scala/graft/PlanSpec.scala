@@ -86,4 +86,22 @@ class PlanSpec extends SparkSuite {
       plan.contains("EqualTo(dataset,autosales)"),
       s"dataset predicate not pushed:\n$plan")
   }
+
+  test("mixCorpus/weightedSample join their tiny stats by broadcast, never SMJ") {
+    import graft.ops.Sampling
+    val corpus = spark.read.parquet(s"$dir/t")
+    val mixed = Sampling.mixCorpus(corpus, "grp", "id", "price",
+      Map("0" -> 0.5, "1" -> 0.5), 100L)
+    val pMix = planOf(mixed)
+    assert(pMix.contains("BroadcastHashJoin"), s"no broadcast join:\n$pMix")
+    assert(!pMix.contains("SortMergeJoin") && !pMix.contains("ShuffledHashJoin"),
+      s"corpus shuffled for the fraction join:\n$pMix")
+    val pps = Sampling.weightedSample(corpus, "id", "price", 10L)
+    val pPps = planOf(pps)
+    assert(pPps.contains("BroadcastNestedLoopJoin") ||
+      pPps.contains("BroadcastExchange"),
+      s"total not broadcast back:\n$pPps")
+    assert(!pPps.contains("SortMergeJoin") && !pPps.contains("CartesianProduct"),
+      s"weightedSample shuffles the corpus:\n$pPps")
+  }
 }

@@ -151,4 +151,28 @@ object GraftProperties extends Properties("graft") {
         (r.getInt(0), r.getDouble(1), r.getDouble(2))).toSeq
       rt == orig
   }
+
+  // PPS sampling laws over arbitrary non-negative (incl. fractional and
+  // zero) weights: the draw is a subset of the input, identical across
+  // runs AND across physical partitionings (the DECIMAL total makes the
+  // sum order-independent — a plain double sum fails this), monotone in
+  // the expected size, and never includes a zero-weight row.
+  property("weightedSample.samplingLaws") = Prop.forAll(
+    Gen.choose(5, 40).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf(Gen.const(0.0), Gen.choose(0.05, 10.0)))),
+    Gen.choose(1L, 30L)) { (ws, n) =>
+      import graft.ops.Sampling
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("id", "w")
+      def draw(d: org.apache.spark.sql.DataFrame, k: Long) =
+        Sampling.weightedSample(d, "id", "w", k)
+          .select("id").as[Long].collect().toSet
+      val s1 = draw(df, n)
+      val zeros = ws.zipWithIndex.collect {
+        case (w, i) if w == 0.0 => i.toLong }.toSet
+      s1 == draw(df.repartition(7), n) &&
+        s1.subsetOf(draw(df, n * 3)) &&
+        s1.intersect(zeros).isEmpty &&
+        s1.subsetOf(ws.indices.map(_.toLong).toSet)
+  }
 }
