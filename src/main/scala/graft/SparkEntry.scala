@@ -727,6 +727,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM dedup, INCREMENTAL mode: a new batch (sources src5+) dedups
+    // against the fingerprint index of everything already processed
+    // (src0-src4) — history is touched as fingerprints only, never as
+    // text. The oracle re-derives the index, the within-batch min-id
+    // survivors, and the anti-join independently.
+    "dedup_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val seen = Seq("src0", "src1", "src2", "src3", "src4")
+      val index = Dedup.fingerprintIndex(
+        d.filter(col("source").isin(seen: _*)), "doc_id", "text")
+      val incoming = d.filter(!col("source").isin(seen: _*))
+      Dedup.dedupAgainstIndex(incoming, index, "doc_id", "text")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     // LLM dedup: n-gram Jaccard on adjacent-id pairs (verify kernel)
     "dedup_ngram" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -2196,6 +2212,23 @@ object SparkEntry {
       """SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
         |  MIN(doc_id) AS doc_id, COUNT(*) AS copies
         |FROM documents GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM f
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |inc AS (SELECT * FROM f
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |keep AS (
+        |  SELECT s.doc_id FROM
+        |    (SELECT fp, MIN(doc_id) AS doc_id FROM inc GROUP BY fp) s
+        |  LEFT JOIN idx x ON s.fp = x.fp WHERE x.fp IS NULL)
+        |SELECT i.doc_id, i.source, i.n_chars
+        |FROM inc i JOIN keep k ON i.doc_id = k.doc_id
+        |ORDER BY i.doc_id""".stripMargin,
 
     // greatest(..., 2) matches Spark's sequence(0, greatest(size-3, 0)):
     // a 1-2-token doc still yields ONE partial shingle, never zero (a

@@ -36,6 +36,32 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** The `(fp, id)` fingerprint-index rows for a batch — what an
+    * incremental pipeline PERSISTS (e.g. `TableStore.append`) so later
+    * batches dedup against all of history without ever rescanning it. */
+  def fingerprintIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(TextAnalysis.fingerprint(col(textCol)).as("fp"), col(idCol))
+
+  /** INCREMENTAL exact dedup: the rows of `incoming` that survive both
+    * within-batch dedup (min-id per fingerprint) and an anti-join against
+    * a persisted fingerprint index of everything processed before. This is
+    * the 100 TB operating mode — a daily batch dedups against years of
+    * corpus by touching fingerprints only, never historical text. Rows
+    * with a NULL fingerprint (null text) survive the index check (an
+    * unknown can't equal anything), matching SQL anti-join semantics.
+    *
+    * Scale shape: shuffles only the incoming batch's (fp, id) pairs plus
+    * the index's fp column on the fp key; the index carries ~32 bytes a
+    * document, so a 10^10-doc history is a few-hundred-GB equi-join side,
+    * partition-pruned further if the index table is stored fp-bucketed. */
+  def dedupAgainstIndex(incoming: DataFrame, index: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val keep = exactSurvivors(incoming, idCol, textCol)
+      .join(index.select("fp").distinct(), Seq("fp"), "left_anti")
+      .select(idCol)
+    incoming.join(keep, Seq(idCol), "left_semi")
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of `text` (lowercased, whitespace

@@ -290,6 +290,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(again == split.orderBy("doc_id").select("split").as[String].collect().toSeq)
   }
 
+  test("incremental dedup: new batch vs persisted fingerprint index") {
+    import graft.ops.Dedup
+    import graft.store.TableStore
+    val dir = java.nio.file.Files.createTempDirectory("graft-incdedup").toString
+    val store = new TableStore(spark, dir)
+    val batch1 = Seq((1L, "the quick brown fox"), (2L, "hello world"))
+      .toDF("doc_id", "text")
+    store.overwrite("fp_index",
+      Dedup.fingerprintIndex(batch1, "doc_id", "text"), maxFiles = 1)
+    // batch 2: one cross-batch dup (whitespace/case variant of doc 1), one
+    // within-batch dup pair, one genuinely new doc
+    val batch2 = Seq(
+      (10L, "The  Quick   Brown FOX"), // dup of indexed doc 1 -> dropped
+      (11L, "fresh content"), (12L, "fresh   CONTENT"), // in-batch pair -> min id
+      (13L, "entirely new")).toDF("doc_id", "text")
+    val surv = Dedup.dedupAgainstIndex(batch2, store.read("fp_index"),
+      "doc_id", "text")
+    assert(surv.select("doc_id").as[Long].collect().sorted.toSeq == Seq(11L, 13L))
+    // extending the index with batch 2's survivors makes a replay of the
+    // same batch fully deduped — the incremental loop is closed
+    store.append("fp_index",
+      Dedup.fingerprintIndex(surv, "doc_id", "text"), maxFiles = 1)
+    assert(Dedup.dedupAgainstIndex(batch2.filter(col("doc_id") =!= 12L),
+      store.read("fp_index"), "doc_id", "text").count() == 0)
+  }
+
   test("mixCorpus: hits target mass, keeps small domains whole, monotone in budget") {
     import graft.ops.Sampling
     // three domains with very different raw mass; each row weighs 10
