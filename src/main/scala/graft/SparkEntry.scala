@@ -1203,6 +1203,36 @@ object SparkEntry {
       s.table(qn).orderBy("source")
     }),
 
+    // Streaming half of the incremental-dedup loop: a live document feed
+    // deduped against the STATIC fingerprint index of already-processed
+    // history (sources src0-src4) — stream-static anti via left-outer +
+    // null-marker, stateless. Oracle: the batch anti-join aggregate.
+    "stream_dedup_indexed" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val seen = Seq("src0", "src1", "src2", "src3", "src4")
+      val index = Dedup.fingerprintIndex(
+        t(s, dir, "documents").filter(col("source").isin(seen: _*)),
+        "doc_id", "text")
+      val src = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val fresh = graft.streaming.StreamIngest.dropIndexedFingerprints(
+        src, index, "text")
+      val agg = fresh.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val qn = "graft_stream_dedup_indexed"
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("source")
+    }),
+
     // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
     // per-key state only within the watermark window, then EVICTS it — the
     // form an unbounded event stream needs (plain dropDuplicates state
@@ -2671,6 +2701,21 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stream rows surviving the static-index anti-join: every doc whose
+    // fingerprint is not among the already-processed sources'
+    "stream_dedup_indexed" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |idx AS (SELECT DISTINCT fp FROM f
+        |  WHERE source IN ('src0','src1','src2','src3','src4'))
+        |SELECT i.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(i.n_chars) AS BIGINT) AS sum_chars
+        |FROM f i LEFT JOIN idx x ON i.fp = x.fp
+        |WHERE x.fp IS NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the within-watermark double delivery also collapses to the
     // single-delivery aggregate (event_id is unique in the events table)

@@ -213,6 +213,28 @@ object StreamIngest {
   def dedupExact(stream: DataFrame, keys: Seq[String]): DataFrame =
     stream.dropDuplicates(keys)
 
+  /** Stream-static incremental dedup: drop stream rows whose normalized
+    * content fingerprint already exists in a STATIC index (the persisted
+    * output of [[graft.ops.Dedup.fingerprintIndex]]) — the streaming half
+    * of the incremental-dedup loop, where a live feed is deduped against
+    * years of history by fingerprint without the stream ever touching
+    * historical text. Anti joins are not in the stream-static join
+    * matrix, so the anti is expressed as a left-OUTER join against the
+    * deduplicated index with a non-null marker, filtered to no-match —
+    * stateless (no watermark: the verdict is per-row), and the static
+    * side broadcasts whenever it fits like any other dimension. Rows
+    * with a NULL fingerprint pass through (an unknown matches nothing),
+    * the same contract as the batch operator. */
+  def dropIndexedFingerprints(stream: DataFrame, index: DataFrame,
+                              textCol: String): DataFrame = {
+    val idx = index.select(col("fp")).distinct().withColumn("__seen", lit(1))
+    stream
+      .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
+      .join(idx, col("__fp") === col("fp"), "left_outer")
+      .filter(col("__seen").isNull)
+      .drop("fp", "__seen", "__fp")
+  }
+
   /** Bounded-state streaming exact-dedup: dedup state per key is kept only
     * while the key's event time is within the watermark, then EVICTED —
     * the form an unbounded event stream needs (plain `dropDuplicates`

@@ -247,6 +247,26 @@ class StreamingSpec extends SparkSuite {
     assert(out == Seq(1L, 1L, 2L))
   }
 
+  test("dropIndexedFingerprints: static index filters the stream; null text passes") {
+    implicit val sq = spark.sqlContext
+    val index = graft.ops.Dedup.fingerprintIndex(
+      Seq((1L, "already seen text")).toDF("doc_id", "text"), "doc_id", "text")
+    val mem = MemoryStream[(Long, String)]
+    val fresh = StreamIngest.dropIndexedFingerprints(
+      mem.toDF().toDF("doc_id", "text"), index, "text")
+    val q = fresh.writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("dedup_idx").start()
+    mem.addData(
+      (10L, "Already  SEEN text"), // fp-equal to the indexed doc -> dropped
+      (11L, "brand new text"),     // survives
+      (12L, null))                 // null fp matches nothing -> survives
+    q.processAllAvailable()
+    val out = spark.table("dedup_idx").collect()
+      .map(_.getAs[Long]("doc_id")).toSeq.sorted
+    q.stop()
+    assert(out == Seq(11L, 12L))
+  }
+
   test("watermarked windowed counts over an event stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
