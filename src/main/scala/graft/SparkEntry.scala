@@ -743,6 +743,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM near-dup, INCREMENTAL mode: the new batch (src5+) finds
+    // near-dups against the persisted minhash SIGNATURE index of
+    // already-processed history (src0-src4) — candidates from the
+    // (band, bucket) equi-join, verified by signature-estimated Jaccard,
+    // so history participates as 64-long signatures, never as text.
+    "dedup_minhash_incremental" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val seen = Seq("src0", "src1", "src2", "src3", "src4")
+      val index = Dedup.minhashIndex(
+        d.filter(col("source").isin(seen: _*)), "doc_id", "text")
+      val incoming = d.filter(!col("source").isin(seen: _*))
+      Dedup.nearDupAgainstIndex(incoming, index, "doc_id", "text")
+        .orderBy("id", "matched_id")
+    }),
+
     // LLM dedup: n-gram Jaccard on adjacent-id pairs (verify kernel)
     "dedup_ngram" -> ((s, dir) => {
       val d = t(s, dir, "documents")
@@ -1681,12 +1696,13 @@ object SparkEntry {
     s"CAST(concat('0x', substring(md5(CAST($key AS VARCHAR)), 1, 12)) " +
       "AS BIGINT) / power(16, 12)"
 
-  /** Shared CTE chain deriving the banded MinHash-LSH near-dup pairs in
-    * DuckDB (word-3-gram shingles, md5-seeded universal-hash 64-min
-    * signatures, 16 bands of 4, exact-Jaccard verify) — ends at `v`
-    * (idA, idB, j). `rel` is the (doc_id, text) relation to pair over.
-    * Used by the dedup_minhash, dedup_cluster, and curate_corpus oracles. */
-  private def minhashPairCtesFrom(rel: String): String =
+  /** Shared CTE chain deriving per-doc MinHash signatures and LSH band
+    * buckets in DuckDB (word-3-gram shingles, md5-seeded universal-hash
+    * 64-min signatures, 16 bands of 4) — ends at `sig` (id, sig) and `bk`
+    * (id, b, bucket). The common prefix of minhashPairCtesFrom and the
+    * dedup_minhash_incremental oracle, factored so the signature
+    * definition has exactly one owner. */
+  private def minhashSigCtesFrom(rel: String): String =
     s"""sh AS (SELECT doc_id AS id,
       |    list_filter(list_distinct(list_transform(
       |      range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 2)),
@@ -1704,7 +1720,15 @@ object SparkEntry {
       |sig AS (SELECT id, list(h ORDER BY i) AS sig FROM mh GROUP BY 1),
       |bk AS (SELECT id, b,
       |    md5(array_to_string(sig[b*4 + 1:b*4 + 4], ',')) AS bucket
-      |  FROM sig, (SELECT unnest(range(0, 16)) AS b)),
+      |  FROM sig, (SELECT unnest(range(0, 16)) AS b))""".stripMargin
+
+  /** Shared CTE chain deriving the banded MinHash-LSH near-dup pairs in
+    * DuckDB (word-3-gram shingles, md5-seeded universal-hash 64-min
+    * signatures, 16 bands of 4, exact-Jaccard verify) — ends at `v`
+    * (idA, idB, j). `rel` is the (doc_id, text) relation to pair over.
+    * Used by the dedup_minhash, dedup_cluster, and curate_corpus oracles. */
+  private def minhashPairCtesFrom(rel: String): String =
+    s"""${minhashSigCtesFrom(rel)},
       |cand AS (SELECT DISTINCT a.id AS idA, c.id AS idB FROM bk a JOIN bk c
       |  ON a.b = c.b AND a.bucket = c.bucket AND a.id < c.id),
       |v AS (SELECT idA, idB,
@@ -2259,6 +2283,28 @@ object SparkEntry {
         |SELECT i.doc_id, i.source, i.n_chars
         |FROM inc i JOIN keep k ON i.doc_id = k.doc_id
         |ORDER BY i.doc_id""".stripMargin,
+
+    // signature-estimated Jaccard over index/incoming band collisions;
+    // the sig/bk chain is the shared fragment, so the estimator is judged
+    // against the exact same signature definition dedup_minhash uses
+    "dedup_minhash_incremental" ->
+      s"""WITH ${minhashSigCtesFrom("documents")},
+        |idxb AS (SELECT bk.id, b, bucket FROM bk
+        |  JOIN documents d ON bk.id = d.doc_id
+        |  WHERE d.source IN ('src0','src1','src2','src3','src4')),
+        |incb AS (SELECT bk.id, b, bucket FROM bk
+        |  JOIN documents d ON bk.id = d.doc_id
+        |  WHERE d.source NOT IN ('src0','src1','src2','src3','src4')),
+        |cand AS (SELECT DISTINCT n.id AS id, h.id AS matched_id
+        |  FROM incb n JOIN idxb h ON n.b = h.b AND n.bucket = h.bucket),
+        |est AS (SELECT c.id, c.matched_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      k -> CASE WHEN sn.sig[k] = sm.sig[k] THEN 1 ELSE 0 END))
+        |      AS DOUBLE) / 64 AS est_jaccard
+        |  FROM cand c JOIN sig sn ON sn.id = c.id
+        |  JOIN sig sm ON sm.id = c.matched_id)
+        |SELECT id, matched_id, est_jaccard FROM est
+        |WHERE est_jaccard >= 0.7 ORDER BY id, matched_id""".stripMargin,
 
     // greatest(..., 2) matches Spark's sequence(0, greatest(size-3, 0)):
     // a 1-2-token doc still yields ONE partial shingle, never zero (a

@@ -237,6 +237,69 @@ object Dedup {
     // than once opt into materialize = true and own the unpersist.
   }
 
+  /** The persisted MinHash near-dup index rows for a batch: one row per
+    * (band, bucket) per doc, carrying the doc's full signature — what an
+    * incremental pipeline appends (e.g. `TableStore.append`) so later
+    * batches find near-dups against all of history by SIGNATURE, never
+    * historical text. Columns: (id, band, bucket, sig). ~64×8B + bucket
+    * per row, `bands` rows per doc — a 10^10-doc history is a few TB of
+    * index vs the corpus' hundreds, and the (band, bucket) key is what a
+    * bucketed/clustered layout prunes the candidate join on. */
+  def minhashIndex(df: DataFrame, idCol: String, textCol: String,
+                   shingleWords: Int = 3, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    minhashSignatures(df, idCol, textCol, shingleWords, numHashes)
+      .select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"),
+        col("sig"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"), col("sig"))
+  }
+
+  /** Signature-estimated Jaccard: the fraction of agreeing minhash
+    * components — E[agreement] = true Jaccard, sd ≈ sqrt(j(1-j)/n)
+    * (±0.06 at n=64 around j=0.7). The estimator that makes INCREMENTAL
+    * near-dup possible: comparing signatures needs no shingles, so the
+    * historical side is never re-read as text. */
+  def sigAgreement(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / size(a)
+
+  /** INCREMENTAL near-dup: match an incoming batch against a persisted
+    * [[minhashIndex]] — candidates from the (band, bucket) equi-join,
+    * verified by [[sigAgreement]] at `threshold`. Returns one row per
+    * (incoming id, matched historical id) pair with the estimate; feed
+    * the distinct matched incoming ids to an anti-join to drop them, or
+    * keep the pairs for cluster assignment. The incoming side computes
+    * signatures from text (it is the new data); history participates as
+    * signatures only.
+    *
+    * Scale shape: the only joins are the bucket equi-join (fan-out
+    * bounded by true bucket collisions, the same cost model as
+    * minhashNearDupPairs) and two signature lookups on the candidate
+    * pairs; per-candidate agreement is a 64-element zip — candidate-
+    * bounded, like the exact-Jaccard verify it replaces. */
+  def nearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                          idCol: String, textCol: String,
+                          shingleWords: Int = 3, numHashes: Int = 64,
+                          bands: Int = 16,
+                          threshold: Double = 0.7): DataFrame = {
+    val inc = minhashIndex(incoming, idCol, textCol, shingleWords,
+      numHashes, bands)
+    val pairs = inc.select(col("id"), col("band"), col("bucket"))
+      .join(index.select(col("id").as("matched_id"), col("band"),
+        col("bucket")), Seq("band", "bucket"))
+      .select(col("id"), col("matched_id")).distinct()
+    val incSig = inc.select(col("id"), col("sig")).dropDuplicates("id")
+    val idxSig = index.select(col("id").as("matched_id"),
+      col("sig").as("hsig")).dropDuplicates("matched_id")
+    pairs.join(incSig, Seq("id")).join(idxSig, Seq("matched_id"))
+      .select(col("id"), col("matched_id"),
+        sigAgreement(col("sig"), col("hsig")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+
   /** Near-dedup survivors: drop every doc that matches a LOWER id at or
     * above the threshold (greedy min-id representative — the standard
     * large-scale policy; no connected components needed for dedup). */

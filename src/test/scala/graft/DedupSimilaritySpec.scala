@@ -316,6 +316,35 @@ class DedupSimilaritySpec extends SparkSuite {
       store.read("fp_index"), "doc_id", "text").count() == 0)
   }
 
+  test("incremental near-dup: signature index finds variants, history never re-read") {
+    import graft.ops.Dedup
+    // a DIVERSE long text (repetition would collapse the distinct-shingle
+    // set and let the estimator's small-sample variance dominate); the
+    // variant edits one trailing word -> Jaccard ~0.95
+    val base = (1 to 60).map(i => s"tok$i word$i").mkString(" ")
+    val batch1 = Seq((1L, base + " ending one"),
+      (2L, "completely different content here ok"))
+      .toDF("doc_id", "text")
+    val index = Dedup.minhashIndex(batch1, "doc_id", "text")
+    // index carries (id, band, bucket, sig) ONLY — no text column at all:
+    // the historical side is structurally incapable of being re-read
+    assert(index.columns.sorted.toSeq == Seq("band", "bucket", "id", "sig"))
+    val batch2 = Seq(
+      (10L, base + " ending two"), // near-dup of doc 1
+      (11L, "fresh unrelated text that matches nothing at all"))
+      .toDF("doc_id", "text")
+    val m = Dedup.nearDupAgainstIndex(batch2, index, "doc_id", "text")
+      .select("id", "matched_id", "est_jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(m.exists { case (id, hid, est) => id == 10L && hid == 1L && est >= 0.7 },
+      s"variant not matched: ${m.toSeq}")
+    assert(!m.exists(_._1 == 11L), s"fresh doc falsely matched: ${m.toSeq}")
+    // estimator sanity: identical docs agree on every component
+    val self = Dedup.nearDupAgainstIndex(batch1, index, "doc_id", "text")
+      .filter(col("id") === col("matched_id"))
+    assert(self.select("est_jaccard").as[Double].collect().forall(_ == 1.0))
+  }
+
   test("mixCorpus: hits target mass, keeps small domains whole, monotone in budget") {
     import graft.ops.Sampling
     // three domains with very different raw mass; each row weighs 10
