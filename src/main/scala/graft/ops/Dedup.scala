@@ -285,16 +285,28 @@ object Dedup {
                           shingleWords: Int = 3, numHashes: Int = 64,
                           bands: Int = 16,
                           threshold: Double = 0.7): DataFrame = {
-    val inc = minhashIndex(incoming, idCol, textCol, shingleWords,
-      numHashes, bands)
-    val pairs = inc.select(col("id"), col("band"), col("bucket"))
+    require(numHashes % bands == 0, "numHashes must divide evenly into bands")
+    // ONE signature build for the incoming side, used for both the band
+    // buckets and the final agreement join — its per-doc aggregate is
+    // already unique per id, so no dedup is needed, and the shared
+    // subtree is exchange-reusable. (An earlier shape derived buckets and
+    // signatures from two independent minhashIndex() calls plus a
+    // dropDuplicates: four full signature builds in the plan.)
+    val sig = minhashSignatures(incoming, idCol, textCol, shingleWords,
+      numHashes)
+    val buckets = sig.select(col("id"),
+        explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"),
+        col("bk.bucket").as("bucket"))
+    val pairs = buckets
       .join(index.select(col("id").as("matched_id"), col("band"),
         col("bucket")), Seq("band", "bucket"))
       .select(col("id"), col("matched_id")).distinct()
-    val incSig = inc.select(col("id"), col("sig")).dropDuplicates("id")
+    // the index duplicates each doc's sig across its band rows; collapse
+    // to one per id before the agreement join
     val idxSig = index.select(col("id").as("matched_id"),
       col("sig").as("hsig")).dropDuplicates("matched_id")
-    pairs.join(incSig, Seq("id")).join(idxSig, Seq("matched_id"))
+    pairs.join(sig, Seq("id")).join(idxSig, Seq("matched_id"))
       .select(col("id"), col("matched_id"),
         sigAgreement(col("sig"), col("hsig")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
