@@ -1123,6 +1123,22 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // LLM dedup: embedding near-dup, INCREMENTAL mode — odd vec_ids (the
+    // new batch) matched against the persisted (id, bucket, vector) index
+    // of even vec_ids; history is never re-bucketed.
+    "dedup_embedding_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val index = Similarity.embeddingIndex(
+        e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+        numPlanes = 4)
+      val incoming = e.filter(col("vec_id") % 2 === 1)
+      Similarity.embeddingNearDupAgainstIndex(incoming, index,
+          "vec_id", "embedding", threshold = 0.2, numPlanes = 4)
+        .select(col("id"), col("matched_id"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("id", "matched_id")
+    }),
+
     // LLM text: content fingerprint cardinality per language
     "text_fingerprint" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -2607,6 +2623,17 @@ object SparkEntry {
         |  FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id)
         |SELECT idA, idB, round(cosine, 6) AS cosine FROM p
         |WHERE cosine >= 0.2 ORDER BY idA, idB""".stripMargin,
+
+    // incoming (odd) vs indexed (even) same-bucket pairs, exact cosine
+    "dedup_embedding_incremental" ->
+      s"""WITH b AS (SELECT vec_id, embedding,
+        |  ${duckBucket("embedding", 4)} AS bucket FROM embeddings),
+        |p AS (SELECT y.vec_id AS id, x.vec_id AS matched_id,
+        |  ${duckCosine("y.embedding", "x.embedding")} AS cosine
+        |  FROM b x JOIN b y ON x.bucket = y.bucket
+        |  WHERE x.vec_id % 2 = 0 AND y.vec_id % 2 = 1)
+        |SELECT id, matched_id, round(cosine, 6) AS cosine FROM p
+        |WHERE cosine >= 0.2 ORDER BY id, matched_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, doc_id, sample_rank FROM (

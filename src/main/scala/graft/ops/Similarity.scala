@@ -238,6 +238,45 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** The persisted embedding near-dup index rows for a batch:
+    * (id, bucket, v) — unlike the minhash index, the VECTOR travels with
+    * its bucket, because exact-cosine verification needs it and the
+    * embedding already is the compressed representation (no text to
+    * avoid). What an incremental pipeline appends so later batches find
+    * embedding near-dups against history without recomputing historical
+    * buckets. */
+  def embeddingIndex(df: DataFrame, idCol: String, vecCol: String,
+                     numPlanes: Int = 6): DataFrame =
+    df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+
+  /** INCREMENTAL embedding near-dup: match an incoming batch against a
+    * persisted [[embeddingIndex]] — same-bucket candidates (the
+    * hyperplane family is closed-form and static, so incoming buckets are
+    * directly comparable with buckets computed in any earlier run),
+    * verified by exact cosine at `threshold`. Returns (id, matched_id,
+    * cosine). Scale shape: bucket equi-join bounded by true bucket
+    * occupancy + per-candidate cosine — history participates as stored
+    * (bucket, vector) rows, never re-bucketed. */
+  def embeddingNearDupAgainstIndex(incoming: DataFrame, index: DataFrame,
+                                   idCol: String, vecCol: String,
+                                   threshold: Double,
+                                   numPlanes: Int = 6): DataFrame = {
+    val inc = incoming.select(col(idCol).as("id"),
+        asDouble(col(vecCol)).as("iv"),
+        lshBucket(col(vecCol), numPlanes).as("bucket"))
+      .withColumn("in_", l2Norm(col("iv")))
+    val idx = index.select(col("id").as("matched_id"), col("v").as("hv"),
+        col("bucket"))
+      .withColumn("hn", l2Norm(col("hv")))
+    inc.join(idx, Seq("bucket"))
+      .select(col("id"), col("matched_id"),
+        when(col("in_") * col("hn") > 0,
+          dot(col("iv"), col("hv")) / (col("in_") * col("hn")))
+          .otherwise(lit(0.0)).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** IVF-style variant: assign every vector to its nearest of `nCells`
     * hash-derived centroid surrogates (here: LSH bucket modulo nCells as the
     * cell id — a centroid-free stand-in that keeps the partition-local

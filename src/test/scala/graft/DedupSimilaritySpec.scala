@@ -345,6 +345,27 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(self.select("est_jaccard").as[Double].collect().forall(_ == 1.0))
   }
 
+  test("incremental embedding near-dup equals the cross-split within-corpus pairs") {
+    import graft.ops.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    // ground truth: the full within-corpus operator's pairs that cross the
+    // even/odd split, oriented as (incoming odd, indexed even)
+    val full = Similarity.embeddingNearDupLsh(e, "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => a % 2 != b % 2 }
+      .map { case (a, b, c) =>
+        if (a % 2 == 1) (a, b, c) else (b, a, c) }.toSet
+    val index = Similarity.embeddingIndex(
+      e.filter(col("vec_id") % 2 === 0), "vec_id", "embedding", numPlanes = 4)
+    val incr = Similarity.embeddingNearDupAgainstIndex(
+        e.filter(col("vec_id") % 2 === 1), index, "vec_id", "embedding",
+        threshold = 0.2, numPlanes = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(incr.nonEmpty, "split produced no cross pairs — test data changed?")
+    assert(incr == full)
+  }
+
   test("mixCorpus: hits target mass, keeps small domains whole, monotone in budget") {
     import graft.ops.Sampling
     // three domains with very different raw mass; each row weighs 10
