@@ -227,12 +227,17 @@ object StreamIngest {
     * the same contract as the batch operator. */
   def dropIndexedFingerprints(stream: DataFrame, index: DataFrame,
                               textCol: String): DataFrame = {
-    val idx = index.select(col("fp")).distinct().withColumn("__seen", lit(1))
+    // internal columns wear the codebase's __ prefix AND the index's fp
+    // is renamed before the join — a stream that itself carries an `fp`
+    // column (anything derived from Dedup.fingerprintIndex does) must
+    // neither collide ambiguously nor lose its column to the final drop
+    val idx = index.select(col("fp").as("__idx_fp")).distinct()
+      .withColumn("__idx_seen", lit(1))
     stream
       .withColumn("__fp", graft.ops.TextAnalysis.fingerprint(col(textCol)))
-      .join(idx, col("__fp") === col("fp"), "left_outer")
-      .filter(col("__seen").isNull)
-      .drop("fp", "__seen", "__fp")
+      .join(idx, col("__fp") === col("__idx_fp"), "left_outer")
+      .filter(col("__idx_seen").isNull)
+      .drop("__idx_fp", "__idx_seen", "__fp")
   }
 
   /** Bounded-state streaming exact-dedup: dedup state per key is kept only

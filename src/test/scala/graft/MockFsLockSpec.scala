@@ -9,15 +9,7 @@ import java.nio.file.Files
   * FileSystem with HDFS rename semantics and object-store no-op `setTimes`
   * — the branch the r15 local-FS fixes forked away from direct coverage.
   */
-class MockFsLockSpec extends SparkSuite {
-
-  private def newMockStore(): (TableStore, String, org.apache.hadoop.fs.FileSystem) = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    hconf.set("fs.mockhdfs.impl", classOf[MockHdfsFileSystem].getName)
-    val local = Files.createTempDirectory("graft-mockfs").toString
-    val root = s"mockhdfs://$local"
-    (new TableStore(spark, root), root, new Path(root).getFileSystem(hconf))
-  }
+class MockFsLockSpec extends SparkSuite with MockFsFixture {
 
   private def get(fs: org.apache.hadoop.fs.FileSystem, p: Path): String = {
     val in = fs.open(p)

@@ -15,16 +15,8 @@ import java.nio.file.Files
   * of these paths must complete with renames that REFUSE occupied
   * destinations — a silent POSIX-replace would mask a protocol hole.
   */
-class MockFsStoreSpec extends SparkSuite {
+class MockFsStoreSpec extends SparkSuite with MockFsFixture {
   import spark.implicits._
-
-  private def newMockStore(): (TableStore, String, org.apache.hadoop.fs.FileSystem) = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    hconf.set("fs.mockhdfs.impl", classOf[MockHdfsFileSystem].getName)
-    val local = Files.createTempDirectory("graft-mockstore").toString
-    val root = s"mockhdfs://$local"
-    (new TableStore(spark, root), root, new Path(root).getFileSystem(hconf))
-  }
 
   test("overwrite/read round-trip and re-overwrite swap on HDFS rename semantics") {
     val (store, _, _) = newMockStore()

@@ -42,3 +42,18 @@ object MockHdfsFileSystem {
     * the same instance per scheme. */
   val throwOnSetTimes = new java.util.concurrent.atomic.AtomicBoolean(false)
 }
+
+/** Shared bootstrap for suites driving `TableStore` through the mock
+  * remote filesystem — one owner for the scheme registration and root
+  * layout, so MockFsLockSpec and MockFsStoreSpec cannot diverge. */
+trait MockFsFixture { self: SparkSuite =>
+  protected def newMockStore(): (graft.store.TableStore, String,
+      org.apache.hadoop.fs.FileSystem) = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    hconf.set("fs.mockhdfs.impl", classOf[MockHdfsFileSystem].getName)
+    val local = java.nio.file.Files.createTempDirectory("graft-mockfs").toString
+    val root = s"mockhdfs://$local"
+    (new graft.store.TableStore(spark, root), root,
+      new org.apache.hadoop.fs.Path(root).getFileSystem(hconf))
+  }
+}
