@@ -87,6 +87,28 @@ class PlanSpec extends SparkSuite {
       s"dataset predicate not pushed:\n$plan")
   }
 
+  test("incremental-index matchers are equi-joins, never cartesian") {
+    import graft.ops.{Dedup, Similarity}
+    val docs = (0L until 40L).map(i => (i, s"some text number $i about topic ${i % 5}"))
+      .toDF("doc_id", "text")
+    val mIdx = Dedup.minhashIndex(docs.filter($"doc_id" < 20), "doc_id", "text")
+    val pMh = planOf(Dedup.nearDupAgainstIndex(
+      docs.filter($"doc_id" >= 20), mIdx, "doc_id", "text"))
+    assert(!pMh.contains("CartesianProduct") &&
+      !pMh.contains("BroadcastNestedLoopJoin"),
+      s"minhash incremental degenerated to an all-pairs join:\n$pMh")
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (i % 5 + d).toFloat))).toDF("vec_id", "embedding")
+    val eIdx = Similarity.embeddingIndex(
+      vecs.filter($"vec_id" % 2 === 0), "vec_id", "embedding", numPlanes = 4)
+    val pEm = planOf(Similarity.embeddingNearDupAgainstIndex(
+      vecs.filter($"vec_id" % 2 === 1), eIdx, "vec_id", "embedding",
+      threshold = 0.2, numPlanes = 4))
+    assert(!pEm.contains("CartesianProduct") &&
+      !pEm.contains("BroadcastNestedLoopJoin"),
+      s"embedding incremental degenerated to an all-pairs join:\n$pEm")
+  }
+
   test("mixCorpus/weightedSample join their tiny stats by broadcast, never SMJ") {
     import graft.ops.Sampling
     val corpus = spark.read.parquet(s"$dir/t")
