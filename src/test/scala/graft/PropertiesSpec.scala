@@ -175,4 +175,26 @@ object GraftProperties extends Properties("graft") {
         s1.intersect(zeros).isEmpty &&
         s1.subsetOf(ws.indices.map(_.toLong).toSet)
   }
+
+  // Incremental-dedup laws over random corpora with forced duplicates:
+  // a batch deduped against ITS OWN index vanishes entirely (everything
+  // is history), and against an EMPTY index it degenerates to plain
+  // within-batch exact dedup — the two boundary conditions that anchor
+  // the incremental operator to the batch one.
+  property("dedupAgainstIndex.boundaryLaws") = Prop.forAll(
+    Gen.choose(3, 20).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("alpha beta", "gamma delta", "alpha  BETA", "epsilon",
+        "zeta eta theta", "GAMMA delta")))) { texts =>
+      import graft.ops.Dedup
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val own = Dedup.fingerprintIndex(df, "doc_id", "text")
+      val emptyIdx = own.limit(0)
+      val vsOwn = Dedup.dedupAgainstIndex(df, own, "doc_id", "text").count()
+      val vsEmpty = Dedup.dedupAgainstIndex(df, emptyIdx, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      val plain = Dedup.exactDedup(df, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      vsOwn == 0L && vsEmpty == plain
+  }
 }
