@@ -978,6 +978,37 @@ object SparkEntry {
         .orderBy("source", "doc_id")
     }),
 
+    // Training-data sampling: LEAKAGE-SAFE split — the split unit is the
+    // exact-dup fingerprint group, so no verbatim twin ever straddles
+    // train/test. The oracle re-derives fingerprint, bucket, and CASE
+    // chain; n_groups < n_docs in the duplicated sf tables proves the
+    // grouping is live.
+    "sample_split_grouped" -> ((s, dir) => {
+      Sampling.leakageSafeSplit(t(s, dir, "documents"), "text", 0.1, 0.1)
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(TextAnalysis.fingerprint(col("text"))).as("n_groups"))
+        .orderBy("split")
+    }),
+
+    // Training-data LAYOUT: global deterministic shuffle into 8 shards
+    // with dense within-shard positions — the permutation a data loader
+    // streams at train time. Oracle re-derives shard hash, the
+    // domain-separated order key, and the row_number densification.
+    "shuffle_shards" -> ((s, dir) => {
+      Layout.assignShards(t(s, dir, "documents"), "doc_id", 8)
+        .select("shard", "shard_pos", "doc_id")
+        .orderBy("shard", "shard_pos")
+    }),
+
+    // Text quality: CCNet-style unigram-LM perplexity proxy in exact
+    // integer bits (floor-log2 surprisal via bin-string length — no libm
+    // anywhere, so the DuckDB oracle matches digit-for-digit).
+    "text_perplexity" -> ((s, dir) => {
+      Corpus.unigramSurprisal(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Embedding int8 QUANTIZATION round-trip contract: per vector, the
     // cosine between original and dequantized embedding and the max
     // absolute reconstruction error — the 4x-compression fidelity check a
@@ -2667,6 +2698,59 @@ object SparkEntry {
         |FROM documents d JOIN frac f ON d.source = f.source
         |WHERE ${duckHashPriority("d.doc_id")} < f.keep_frac
         |ORDER BY d.source, d.doc_id""".stripMargin,
+
+    "sample_split_grouped" ->
+      """WITH fp AS (
+        |  SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |b AS (
+        |  SELECT fp, CASE
+        |    WHEN CAST(concat('0x', substring(md5(fp), 1, 2)) AS INT) < 25
+        |      THEN 'test'
+        |    WHEN CAST(concat('0x', substring(md5(fp), 1, 2)) AS INT) < 50
+        |      THEN 'validation'
+        |    ELSE 'train' END AS split
+        |  FROM fp)
+        |SELECT split, COUNT(*) AS n_docs, COUNT(DISTINCT fp) AS n_groups
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "shuffle_shards" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 8 AS shard,
+        |    CAST(concat('0x', substring(md5(concat('ord:',
+        |      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) / power(16, 12)
+        |      AS ord
+        |  FROM documents)
+        |SELECT shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |    AS BIGINT) - 1 AS shard_pos,
+        |  doc_id
+        |FROM k ORDER BY shard, shard_pos""".stripMargin,
+
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |cnts AS (
+        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+        |tot AS (
+        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM cnts),
+        |sup AS (
+        |  SELECT tok,
+        |    CAST(length(bin((n + v) // (cnt + 1))) - 1 AS BIGINT) AS b
+        |  FROM cnts, tot),
+        |dt AS (
+        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY doc_id, tok)
+        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+        |  CAST(SUM(cnt * b) AS BIGINT) AS bits,
+        |  (1000 * CAST(SUM(cnt * b) AS BIGINT)) // CAST(SUM(cnt) AS BIGINT)
+        |    AS bits_x1000_per_tok
+        |FROM dt JOIN sup USING (tok) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -122,6 +122,51 @@ object Corpus {
       .select(col(idCol), col("pos"),
         coalesce(col("token_id"), lit(0)).as("token_id"))
 
+  /** CCNet-style unigram language-model quality score: per document, the
+    * total and per-token SURPRISAL under a unigram LM trained on the
+    * corpus itself — the perplexity-proxy statistic CCNet (Wenzek et al.
+    * 2020) filters crawl text with (perplexity = 2^(bits/token); low
+    * bits/token ⇒ head-like fluent text, high ⇒ gibberish/rare-token
+    * soup).
+    *
+    * Engine-portable by construction: instead of `-log2(p)` (whose libm
+    * last-ulp behavior differs across engines), the per-token surprisal is
+    * the EXACT integer `floor(log2((N + V) DIV (cnt + 1)))` — the bit
+    * length minus one of the Laplace-smoothed inverse probability ratio,
+    * computed as `length(bin(r)) - 1` (no floating point anywhere; DuckDB
+    * reproduces it digit-for-digit). Per document:
+    *
+    *   bits               = Σ cnt_doc(tok) * surprisal(tok)   — exact int64
+    *   bits_x1000_per_tok = (1000 * bits) DIV n_toks          — the filter
+    *                        statistic, in milli-bits/token
+    *
+    * Documents with zero tokens have no LM evidence and produce no row.
+    *
+    * Scale shape: identical to [[importanceWeights]] — two hash-aggregates
+    * over the exploded token stream ((token) and (doc, token) keys, both
+    * map-side partial), a 2-long broadcast of the totals, and a
+    * token-keyed join of per-doc counts against the surprisal table
+    * (auto-broadcast for small vocabularies; per-doc counts are already
+    * collapsed, so stopword skew is bounded by distinct docs). The int64
+    * bound is generous: surprisal < 63 bits, so `bits` overflows only
+    * past ~10^17 tokens in one document. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("__cnt"))
+    val totals = counts.agg(sum("__cnt").as("__n"), count(lit(1)).as("__v"))
+    val surprisal = counts.crossJoin(broadcast(totals))
+      .select(col("tok"),
+        (length(bin(expr("(__n + __v) DIV (__cnt + 1)"))) - 1)
+          .cast("long").as("__bits"))
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__cnt"))
+      .join(surprisal, "tok")
+      .groupBy(col(idCol))
+      .agg(sum("__cnt").as("n_toks"),
+        sum(col("__cnt") * col("__bits")).as("bits"))
+      .withColumn("bits_x1000_per_tok", expr("(1000L * bits) DIV n_toks"))
+  }
+
   /** DSIR-style importance weights for target-domain data selection
     * (Xie et al. 2023): score every document by how much its unigram
     * distribution favors a target subcorpus over the full corpus.

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout optimization for scan pruning at scale.
@@ -46,6 +47,46 @@ object Layout {
     * either column or both. Range partitioning samples the key
     * distribution — the standard skew-proof way to lay out a table for
     * write (vs hash partitioning, which scatters the curve). */
+  /** Deterministic shard id in [0, numShards): the first 8 md5 hex digits
+    * of the key, mod the shard count. md5-based (never `hash()`/`rand()`)
+    * so the assignment is engine-portable and identical on every rerun —
+    * a failed 1000-executor job resumes into the SAME shards. */
+  def shardKey(key: Column, numShards: Int): Column = {
+    require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("long") % numShards
+  }
+
+  /** Within-shard pseudo-random order priority. Derived from a DOMAIN-
+    * SEPARATED hash (`ord:` prefix) so it is statistically independent of
+    * [[shardKey]] — ordering by the shard hash itself would sort each
+    * shard by the residue structure that chose it. */
+  def shardOrderKey(key: Column): Column =
+    conv(substring(md5(concat(lit("ord:"), key.cast("string"))), 1, 12), 16, 10)
+      .cast("double") / lit(math.pow(16, 12))
+
+  /** GLOBAL TRAINING SHUFFLE: assign every row a shard and a dense
+    * within-shard position, both deterministic functions of the key — the
+    * layout step that turns a curated corpus into training shards. A data
+    * loader can then stream shard files independently while the global
+    * order is a fixed pseudo-random permutation (seeded by the md5 domain
+    * separation, reproducible across engines, reruns, and cluster sizes).
+    *
+    * Scale shape: ONE hash shuffle on the shard id plus a per-shard sort
+    * for the position `row_number` — exactly the exchange the physical
+    * shard write needs anyway, so the ordering is free at write time
+    * (`df.write.partitionBy("shard")` with `sortWithinPartitions` lands
+    * each shard's rows in position order). Never a global sort: the
+    * window partitions by shard, so no single task sees more than one
+    * shard. At 100 TB with numShards sized to ~1–4 GB of rows per shard,
+    * each sort fits one executor comfortably. */
+  def assignShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard")
+      .orderBy(shardOrderKey(col(keyCol)), col(keyCol))
+    df.withColumn("shard", shardKey(col(keyCol), numShards))
+      .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
+  }
+
   def clusterByZOrder(df: DataFrame, a: String, b: String,
                       numFiles: Int, bits: Int = 21): DataFrame = {
     val keyed = df.withColumn("__zkey", zOrderKey(col(a), col(b), bits))

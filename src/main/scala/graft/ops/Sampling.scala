@@ -35,8 +35,18 @@ object Sampling {
     * runs and engines, disjoint and exhaustive. Fractions are in percent
     * of the 2^8 hash space (granularity 1/256). */
   def hashSplit(df: DataFrame, keyCol: String, testPct: Double = 0.1,
-                valPct: Double = 0.1): DataFrame = {
-    val bucket = conv(substring(md5(col(keyCol).cast("string")), 1, 2), 16, 10)
+                valPct: Double = 0.1): DataFrame =
+    hashSplitBy(df, col(keyCol), testPct, valPct)
+
+  /** [[hashSplit]] generalized to an arbitrary key EXPRESSION. The split
+    * unit is whatever the expression identifies: pass the row id for a
+    * plain per-row split, or any GROUP key — all rows sharing the key
+    * land in the same split by construction (the split is a pure function
+    * of the key hash), with zero shuffles: the assignment is a map-side
+    * expression, never a join against a group table. */
+  def hashSplitBy(df: DataFrame, key: Column, testPct: Double = 0.1,
+                  valPct: Double = 0.1): DataFrame = {
+    val bucket = conv(substring(md5(key.cast("string")), 1, 2), 16, 10)
       .cast("int") // 0..255
     val testMax = (256 * testPct).toInt
     val valMax = testMax + (256 * valPct).toInt
@@ -45,6 +55,20 @@ object Sampling {
         .when(bucket < valMax, "validation")
         .otherwise("train"))
   }
+
+  /** LEAKAGE-SAFE train/validation/test split: the split unit is the
+    * exact-duplicate GROUP (the [[graft.ops.TextAnalysis.fingerprint]] of
+    * the text), not the row — every copy of a duplicated document lands
+    * in the same split, so the test set can never contain a verbatim
+    * twin of a training document (the classic evaluation-contamination
+    * hole a per-row split leaves open on a deduplicated-later corpus).
+    * Pure map-side expression — no group table, no shuffle, 100 TB-safe
+    * by construction; NULL texts share one group (fingerprint NULL
+    * buckets to 'train' via the CASE fallthrough, deterministically). */
+  def leakageSafeSplit(df: DataFrame, textCol: String,
+                       testPct: Double = 0.1, valPct: Double = 0.1): DataFrame =
+    hashSplitBy(df, graft.ops.TextAnalysis.fingerprint(col(textCol)),
+      testPct, valPct)
 
   /** Downsample a stratum-skewed corpus to at most `cap` rows per stratum
     * (e.g. cap documents per domain/language) — the standard pre-training

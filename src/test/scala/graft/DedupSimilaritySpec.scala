@@ -437,6 +437,60 @@ class DedupSimilaritySpec extends SparkSuite {
       Map("a" -> 1.0), 100L).count() == 0)
   }
 
+  test("assignShards: exhaustive dense positions, balanced, deterministic, shuffled") {
+    import graft.ops.Layout
+    val rows = (1L to 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "payload")
+    val sharded = Layout.assignShards(rows, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos")
+    val got = sharded.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 1000) // assignment is a permutation: no loss, no dup
+    assert(got.map(_._1).distinct.length == 1000)
+    val byShard = got.groupBy(_._2)
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    // positions are DENSE per shard: 0..count-1 exactly
+    byShard.foreach { case (sh, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $sh positions not dense")
+    }
+    // md5 balance: no shard collapses or hoards (binomial band around 125)
+    assert(byShard.values.map(_.length).min > 60)
+    assert(byShard.values.map(_.length).max < 200)
+    // the within-shard order is a genuine shuffle, not id order (the
+    // order key is domain-separated from both the id and the shard hash)
+    val firstShard = byShard(got.minBy(_._2)._2).sortBy(_._3).map(_._1)
+    assert(firstShard.toSeq != firstShard.sorted.toSeq)
+    // deterministic across runs — a resumed job lands identical shards
+    val again = Layout.assignShards(rows, "doc_id", 8)
+      .select("doc_id", "shard", "shard_pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("leakageSafeSplit: exact-dup twins never straddle splits") {
+    import graft.ops.Sampling
+    // 200 distinct texts, each present twice more as whitespace/case
+    // variants (same fingerprint group); enough groups that a per-row
+    // split would all but surely straddle one.
+    val rows = (1L to 200L).flatMap { i =>
+      val t = s"document number $i with some shared boilerplate text"
+      Seq((i * 3, t), (i * 3 + 1, t.toUpperCase), (i * 3 + 2, t.replace(" ", "  ")))
+    }.toDF("doc_id", "text")
+    val split = Sampling.leakageSafeSplit(rows, "text", 0.25, 0.25)
+    // every fingerprint group maps to exactly one split
+    val spans = split
+      .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(spans == 0, "a duplicate group straddles two splits")
+    // all three splits are populated at 25/25/50 over 200 groups
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "validation", "test"))
+    // group atomicity means counts come in multiples of 3 (whole groups)
+    assert(counts.values.forall(_ % 3 == 0))
+  }
+
   test("approx sketches within tolerance of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0)

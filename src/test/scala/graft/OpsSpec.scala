@@ -237,6 +237,22 @@ class OpsSpec extends SparkSuite {
     assert(out(1) == ((2L, 2L, 1000000L + 666666L, 833333L)))
   }
 
+  test("unigramSurprisal: exact integer bits, rare > frequent, empty doc absent") {
+    val docs = Seq((1L, "a a a b"), (2L, "b c"), (3L, "")).toDF("doc_id", "text")
+    val out = Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // counts: a=3, b=2, c=1; N=6, V=3
+    // surprisal(a) = floorlog2(9 DIV 4 = 2) = 1
+    // surprisal(b) = floorlog2(9 DIV 3 = 3) = 1
+    // surprisal(c) = floorlog2(9 DIV 2 = 4) = 2  (rare token costs more)
+    // doc1: bits = 3*1 + 1*1 = 4 over 4 toks -> 1000 milli-bits/tok
+    // doc2: bits = 1 + 2 = 3 over 2 toks -> 1500
+    assert(out.toSeq == Seq((1L, 4L, 4L, 1000L), (2L, 2L, 3L, 1500L)))
+    // the zero-token doc has no LM evidence: no row, not a zero row
+    assert(!out.map(_._1).contains(3L))
+  }
+
   test("vocabulary + tokenizeToIds: rank ids, tie-break, OOV -> 0") {
     val docs = Seq((1L, "b a b"), (2L, "a c zzz")).toDF("doc_id", "text")
     val vocab = Corpus.vocabulary(docs, "text", topK = 3)
