@@ -890,6 +890,30 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // TRAINED coarse quantizer: deterministic Lloyd k-means (k=8, 2
+    // iterations; md5-priority seeding, 6-dp quantized centroids, exact
+    // decimal component sums). The oracle replays seeding and BOTH
+    // Lloyd iterations as chained CTEs.
+    "kmeans_centroids" -> ((s, dir) => {
+      val cents = KMeans.fit(t(s, dir, "embeddings"), "vec_id", "embedding",
+        k = 8, iters = 2)
+      KMeans.centroidsDF(s, cents).orderBy("cluster", "pos")
+    }),
+
+    // IVF ANN with the TRAINED quantizer (closing ivfTopK's "swap in real
+    // centroids" contract): corpus rows live in their learned cell via a
+    // map-side assign, queries probe their 2 nearest cells, exact-cosine
+    // top-10 over cell-join candidates only.
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      KMeans.ivfTopKTrained(emb, emb.filter(col("vec_id") < 50),
+          "vec_id", "embedding", k = 10, cents, probes = 2)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("cosine"), 6).as("cosine"))
+        .orderBy("qid", "rank")
+    }),
+
     // JL-style random projection to 8 dims with the portable regenerable
     // plane family — no projection matrix to store or broadcast; the
     // whole reduction lives inside the scan stage (zero shuffle).
@@ -1822,6 +1846,75 @@ object SparkEntry {
       |  FROM dt JOIN wts USING (tok)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** DuckDB nearest-centroid assignment mirroring KMeans.nearestExpr:
+    * shifted squared distance |c|^2 - 2 v.c (same ascending-dim folds),
+    * ties by cluster id; `maxRk` = 1 for assignment, >1 for query-side
+    * multi-probe. `vRel` must expose (id, v); `cenRel` (cluster, c). */
+  private def duckKmeansAssign(vRel: String, cenRel: String,
+                               maxRk: Int): String =
+    s"SELECT id, v, cluster FROM (" +
+      s" SELECT id, v, cluster," +
+      s" row_number() OVER (PARTITION BY id ORDER BY s, cluster) AS rk" +
+      s" FROM (SELECT id, v, cluster," +
+      s" list_sum(list_transform(c, x -> x * x)) - 2.0 *" +
+      s" list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c[i]))" +
+      s" AS s FROM $vRel, $cenRel)) WHERE rk <= $maxRk"
+
+  /** DuckDB Lloyd update mirroring KMeans.update: per-(cluster, dim)
+    * exact DECIMAL(38,12) sums of the raw doubles, mean quantized to
+    * 6 dp. `aRel` must expose (cluster, v). */
+  private def duckKmeansUpdate(aRel: String): String =
+    s"SELECT cluster, pos, round(CAST(s AS DOUBLE) / n, 6) AS comp, n FROM (" +
+      s" SELECT cluster, pos, SUM(CAST(x AS DECIMAL(38,12))) AS s," +
+      s" COUNT(*) AS n" +
+      s" FROM (SELECT cluster, unnest(v) AS x," +
+      s" generate_subscripts(v, 1) - 1 AS pos FROM $aRel)" +
+      s" GROUP BY cluster, pos)"
+
+  /** DuckDB farthest-first seed chain mirroring KMeans.seedCentroids:
+    * s0 = lowest md5-priority vector; s{j} maximizes least(d2 to chosen
+    * seeds), ties by id; every distance is the same
+    * `vn2 + (cn2 - 2 v.c)` fold the Spark side computes. Ends at `seed`
+    * (cluster, c). */
+  private def duckKmeansSeeds(k: Int): String = {
+    def d2(j: Int) =
+      s"(list_sum(list_transform(v, x -> x * x)) + " +
+        s"(list_sum(list_transform(c$j, x -> x * x)) - 2.0 * " +
+        s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c$j[i]))))"
+    val chain = new StringBuilder(
+      s"s0 AS (SELECT list_transform(v, x -> round(x, 6)) AS c0 FROM v " +
+        s"ORDER BY ${duckHashPriority("id")}, id LIMIT 1)")
+    for (j <- 1 until k) {
+      val prev = (0 until j).map(i => s"s$i").mkString(", ")
+      val minD =
+        if (j == 1) d2(0)
+        else s"least(${(0 until j).map(d2).mkString(", ")})"
+      chain ++= s",\ns$j AS (SELECT list_transform(v, x -> round(x, 6)) " +
+        s"AS c$j FROM v, $prev ORDER BY $minD DESC, id LIMIT 1)"
+    }
+    chain ++= ",\nseed AS (" + (0 until k).map(j =>
+      s"SELECT $j AS cluster, c$j AS c FROM s$j").mkString(" UNION ALL ") + ")"
+    chain.toString
+  }
+
+  /** Shared CTE chain replaying KMeans.fit(k=8, iters=2) over embeddings
+    * in DuckDB — farthest-first seeding, two assign/update rounds —
+    * ending at `u2` (cluster, pos, comp, n) and `u2c` (cluster, c list).
+    * One owner for the kmeans_centroids and ann_ivf_kmeans oracles. */
+  private val kmeansCtes: String =
+    s"""v AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |${duckKmeansSeeds(8)},
+      |a1 AS (${duckKmeansAssign("v", "seed", 1)}),
+      |u1 AS (${duckKmeansUpdate("a1")}),
+      |u1c AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM u1
+      |  GROUP BY cluster),
+      |a2 AS (${duckKmeansAssign("v", "u1c", 1)}),
+      |u2 AS (${duckKmeansUpdate("a2")}),
+      |u2c AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM u2
+      |  GROUP BY cluster)""".stripMargin
+
   /** DuckDB cosine between two list columns, same fold order as
     * Similarity.dot/l2Norm (ascending index, double accumulation). */
   private def duckCosine(a: String, b: String): String =
@@ -2408,6 +2501,25 @@ object SparkEntry {
         |c AS (SELECT vec_id AS nid, embedding AS ce, bucket FROM b),
         |p AS (SELECT qid, nid, ${duckCosine("qe", "ce")} AS cosine
         |  FROM q JOIN c USING (bucket) WHERE nid <> qid)
+        |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
+        |  SELECT qid, nid, cosine,
+        |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
+        |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "kmeans_centroids" ->
+      s"""WITH $kmeansCtes
+        |SELECT cluster, CAST(pos AS INT) AS pos, comp, n AS n_members
+        |FROM u2 ORDER BY cluster, pos""".stripMargin,
+
+    "ann_ivf_kmeans" ->
+      s"""WITH $kmeansCtes,
+        |qv AS (SELECT * FROM v WHERE id < 50),
+        |ca AS (${duckKmeansAssign("v", "u2c", 1)}),
+        |qa AS (${duckKmeansAssign("qv", "u2c", 2)}),
+        |p AS (SELECT qa.id AS qid, ca.id AS nid,
+        |    ${duckCosine("qa.v", "ca.v")} AS cosine
+        |  FROM qa JOIN ca ON qa.cluster = ca.cluster AND ca.id <> qa.id)
         |SELECT qid, nid, rank, round(cosine, 6) AS cosine FROM (
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank

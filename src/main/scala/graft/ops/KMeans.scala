@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deterministic Lloyd k-means over an embedding column — the TRAINED
+  * coarse quantizer for IVF approximate-nearest-neighbor search (the
+  * "swap in real centroids" step [[Similarity.ivfTopK]]'s contract points
+  * at), and a standalone corpus-structure operator (cluster sizes are a
+  * topic/domain profile of an embedding space).
+  *
+  * Why this shape at 100 TB: each Lloyd iteration is ONE corpus scan with
+  * a map-side nearest-centroid expression (the k×dims centroid table is a
+  * driver-held literal — k ≤ a few hundred — so assignment never joins,
+  * never shuffles the corpus) plus one (cluster, dim)-keyed aggregate
+  * whose map-side partials collapse to `partitions × k × dims` rows
+  * before the exchange. That is the canonical distributed k-means cost
+  * model: O(iters) scans, shuffles bounded by k×dims, never by rows.
+  * Driver state is k×dims doubles per iteration — bounded and tiny, the
+  * same class as the grid-header collect.
+  *
+  * Determinism / engine portability (the DuckDB oracle re-derives every
+  * step):
+  *   - seeding: deterministic farthest-first traversal from the lowest
+  *     md5-priority vector (see [[seedCentroids]] — identical on any
+  *     engine or rerun, no RNG anywhere);
+  *   - centroids are QUANTIZED to 6 decimal digits each update — so the
+  *     one place cross-engine float drift could creep in (decimal-sum →
+  *     double division) is rounded away, and every downstream distance is
+  *     computed from bit-identical centroid literals;
+  *   - per-component means accumulate through DECIMAL(38,12) — exact and
+  *     partition-order-independent (a double sum would depend on task
+  *     scheduling); a float's exact decimal expansion can never tie at
+  *     the 12th digit (that would need 5^12 > 2^24 dividing its
+  *     mantissa), so the decimal cast itself is rounding-mode-proof;
+  *   - nearest-centroid ranking uses the shifted squared distance
+  *     |c|² − 2·v·c (the |v|² term is constant per row and cannot change
+  *     the argmin), ties broken by cluster id.
+  */
+object KMeans {
+
+  /** One centroid: dense id, quantized components, member count as of the
+    * update that produced it (0 for seeds). */
+  final case class Centroid(cluster: Int, comps: Seq[Double], nMembers: Long)
+
+  private def vecs(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      Similarity.asDouble(col(vecCol)).as("__v"))
+
+  /** The k seed centroids by deterministic FARTHEST-FIRST traversal
+    * (Gonzalez): seed 0 is the vector with the lowest md5
+    * [[Sampling.hashPriority]] of its id; each next seed is the vector
+    * maximizing its distance to the nearest already-chosen seed (ties by
+    * id). Farthest-first provably 2-approximates the k-center objective —
+    * the spread-out seeding that lets Lloyd separate genuine clusters,
+    * where a hash-random seed can land several seeds in one dense blob
+    * and merge clusters forever.
+    *
+    * Cost: k passes, each a map-side min-distance expression (chosen
+    * seeds inlined as literals) + a TakeOrdered(1) — no shuffle beyond
+    * the top-1 reduction, driver state one vector per pass. At very
+    * large k, swap for a k-means||-style sampled seeding; for quantizer
+    * k (tens to hundreds) k scans is the honest, portable choice.
+    * Duplicate data points degrade gracefully: once every remaining
+    * vector coincides with a seed, subsequent picks tie at distance 0
+    * and the starved clusters drop out in the first Lloyd update. */
+  def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int): Seq[Centroid] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = vecs(df, idCol, vecCol)
+      .withColumn("__vn2", Similarity.dot(col("__v"), col("__v")))
+    val first = v
+      .select(col("__id"), transform(col("__v"), x => round(x, 6)).as("__c"))
+      .orderBy(Sampling.hashPriority(col("__id")), col("__id"))
+      .limit(1).collect().head.getSeq[Double](1)
+    var seeds = Vector(first)
+    while (seeds.size < k) {
+      // true squared distance vn2 + (cn2 - 2 v.c), exactly the fold the
+      // oracle replays (the |v|^2 term matters here, unlike in assignment:
+      // the ARGMAX across rows compares different v)
+      val dists = seeds.map { c =>
+        val cArr = array(c.map(lit): _*)
+        val cn2 = c.map(x => x * x).sum
+        col("__vn2") + (lit(cn2) - lit(2.0) * Similarity.dot(col("__v"), cArr))
+      }
+      val minD = if (dists.size == 1) dists.head else least(dists: _*)
+      seeds :+= v
+        .select(transform(col("__v"), x => round(x, 6)).as("__c"),
+          minD.as("__d"), col("__id"))
+        .orderBy(col("__d").desc, col("__id"))
+        .limit(1).collect().head.getSeq[Double](0)
+    }
+    seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, 0L) }.toSeq
+  }
+
+  /** Ordered ids of the `probes` nearest centroids as a MAP-SIDE column
+    * expression over a double-array column: the centroid table is inlined
+    * as literals, each distance is a native [[graft.expressions.DotProduct]]
+    * after the optimizer rewrite, and the argmin is an array_sort over k
+    * structs — no join, no shuffle, whole corpus streams through. */
+  def nearestExpr(v: Column, cents: Seq[Centroid], probes: Int): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val scored = array(cents.map { c =>
+      val cArr = array(c.comps.map(lit): _*)
+      val cn2 = c.comps.map(x => x * x).sum // ascending-dim fold, like dot
+      struct((lit(cn2) - lit(2.0) * Similarity.dot(v, cArr)).as("s"),
+        lit(c.cluster).as("cluster"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, probes), s => s("cluster"))
+  }
+
+  /** Nearest-centroid id (probe 1) as a map-side expression. */
+  def assignExpr(v: Column, cents: Seq[Centroid]): Column =
+    element_at(nearestExpr(v, cents, 1), 1)
+
+  /** One Lloyd update: per-cluster componentwise mean of the RAW vectors
+    * (exact decimal sums, quantized to 6 dp), collected to the driver —
+    * k×dims rows, bounded by the model size, never by data. Clusters that
+    * lost every member disappear (k degrades gracefully). */
+  private def update(assigned: DataFrame): Seq[Centroid] = {
+    val rows = assigned
+      .select(col("__cluster"), posexplode(col("__v")).as(Seq("__pos", "__x")))
+      .groupBy("__cluster", "__pos")
+      .agg(sum(col("__x").cast("decimal(38,12)")).as("__s"),
+        count(lit(1)).as("__n"))
+      .select(col("__cluster"), col("__pos"),
+        round(col("__s").cast("double") / col("__n"), 6).as("__comp"),
+        col("__n"))
+      .collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cl, rs) =>
+      Centroid(cl, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq,
+        rs.head.getLong(3))
+    }
+  }
+
+  /** Fit `iters` Lloyd iterations from the deterministic seeds. Each
+    * iteration is one scan (map-side assign) + one k×dims aggregate. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int): Seq[Centroid] = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val v = vecs(df, idCol, vecCol)
+    var cents = seedCentroids(df, idCol, vecCol, k)
+    for (_ <- 0 until iters)
+      cents = update(v.withColumn("__cluster", assignExpr(col("__v"), cents)))
+    cents
+  }
+
+  /** The fitted model as a flat DataFrame (cluster, pos, comp, n_members)
+    * — the audit/persist format (a later session reloads it into literals
+    * for [[nearestExpr]] without refitting). */
+  def centroidsDF(spark: SparkSession, cents: Seq[Centroid]): DataFrame = {
+    val rows = cents.flatMap { c =>
+      c.comps.zipWithIndex.map { case (x, p) =>
+        Row(c.cluster, p, x, c.nMembers)
+      }
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("cluster", IntegerType, nullable = false),
+        StructField("pos", IntegerType, nullable = false),
+        StructField("comp", DoubleType, nullable = false),
+        StructField("n_members", LongType, nullable = false))))
+  }
+
+  /** IVF ANN with the TRAINED quantizer: corpus rows live in their nearest
+    * centroid's cell (map-side assign — one scan, no shuffle), queries
+    * probe their `probes` nearest cells, candidates come from the cell
+    * equi-join only, ranked by exact cosine. Same plan skeleton as
+    * [[Similarity.ivfTopK]] — broadcast query side, windowed top-k —
+    * with the hash-surrogate cell id replaced by the learned one. */
+  def ivfTopKTrained(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int, cents: Seq[Centroid],
+                     probes: Int = 2): DataFrame = {
+    val c = vecs(corpus, idCol, vecCol)
+      .select(col("__id").as("nid"), col("__v").as("cv"),
+        assignExpr(col("__v"), cents).as("cell"))
+      .withColumn("cn", Similarity.l2Norm(col("cv")))
+    val q = vecs(queries, idCol, vecCol)
+      .select(col("__id").as("qid"), col("__v").as("qv"),
+        explode(nearestExpr(col("__v"), cents, probes)).as("cell"))
+      .withColumn("qn", Similarity.l2Norm(col("qv")))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        when(col("qn") * col("cn") > 0,
+          Similarity.dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+          .otherwise(lit(0.0)).as("cosine"))
+    val w = Window.partitionBy("qid").orderBy(col("cosine").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "nid", "rank", "cosine")
+  }
+}

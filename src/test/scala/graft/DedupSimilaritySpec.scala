@@ -491,6 +491,78 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(counts.values.forall(_ % 3 == 0))
   }
 
+  test("kmeans: planted blobs recovered, deterministic, empty clusters degrade") {
+    import graft.ops.KMeans
+    // three tight, well-separated blobs in 4-d; any sane k=3 fit must
+    // co-assign each blob regardless of seeding
+    def blob(center: Array[Double], n: Int, off: Int) =
+      (0 until n).map { i =>
+        (off + i).toLong -> center.zipWithIndex.map { case (c, d) =>
+          (c + 0.01 * ((i + d) % 5)).toFloat
+        }
+      }
+    val rows = (blob(Array(10, 0, 0, 0), 20, 0) ++
+      blob(Array(0, 10, 0, 0), 20, 100) ++
+      blob(Array(0, 0, 10, 0), 20, 200))
+      .toDF("id", "vec")
+    val cents = KMeans.fit(rows, "id", "vec", k = 3, iters = 3)
+    assert(cents.length == 3)
+    assert(cents.map(_.nMembers).sorted == Seq(20L, 20L, 20L))
+    val assigned = rows
+      .withColumn("cluster", KMeans.assignExpr(
+        graft.ops.Similarity.asDouble(col("vec")), cents))
+      .select("id", "cluster")
+      .collect().map(r => r.getLong(0) -> r.getInt(1))
+    // each blob lands wholly in one cluster, blobs in three different ones
+    val byBlob = assigned.groupBy(_._1 / 100).map { case (b, xs) =>
+      b -> xs.map(_._2).distinct }
+    assert(byBlob.values.forall(_.length == 1), s"blob split: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 3)
+    // centroid of each cluster sits at its blob's center (within jitter)
+    cents.foreach { c =>
+      assert(c.comps.max > 9.9 && c.comps.max < 10.1, s"centroid off: $c")
+    }
+    // deterministic refit
+    assert(KMeans.fit(rows, "id", "vec", k = 3, iters = 3) == cents)
+    // k above the distinct-point count: duplicate seeds starve — the
+    // fitted model degrades to fewer centroids instead of failing
+    val two = Seq(1L -> Array(1f, 0f), 2L -> Array(0f, 1f),
+      3L -> Array(1f, 0f)).toDF("id", "vec")
+    val degraded = KMeans.fit(two, "id", "vec", k = 3, iters = 2)
+    assert(degraded.length <= 3 && degraded.nonEmpty)
+    assert(degraded.map(_.nMembers).sum == 3)
+  }
+
+  test("ivfTopKTrained: planted twin is rank-1 cosine 1.0; map-side assign") {
+    import graft.ops.{KMeans, Similarity}
+    // 40 spread vectors plus an exact twin of vector 7
+    val base = (0L until 40L).map { i =>
+      i -> Array.tabulate(8)(d => math.sin(i * 3.7 + d).toFloat)
+    }
+    val rows = (base :+ (99L -> base(7)._2)).toDF("id", "vec")
+    val cents = KMeans.fit(rows, "id", "vec", k = 4, iters = 2)
+    val top = KMeans.ivfTopKTrained(rows, rows.filter(col("id") === 7), "id",
+        "vec", k = 5, cents, probes = 2)
+      .orderBy("rank").collect()
+    assert(top.head.getLong(1) == 99L, s"twin not rank 1: ${top.toSeq}")
+    assert(math.abs(top.head.getDouble(3) - 1.0) < 1e-9)
+    // the assignment stage is a pure map-side expression: no exchange, and
+    // the distance runs through the native dot_product after the rewrite
+    // (parquet-backed input — a LocalRelation would constant-fold the
+    // whole projection and assert nothing)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents64 = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 1)
+    val assigned = emb
+      .select(Similarity.asDouble(col("embedding")).as("v"))
+      .withColumn("cell", KMeans.assignExpr(col("v"), cents64))
+    val assignedPlan = assigned.queryExecution.executedPlan.toString
+    assert(!assignedPlan.contains("Exchange"),
+      s"kmeans assign shuffles:\n$assignedPlan")
+    val optimized = assigned.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("dot_product"),
+      s"assign distance not native:\n$optimized")
+  }
+
   test("approx sketches within tolerance of exact") {
     val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     val exact = li.agg(countDistinct(col("l_orderkey"))).collect().head.getLong(0)
