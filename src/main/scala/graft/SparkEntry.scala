@@ -1319,6 +1319,40 @@ object SparkEntry {
       s.table(qn).orderBy("source")
     }),
 
+    // SELF-MAINTAINING streaming dedup: two AvailableNow runs over the
+    // same checkpoint (day-1 history feed, then a day-2 feed) — each
+    // micro-batch dedups against the persisted fingerprint index, then
+    // appends its survivors' fingerprints back, so run 2 dedups against
+    // the index run 1 built. Oracle: the two-batch derivation in SQL.
+    "stream_index_update" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val d = t(s, dir, "documents")
+      val seen = Seq("src0", "src1", "src2", "src3", "src4")
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sxi").toString
+      val store = new graft.store.TableStore(s, s"$tmp/store")
+      val in = s"$tmp/in"
+      def run(): Unit = {
+        val src = s.readStream.schema(docSchema).parquet(in)
+        graft.streaming.StreamIngest.ingestDedupIndexed(src, store,
+          "fp_index", "clean_docs", "doc_id", "text", s"$tmp/_ckpt")
+          .awaitTermination()
+      }
+      d.filter(col("source").isin(seen: _*)).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      run() // day 1: history becomes the index
+      d.filter(!col("source").isin(seen: _*)).coalesce(1)
+        .write.mode("append").parquet(in)
+      run() // day 2: only the new file replays; dedups against day 1
+      store.read("clean_docs").dropDuplicates("doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("source")
+    }),
+
     // Bounded-state streaming dedup: dropDuplicatesWithinWatermark keeps
     // per-key state only within the watermark window, then EVICTS it — the
     // form an unbounded event stream needs (plain dropDuplicates state
@@ -2985,6 +3019,33 @@ object SparkEntry {
         |FROM f i LEFT JOIN idx x ON i.fp = x.fp
         |WHERE x.fp IS NULL
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // two-batch replay of the self-maintaining index: batch A (history
+    // sources) survivors seed the index; batch B survivors are B's
+    // min-id-per-fp rows whose fp batch A never produced
+    "stream_index_update" ->
+      """WITH f AS (
+        |  SELECT doc_id, source, n_chars,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents),
+        |a AS (SELECT * FROM f
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |b AS (SELECT * FROM f
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |ka AS (SELECT fp, MIN(doc_id) AS doc_id FROM a GROUP BY fp),
+        |kb AS (
+        |  SELECT s.doc_id
+        |  FROM (SELECT fp, MIN(doc_id) AS doc_id FROM b GROUP BY fp) s
+        |  LEFT JOIN (SELECT fp FROM ka WHERE fp IS NOT NULL) x
+        |    ON s.fp = x.fp
+        |  WHERE x.fp IS NULL),
+        |clean AS (
+        |  SELECT i.source, i.n_chars FROM a i JOIN ka k ON i.doc_id = k.doc_id
+        |  UNION ALL
+        |  SELECT i.source, i.n_chars FROM b i JOIN kb k ON i.doc_id = k.doc_id)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM clean GROUP BY source ORDER BY source""".stripMargin,
 
     // the within-watermark double delivery also collapses to the
     // single-delivery aggregate (event_id is unique in the events table)

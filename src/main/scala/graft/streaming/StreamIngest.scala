@@ -240,6 +240,63 @@ object StreamIngest {
       .drop("__idx_fp", "__idx_seen", "__fp")
   }
 
+  /** SELF-MAINTAINING streaming dedup: each micro-batch dedups against the
+    * persisted fingerprint index (within-batch min-id survivors, then the
+    * anti-join of [[graft.ops.Dedup.dedupAgainstIndex]]), APPENDS the
+    * survivors' fingerprints back to the index, and lands the survivors in
+    * `cleanTable` — the index stays current as data streams in, so
+    * tomorrow's feed dedups against today's without any batch rebuild.
+    * This closes the incremental-dedup loop: [[dropIndexedFingerprints]]
+    * reads a static index; this one OWNS it.
+    *
+    * Replay discipline (the foreachBatch exactly-once caveat, solved
+    * rather than documented): every appended row carries `batch_id`, and
+    * the dedup verdict for batch b consults only index rows with
+    * `batch_id < b`. A batch replayed after a crash therefore recomputes
+    * the IDENTICAL survivor set (its own half-landed index rows are
+    * invisible to it) and re-appends identical rows; readers collapse the
+    * double-append with a key dedupe (`dropDuplicates(idCol)` — cheap,
+    * since duplicates exist only for crashed batches). Without the
+    * batch_id fence, a replayed batch would see its own fingerprints in
+    * the index and silently emit ZERO survivors — losing the batch.
+    *
+    * Scale shape: per batch, one fp-keyed aggregate of the batch + one
+    * anti-join against the index (broadcast when small, fp-equi-join
+    * otherwise; history participates as 32-byte fingerprints, never
+    * text) + two appends. O(batch + index-fp-column), never O(corpus). */
+  def ingestDedupIndexed(stream: DataFrame, store: TableStore,
+                         indexTable: String, cleanTable: String,
+                         idCol: String, textCol: String,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val idxLike = graft.ops.Dedup.fingerprintIndex(batch, idCol, textCol)
+            .withColumn("batch_id", lit(batchId))
+          val index = store.readOrEmpty(indexTable, idxLike)
+            .filter(col("batch_id") < batchId)
+          val fresh = graft.ops.Dedup
+            .dedupAgainstIndex(batch, index, idCol, textCol)
+            .persist() // feeds both appends; released below
+          try {
+            store.append(indexTable,
+              graft.ops.Dedup.fingerprintIndex(fresh, idCol, textCol)
+                .withColumn("batch_id", lit(batchId)), maxFiles = 1)
+            store.append(cleanTable,
+              fresh.withColumn("batch_id", lit(batchId)), maxFiles = 1)
+          } finally {
+            fresh.unpersist()
+            ()
+          }
+        }
+        ()
+      }
+      .start()
+
   /** Bounded-state streaming exact-dedup: dedup state per key is kept only
     * while the key's event time is within the watermark, then EVICTED —
     * the form an unbounded event stream needs (plain `dropDuplicates`

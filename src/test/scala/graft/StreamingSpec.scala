@@ -267,6 +267,53 @@ class StreamingSpec extends SparkSuite {
     assert(out == Seq(11L, 12L))
   }
 
+  test("ingestDedupIndexed: index self-maintains across batches; replay fence holds") {
+    val dir = Files.createTempDirectory("graft-sxi").toString
+    val store = new TableStore(spark, s"$dir/store")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamIngest.ingestDedupIndexed(
+      mem.toDF().toDF("doc_id", "text"), store, "fp_index", "clean",
+      "doc_id", "text", s"$dir/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0: an in-batch dup pair + a distinct doc; min-id survives
+    mem.addData((2L, "alpha text"), (5L, "Alpha  TEXT"), (3L, "beta text"))
+    q.processAllAvailable()
+    assert(store.read("clean").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(2L, 3L))
+    // batch 1: a cross-batch dup of batch 0 (dropped by the index batch 0
+    // appended), plus a fresh doc (passes) and a null text (passes)
+    mem.addData((9L, "ALPHA text"), (10L, "gamma text"), (11L, null))
+    q.processAllAvailable()
+    q.stop()
+    val clean = store.read("clean").select("doc_id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(clean == Seq(2L, 3L, 10L, 11L))
+    // the index holds exactly the survivors' fingerprints, batch-stamped
+    val idx = store.read("fp_index").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("batch_id")))
+    assert(idx.map(_._1).sorted.toSeq == Seq(2L, 3L, 10L, 11L))
+    assert(idx.filter(_._2 == 0L).map(_._1).sorted.toSeq == Seq(2L, 3L))
+    // REPLAY FENCE: re-running batch 1's dedup with the index as it now
+    // stands (including batch 1's own rows) but fenced to batch_id < 1
+    // reproduces the identical survivor set — the crash-replay contract
+    val replayBatch = Seq((9L, "ALPHA text"), (10L, "gamma text"),
+      (11L, null: String)).toDF("doc_id", "text")
+    val fenced = store.read("fp_index").filter(col("batch_id") < 1L)
+    val replayed = graft.ops.Dedup
+      .dedupAgainstIndex(replayBatch, fenced, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(replayed == Seq(10L, 11L),
+      "replayed batch must reproduce its original survivors")
+    // without the fence the batch's own fingerprints shadow it: survivors
+    // collapse to just the null-fp row — the lost-batch failure the fence
+    // exists to prevent
+    val unfenced = graft.ops.Dedup
+      .dedupAgainstIndex(replayBatch, store.read("fp_index"), "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(unfenced == Seq(11L))
+  }
+
   test("watermarked windowed counts over an event stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
