@@ -900,6 +900,26 @@ object SparkEntry {
       KMeans.centroidsDF(s, cents).orderBy("cluster", "pos")
     }),
 
+    // Quantizer PERSISTENCE loop: fit, persist the k x dims centroid
+    // table through the store, reload into literals (bit-identical —
+    // doubles survive parquet exactly), assign the whole corpus map-side.
+    // The operating mode at scale: fit once, assign everywhere, refit
+    // never. Oracle: the same final-centroid assignment re-derived.
+    "kmeans_assign" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-km").toString
+      val store = new graft.store.TableStore(s, tmp)
+      store.overwrite("centroids", KMeans.centroidsDF(s, cents), maxFiles = 1)
+      val reloaded = KMeans.fromDF(store.read("centroids"))
+      emb.select(col("vec_id"),
+          Similarity.asDouble(col("embedding")).as("v"))
+        .withColumn("cluster", KMeans.assignExpr(col("v"), reloaded))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum("vec_id").as("sum_ids"))
+        .orderBy("cluster")
+    }),
+
     // IVF ANN with the TRAINED quantizer (closing ivfTopK's "swap in real
     // centroids" contract): corpus rows live in their learned cell via a
     // map-side assign, queries probe their 2 nearest cells, exact-cosine
@@ -2545,6 +2565,12 @@ object SparkEntry {
       s"""WITH $kmeansCtes
         |SELECT cluster, CAST(pos AS INT) AS pos, comp, n AS n_members
         |FROM u2 ORDER BY cluster, pos""".stripMargin,
+
+    "kmeans_assign" ->
+      s"""WITH $kmeansCtes,
+        |a3 AS (${duckKmeansAssign("v", "u2c", 1)})
+        |SELECT cluster, COUNT(*) AS n_vecs, CAST(SUM(id) AS BIGINT) AS sum_ids
+        |FROM a3 GROUP BY cluster ORDER BY cluster""".stripMargin,
 
     "ann_ivf_kmeans" ->
       s"""WITH $kmeansCtes,

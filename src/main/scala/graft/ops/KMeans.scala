@@ -165,6 +165,21 @@ object KMeans {
         StructField("n_members", LongType, nullable = false))))
   }
 
+  /** Reload a persisted [[centroidsDF]] into driver literals — the
+    * round-trip that lets a later session (or another cluster) assign
+    * against a quantizer WITHOUT refitting: fit once, persist the k×dims
+    * table, reload anywhere. Doubles survive parquet exactly, so the
+    * reloaded model is bit-identical to the fitted one (spec-pinned). A
+    * k×dims collect — bounded by the model, never by data. */
+  def fromDF(centroids: DataFrame): Seq[Centroid] = {
+    val rows = centroids.select("cluster", "pos", "comp", "n_members").collect()
+    require(rows.nonEmpty, "empty centroid table")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cl, rs) =>
+      Centroid(cl, rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq,
+        rs.head.getLong(3))
+    }
+  }
+
   /** IVF ANN with the TRAINED quantizer: corpus rows live in their nearest
     * centroid's cell (map-side assign — one scan, no shuffle), queries
     * probe their `probes` nearest cells, candidates come from the cell

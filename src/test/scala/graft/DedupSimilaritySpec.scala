@@ -524,6 +524,9 @@ class DedupSimilaritySpec extends SparkSuite {
     }
     // deterministic refit
     assert(KMeans.fit(rows, "id", "vec", k = 3, iters = 3) == cents)
+    // persistence round-trip is BIT-identical: a later session reloads
+    // the same model it fitted (doubles survive the flat DF exactly)
+    assert(KMeans.fromDF(KMeans.centroidsDF(spark, cents)) == cents)
     // k above the distinct-point count: duplicate seeds starve — the
     // fitted model degrades to fewer centroids instead of failing
     val two = Seq(1L -> Array(1f, 0f), 2L -> Array(0f, 1f),
