@@ -126,4 +126,31 @@ class PlanSpec extends SparkSuite {
     assert(!pPps.contains("SortMergeJoin") && !pPps.contains("CartesianProduct"),
       s"weightedSample shuffles the corpus:\n$pPps")
   }
+
+  test("assignShards: exactly one data exchange (the shard hash), never a global sort") {
+    val corpus = spark.read.parquet(s"$dir/t")
+    val plan = planOf(graft.ops.Layout.assignShards(corpus, "id", 8))
+    // one Exchange for the per-shard window; a global sort or a second
+    // shuffle would break the "ordering is free at write time" contract
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in shard assignment:\n$plan")
+  }
+
+  test("unigramSurprisal: corpus-side aggregates are partial (map-side combine)") {
+    import graft.ops.Corpus
+    val docs = spark.read.parquet(s"$dir/t")
+      .select($"id".as("doc_id"), $"name".as("text"))
+    val plan = planOf(Corpus.unigramSurprisal(docs, "doc_id", "text"))
+    // the totals ride a 1-row broadcast (never a shuffle of the corpus);
+    // the token/doc aggregates must be two-phase HashAggregates
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), s"totals not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in surprisal plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    assert(!plan.contains("SortAggregate"),
+      s"sort-aggregate (no map-side combine) in:\n$plan")
+  }
 }
