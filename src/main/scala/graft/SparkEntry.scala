@@ -1915,12 +1915,15 @@ object SparkEntry {
       s" AS s FROM $vRel, $cenRel)) WHERE rk <= $maxRk"
 
   /** DuckDB Lloyd update mirroring KMeans.update: per-(cluster, dim)
-    * exact DECIMAL(38,12) sums of the raw doubles, mean quantized to
-    * 6 dp. `aRel` must expose (cluster, v). */
+    * floor-scaled exact integer sums (floor is tie-free; a raw
+    * double→decimal cast would round HALF_UP in Spark but half-even in
+    * DuckDB on 2^-13-multiple ties), mean quantized to 6 dp. `aRel` must
+    * expose (cluster, v). */
   private def duckKmeansUpdate(aRel: String): String =
-    s"SELECT cluster, pos, round(CAST(s AS DOUBLE) / n, 6) AS comp, n FROM (" +
-      s" SELECT cluster, pos, SUM(CAST(x AS DECIMAL(38,12))) AS s," +
-      s" COUNT(*) AS n" +
+    s"SELECT cluster, pos, round(CAST(s AS DOUBLE) / n / 1e9, 6) AS comp," +
+      s" n FROM (" +
+      s" SELECT cluster, pos, SUM(CAST(floor(x * 1e9) AS DECIMAL(38,0)))" +
+      s" AS s, COUNT(*) AS n" +
       s" FROM (SELECT cluster, unnest(v) AS x," +
       s" generate_subscripts(v, 1) - 1 AS pos FROM $aRel)" +
       s" GROUP BY cluster, pos)"

@@ -30,11 +30,14 @@ import org.apache.spark.sql.types._
   *     one place cross-engine float drift could creep in (decimal-sum →
   *     double division) is rounded away, and every downstream distance is
   *     computed from bit-identical centroid literals;
-  *   - per-component means accumulate through DECIMAL(38,12) — exact and
+  *   - per-component means accumulate as FLOOR-SCALED integers
+  *     (`floor(x * 1e9)` summed through DECIMAL(38,0)) — exact and
   *     partition-order-independent (a double sum would depend on task
-  *     scheduling); a float's exact decimal expansion can never tie at
-  *     the 12th digit (that would need 5^12 > 2^24 dividing its
-  *     mantissa), so the decimal cast itself is rounding-mode-proof;
+  *     scheduling), and floor is tie-free by construction, unlike a
+  *     double→decimal cast whose half-way ties round HALF_UP in Spark
+  *     but half-even in DuckDB (a float that is an odd multiple of
+  *     2^-13 ties at the 12th decimal digit and diverges). The ≤1e-9
+  *     per-element truncation vanishes under the 6-dp quantization;
   *   - nearest-centroid ranking uses the shifted squared distance
   *     |c|² − 2·v·c (the |v|² term is constant per row and cannot change
   *     the argmin), ties broken by cluster id.
@@ -71,10 +74,13 @@ object KMeans {
     require(k >= 1, s"k must be >= 1, got $k")
     val v = vecs(df, idCol, vecCol)
       .withColumn("__vn2", Similarity.dot(col("__v"), col("__v")))
-    val first = v
+    val firstRow = v
       .select(col("__id"), transform(col("__v"), x => round(x, 6)).as("__c"))
       .orderBy(Sampling.hashPriority(col("__id")), col("__id"))
-      .limit(1).collect().head.getSeq[Double](1)
+      .limit(1).collect()
+    require(firstRow.nonEmpty,
+      s"KMeans.seedCentroids: no input rows in $vecCol — nothing to seed from")
+    val first = firstRow.head.getSeq[Double](1)
     var seeds = Vector(first)
     while (seeds.size < k) {
       // true squared distance vn2 + (cn2 - 2 v.c), exactly the fold the
@@ -116,17 +122,21 @@ object KMeans {
     element_at(nearestExpr(v, cents, 1), 1)
 
   /** One Lloyd update: per-cluster componentwise mean of the RAW vectors
-    * (exact decimal sums, quantized to 6 dp), collected to the driver —
-    * k×dims rows, bounded by the model size, never by data. Clusters that
-    * lost every member disappear (k degrades gracefully). */
+    * (floor-scaled exact integer sums — see the portability note above —
+    * quantized to 6 dp), collected to the driver — k×dims rows, bounded
+    * by the model size, never by data. Clusters that lost every member
+    * disappear (k degrades gracefully). Each floor(x*1e9) is an integral
+    * double below 2^53 for |x| < 9e6, so the decimal cast is exact; the
+    * DECIMAL(38,0) sum then never rounds. */
   private def update(assigned: DataFrame): Seq[Centroid] = {
     val rows = assigned
       .select(col("__cluster"), posexplode(col("__v")).as(Seq("__pos", "__x")))
       .groupBy("__cluster", "__pos")
-      .agg(sum(col("__x").cast("decimal(38,12)")).as("__s"),
+      .agg(sum(floor(col("__x") * lit(1e9)).cast("decimal(38,0)")).as("__s"),
         count(lit(1)).as("__n"))
       .select(col("__cluster"), col("__pos"),
-        round(col("__s").cast("double") / col("__n"), 6).as("__comp"),
+        round(col("__s").cast("double") / col("__n") / lit(1e9), 6)
+          .as("__comp"),
         col("__n"))
       .collect()
     rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (cl, rs) =>

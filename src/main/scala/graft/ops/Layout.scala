@@ -47,6 +47,15 @@ object Layout {
     * either column or both. Range partitioning samples the key
     * distribution — the standard skew-proof way to lay out a table for
     * write (vs hash partitioning, which scatters the curve). */
+  def clusterByZOrder(df: DataFrame, a: String, b: String,
+                      numFiles: Int, bits: Int = 21): DataFrame = {
+    val keyed = df.withColumn("__zkey", zOrderKey(col(a), col(b), bits))
+    keyed
+      .repartitionByRange(numFiles, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+  }
+
   /** Deterministic shard id in [0, numShards): the first 8 md5 hex digits
     * of the key, mod the shard count. md5-based (never `hash()`/`rand()`)
     * so the assignment is engine-portable and identical on every rerun —
@@ -57,13 +66,14 @@ object Layout {
       .cast("long") % numShards
   }
 
-  /** Within-shard pseudo-random order priority. Derived from a DOMAIN-
-    * SEPARATED hash (`ord:` prefix) so it is statistically independent of
-    * [[shardKey]] — ordering by the shard hash itself would sort each
-    * shard by the residue structure that chose it. */
+  /** Within-shard pseudo-random order priority: [[Sampling.hashPriority]]
+    * of a DOMAIN-SEPARATED key (`ord:` prefix), so it is statistically
+    * independent of [[shardKey]] — ordering by the shard hash itself
+    * would sort each shard by the residue structure that chose it.
+    * Delegates to hashPriority so the bit-pinned priority formula keeps
+    * exactly one owner. */
   def shardOrderKey(key: Column): Column =
-    conv(substring(md5(concat(lit("ord:"), key.cast("string"))), 1, 12), 16, 10)
-      .cast("double") / lit(math.pow(16, 12))
+    Sampling.hashPriority(concat(lit("ord:"), key.cast("string")))
 
   /** GLOBAL TRAINING SHUFFLE: assign every row a shard and a dense
     * within-shard position, both deterministic functions of the key — the
@@ -85,14 +95,5 @@ object Layout {
       .orderBy(shardOrderKey(col(keyCol)), col(keyCol))
     df.withColumn("shard", shardKey(col(keyCol), numShards))
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
-  }
-
-  def clusterByZOrder(df: DataFrame, a: String, b: String,
-                      numFiles: Int, bits: Int = 21): DataFrame = {
-    val keyed = df.withColumn("__zkey", zOrderKey(col(a), col(b), bits))
-    keyed
-      .repartitionByRange(numFiles, col("__zkey"))
-      .sortWithinPartitions("__zkey")
-      .drop("__zkey")
   }
 }
