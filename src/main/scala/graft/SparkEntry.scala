@@ -934,6 +934,20 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // SemDeDup (arXiv:2303.09540): semantic near-dup removal through the
+    // trained quantizer — candidate pairs only WITHIN a k-means cluster;
+    // of each duplicate pair the less-typical item (lowest cosine to its
+    // own centroid) survives, ties by id. The oracle replays the full
+    // fit, the assignment, the centroid-cosines, and the pair sweep.
+    "dedup_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      KMeans.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_sim"), 6).as("cent_sim"))
+        .orderBy("vec_id")
+    }),
+
     // JL-style random projection to 8 dims with the portable regenerable
     // plane family — no projection matrix to store or broadcast; the
     // whole reduction lives inside the scan stage (zero shuffle).
@@ -2588,6 +2602,19 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    "dedup_semantic" ->
+      s"""WITH $kmeansCtes,
+        |a3 AS (${duckKmeansAssign("v", "u2c", 1)}),
+        |cs AS (SELECT a3.id, a3.v, a3.cluster,
+        |    ${duckCosine("a3.v", "u2c.c")} AS cs
+        |  FROM a3 JOIN u2c USING (cluster)),
+        |drp AS (SELECT DISTINCT a.id FROM cs a JOIN cs b
+        |  ON a.cluster = b.cluster AND a.id <> b.id
+        |  AND ${duckCosine("a.v", "b.v")} >= 0.3
+        |  AND (b.cs < a.cs OR (b.cs = a.cs AND b.id < a.id)))
+        |SELECT id AS vec_id, cluster, round(cs, 6) AS cent_sim FROM cs
+        |WHERE id NOT IN (SELECT id FROM drp) ORDER BY vec_id""".stripMargin,
 
     // Multi-probe re-derived: query side also visits the 3 Hamming-1
     // low-bit-flip buckets (xor with 1<<(probe-1)); DISTINCT dedups pairs

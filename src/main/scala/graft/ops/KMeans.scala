@@ -190,6 +190,57 @@ object KMeans {
     }
   }
 
+  /** Cosine of each row's vector to ITS OWN assigned centroid, as a
+    * map-side k-branch CASE over the inlined centroid literals — the
+    * "typicality" score SemDeDup ranks duplicates by. Only the matched
+    * branch's cosine is evaluated per row. */
+  private def centroidCosExpr(v: Column, cluster: Column,
+                              cents: Seq[Centroid]): Column =
+    coalesce(cents.map { c =>
+      when(cluster === c.cluster,
+        Similarity.cosine(v, array(c.comps.map(lit): _*)))
+    }: _*)
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication through the trained quantizer — cluster the embedding
+    * space with k-means, then search for near-duplicate pairs ONLY within
+    * each cluster, and keep, of any duplicate pair, the item LESS typical
+    * of its cluster (lowest cosine to its own centroid — the paper's
+    * keep-the-outlier rule, which preserves diversity; ties by id).
+    *
+    * Exact rule (deterministic, engine-replayable): a row is DROPPED iff
+    * some same-cluster row within `threshold` cosine has a strictly lower
+    * centroid-cosine, or an equal one with a lower id. One greedy pass
+    * over the pair relation — not a transitive closure — matching the
+    * published implementation's per-cluster sweep.
+    *
+    * 100 TB posture: assignment and the centroid-cosine are map-side
+    * expressions (centroids are driver-held literals); the only shuffle
+    * is the within-cluster self-equi-join, whose cost is Σ|cluster|² —
+    * bounded by construction because k is chosen ∝ corpus size precisely
+    * so clusters stay small (the paper runs 50k clusters on LAION); the
+    * final step is a distinct on dropped ids + a left-anti join. No
+    * all-pairs term ever touches the full corpus. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               cents: Seq[Centroid], threshold: Double): DataFrame = {
+    val base = vecs(df, idCol, vecCol)
+      .withColumn("__cluster", assignExpr(col("__v"), cents))
+      .withColumn("__cs", centroidCosExpr(col("__v"), col("__cluster"), cents))
+    val a = base.select(col("__cluster"), col("__id").as("__idA"),
+      col("__v").as("__va"), col("__cs").as("__csA"))
+    val b = base.select(col("__cluster"), col("__id").as("__idB"),
+      col("__v").as("__vb"), col("__cs").as("__csB"))
+    val dropped = a.join(b, Seq("__cluster"))
+      .filter(col("__idA") =!= col("__idB"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .filter(col("__csB") < col("__csA") ||
+        (col("__csB") === col("__csA") && col("__idB") < col("__idA")))
+      .select(col("__idA").as("__dropped")).distinct()
+    base.join(dropped, base("__id") === dropped("__dropped"), "left_anti")
+      .select(col("__id").as(idCol), col("__cluster").as("cluster"),
+        col("__cs").as("cent_sim"))
+  }
+
   /** IVF ANN with the TRAINED quantizer: corpus rows live in their nearest
     * centroid's cell (map-side assign — one scan, no shuffle), queries
     * probe their `probes` nearest cells, candidates come from the cell

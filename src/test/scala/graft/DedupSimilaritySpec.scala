@@ -536,6 +536,36 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(degraded.map(_.nMembers).sum == 3)
   }
 
+  test("semDedup: less-typical twin survives, exact ties break by id") {
+    import graft.ops.KMeans
+    // one small blob containing two planted near-dup pairs, plus a far
+    // blob of two EXACT duplicates; k=2 separates blob from far blob.
+    //   pair (0, 1): cos ≈ 0.98 — survivor must be the one with the LOWER
+    //     cosine to the blob centroid (id 0: its y=0 points away from the
+    //     centroid's positive-y direction, so it is the outlier);
+    //   pair (2, 3): same shape, id 2 is the outlier;
+    //   pair (10, 11): identical vectors — centroid-cos ties exactly, so
+    //     the lower id survives.
+    val rows = Seq(
+      0L  -> Array(1.0f, 0.0f),
+      1L  -> Array(0.98f, 0.2f),
+      2L  -> Array(0.6f, 0.8f),
+      3L  -> Array(0.62f, 0.78f),
+      10L -> Array(10.0f, 10.0f),
+      11L -> Array(10.0f, 10.0f)).toDF("id", "vec")
+    val cents = KMeans.fit(rows, "id", "vec", k = 2, iters = 2)
+    val out = KMeans.semDedup(rows, "id", "vec", cents, threshold = 0.95)
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(0L, 2L, 10L),
+      s"wrong survivors: ${out.toSeq}")
+    // survivors are genuinely the low-typicality members: every survivor's
+    // centroid-cos is <= its dropped twin's (recompute via a fresh run
+    // keeping all rows at an unreachable threshold)
+    val all = KMeans.semDedup(rows, "id", "vec", cents, threshold = 1.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(all(0L) < all(1L) && all(2L) < all(3L) && all(10L) == all(11L))
+  }
+
   test("ivfTopKTrained: planted twin is rank-1 cosine 1.0; map-side assign") {
     import graft.ops.{KMeans, Similarity}
     // 40 spread vectors plus an exact twin of vector 7

@@ -109,6 +109,18 @@ class PlanSpec extends SparkSuite {
       s"embedding incremental degenerated to an all-pairs join:\n$pEm")
   }
 
+  test("semDedup pair generation is a cluster equi-join, never all-pairs") {
+    import graft.ops.KMeans
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(d => (i % 5 + d).toFloat))).toDF("vec_id", "embedding")
+    val cents = KMeans.fit(vecs, "vec_id", "embedding", k = 3, iters = 1)
+    val p = planOf(KMeans.semDedup(vecs, "vec_id", "embedding", cents,
+      threshold = 0.9))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"semDedup degenerated to an all-pairs join:\n$p")
+  }
+
   test("mixCorpus/weightedSample join their tiny stats by broadcast, never SMJ") {
     import graft.ops.Sampling
     val corpus = spark.read.parquet(s"$dir/t")
