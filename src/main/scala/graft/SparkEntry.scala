@@ -1163,6 +1163,18 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // LLM text: the published Gopher rule suite (Rae et al. 2021, App.
+    // A1.1) — per-doc verdict on all 7 rules plus the conjunction; every
+    // ratio threshold is an integer cross-multiplication, never a float
+    // division, so the oracle replay is exact.
+    "gopher_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.gopherRules(col("text")).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    }),
+
     // LLM text: PII redaction (the pre-training scrub pass). Deterministic
     // synthetic PII — an email, a phone, an IPv4, a card-length number per
     // doc — is spliced into the corpus text, redacted with the codegen
@@ -2998,6 +3010,41 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN nc BETWEEN 20 AND 20000 AND pr < 0.2
         |           AND mwl BETWEEN 2.0 AND 14.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same 7 integer cross-multiplied rule verdicts re-derived
+    "gopher_filter" ->
+      """WITH d AS (SELECT doc_id, text,
+        |    regexp_extract_all(lower(text), '\S+') AS toks,
+        |    string_split(text, chr(10)) AS lines
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS w,
+        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+        |    CAST(len(regexp_extract_all(text, '#')) +
+        |         len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullets,
+        |    CAST(len(list_filter(lines,
+        |      l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS ellipses,
+        |    CAST(len(list_filter(toks,
+        |      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+        |    len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      sw -> list_contains(toks, sw))) AS req
+        |  FROM d)
+        |SELECT doc_id,
+        |  w BETWEEN 50 AND 100000 AS word_count_ok,
+        |  (chars >= w * 3 AND chars <= w * 10) AS mean_word_len_ok,
+        |  symbols * 10 <= w AS symbol_ratio_ok,
+        |  bullets * 10 <= n_lines AS bullet_ok,
+        |  ellipses * 10 <= n_lines * 3 AS ellipsis_ok,
+        |  alpha * 5 >= w * 4 AS alpha_word_ok,
+        |  req >= 2 AS required_words_ok,
+        |  (w BETWEEN 50 AND 100000 AND chars >= w * 3 AND chars <= w * 10
+        |   AND symbols * 10 <= w AND bullets * 10 <= n_lines
+        |   AND ellipses * 10 <= n_lines * 3 AND alpha * 5 >= w * 4
+        |   AND req >= 2) AS passes
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // same splice + the verbatim PiiPatterns applied in the same order
     "text_redact" ->

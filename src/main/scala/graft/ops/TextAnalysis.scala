@@ -87,6 +87,54 @@ object TextAnalysis {
     (lenOk + punctOk + wordOk) / 3.0
   }
 
+  /** The eight words Gopher's rule 7 requires at least two of. */
+  val GopherRequiredWords =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality rules (Rae et al. 2021, arXiv:2112.11446, App. A1.1)
+    * as a struct of per-rule booleans plus the conjunction — the published
+    * heuristic filter suite for web-scale pre-training corpora:
+    *   1. word count in [50, 100000];
+    *   2. mean word length in [3, 10] characters;
+    *   3. symbol-to-word ratio ('#' or '...') <= 0.1;
+    *   4. <= 10% of lines start with a bullet ('-', '*', '•');
+    *   5. <= 30% of lines end with an ellipsis;
+    *   6. >= 80% of words contain an alphabetic character;
+    *   7. at least 2 of the 8 required English words appear.
+    *
+    * Every ratio threshold is evaluated as an INTEGER cross-multiplication
+    * (e.g. symbols*10 <= words), never a double division — exact, ANSI-
+    * overflow-safe at document scale, and bit-identical in any engine.
+    * Pure column expressions end to end: one codegen stage, zero shuffle,
+    * streams through a 100 TB scan. */
+  def gopherRules(text: Column): Column = {
+    val toks = tokens(text)
+    val w = size(toks).cast("long")
+    val chars = length(regexp_replace(text, "\\s+", "")).cast("long")
+    val symbols = (size(regexp_extract_all(text, lit("#"), lit(0))) +
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bullets = size(filter(lines,
+      l => l.rlike("^\\s*[-*•]"))).cast("long")
+    val ellipses = size(filter(lines,
+      l => l.rlike("\\.\\.\\.\\s*$"))).cast("long")
+    val alphaWords = size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+    val reqHits = size(filter(array(GopherRequiredWords.map(lit): _*),
+      sw => array_contains(toks, sw)))
+    val r1 = w.between(50L, 100000L)
+    val r2 = chars >= w * 3L && chars <= w * 10L
+    val r3 = symbols * 10L <= w
+    val r4 = bullets * 10L <= nLines
+    val r5 = ellipses * 10L <= nLines * 3L
+    val r6 = alphaWords * 5L >= w * 4L
+    val r7 = reqHits >= 2
+    struct(r1.as("word_count_ok"), r2.as("mean_word_len_ok"),
+      r3.as("symbol_ratio_ok"), r4.as("bullet_ok"), r5.as("ellipsis_ok"),
+      r6.as("alpha_word_ok"), r7.as("required_words_ok"),
+      (r1 && r2 && r3 && r4 && r5 && r6 && r7).as("passes"))
+  }
+
   /** Content fingerprint: md5 over whitespace-normalized lowercase text.
     * The canonical exact-dedup key (same hex in Spark and DuckDB). */
   def fingerprint(text: Column): Column =

@@ -72,6 +72,34 @@ class QuerySemanticsSpec extends SparkSuite {
     assert(math.abs(semi.getDouble(3) - 2.0 / 3) < 1e-9)
   }
 
+  test("gopherRules: each rule trips on its crafted violator, good doc passes") {
+    val good = (Seq("the", "report", "was", "written", "with", "care") ++
+      (0 until 60).map(i => s"word$i")).mkString(" ")
+    val docs = Seq(
+      1L -> good,
+      2L -> "too short to pass the word count rule with these few words",
+      3L -> (good + " " + (0 until 40).map(_ => "# #").mkString(" ")),
+      4L -> (0 until 60).map(_ => "- bullet line").mkString("\n"),
+      5L -> (0 until 60).map(_ => "trailing line ...").mkString("\n"),
+      6L -> (Seq("the", "with") ++ (0 until 60).map(_ => "12345")).mkString(" "),
+      7L -> (0 until 60).map(i => s"word$i").mkString(" "), // no required words
+      8L -> (0 until 60).map(_ => "a").mkString(" ")        // mean word len 1
+    ).toDF("id", "text")
+    val out = docs
+      .select(col("id"), TextAnalysis.gopherRules(col("text")).as("g"))
+      .select(col("id"), col("g.*")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes"))
+    assert(!out(2L).getAs[Boolean]("word_count_ok"))
+    assert(!out(3L).getAs[Boolean]("symbol_ratio_ok"))
+    assert(!out(4L).getAs[Boolean]("bullet_ok"))
+    assert(!out(5L).getAs[Boolean]("ellipsis_ok"))
+    assert(!out(6L).getAs[Boolean]("alpha_word_ok"))
+    assert(!out(7L).getAs[Boolean]("required_words_ok"))
+    assert(!out(8L).getAs[Boolean]("mean_word_len_ok"))
+    assert((2L to 8L).forall(i => !out(i).getAs[Boolean]("passes")))
+  }
+
   test("percentile: Spark's interpolated exact percentile on a pinned group") {
     val df = Seq(("A", 1.0), ("A", 2.0), ("A", 3.0), ("A", 4.0), ("B", 10.0))
       .toDF("g", "v")
