@@ -833,6 +833,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // LLM dedup: Bloom-filter decontamination — the scale path for
+    // benchmark sets too big to broadcast raw. The (1024*63)-bit filter
+    // is built over benchmark shingles with a word-keyed bit_or
+    // aggregate, held on the driver (8 KB), and probed map-side: zero
+    // joins on the corpus. Deterministic md5-window positions make even
+    // the false positives engine-replayable.
+    "bloom_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bitmap = Dedup.bloomBuild(docs.filter(col("doc_id") % 50 === 0),
+        "text", shingleWords = 3, nWords = 1024, k = 3)
+      Dedup.decontaminateBloom(docs.filter(col("doc_id") % 50 =!= 0),
+          "doc_id", "text", shingleWords = 3, bitmap, k = 3)
+        .orderBy("doc_id")
+    }),
+
     // LLM dedup: SimHash near-dup pairs (quartered fingerprint blocking)
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -2827,6 +2842,41 @@ object SparkEntry {
         |SELECT t2.id AS doc_id,
         |  CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
         |  COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT id FROM sh WHERE id % 50 <> 0) t2
+        |LEFT JOIN hits h ON t2.id = h.id ORDER BY 1""".stripMargin,
+
+    // Bloom decontamination re-derived bit for bit: same shingles, k=3
+    // md5-window positions mod 64512, 63-bit words built with bit_or,
+    // probe requires all 3 bits set (bool_and over a word join).
+    "bloom_decontaminate" ->
+      """WITH sh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM documents),
+        |ks AS (SELECT unnest([0, 1, 2]) AS j),
+        |bpos AS (SELECT DISTINCT
+        |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
+        |      AS BIGINT) % 64512 AS INT) AS pos
+        |  FROM (SELECT DISTINCT unnest(s) AS shg FROM sh WHERE id % 50 = 0), ks),
+        |wrd AS (SELECT CAST(pos // 63 AS INT) AS w,
+        |    bit_or(1::BIGINT << (pos % 63)) AS bits
+        |  FROM bpos GROUP BY 1),
+        |trp AS (SELECT id, shg,
+        |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
+        |      AS BIGINT) % 64512 AS INT) AS pos
+        |  FROM (SELECT id, unnest(s) AS shg FROM sh WHERE id % 50 <> 0), ks),
+        |tchk AS (SELECT id, shg,
+        |    bool_and(COALESCE((wrd.bits & (1::BIGINT << (trp.pos % 63))) <> 0,
+        |      FALSE)) AS hit
+        |  FROM trp LEFT JOIN wrd ON wrd.w = CAST(trp.pos // 63 AS INT)
+        |  GROUP BY 1, 2),
+        |hits AS (SELECT id, COUNT(DISTINCT shg) AS n FROM tchk
+        |  WHERE hit GROUP BY 1)
+        |SELECT t2.id AS doc_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_flagged,
+        |  COALESCE(h.n, 0) > 0 AS contaminated
         |FROM (SELECT id FROM sh WHERE id % 50 <> 0) t2
         |LEFT JOIN hits h ON t2.id = h.id ORDER BY 1""".stripMargin,
 

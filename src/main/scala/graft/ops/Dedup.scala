@@ -106,6 +106,89 @@ object Dedup {
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
   }
 
+  // ---------------------------------------------------------------- bloom
+
+  /** Bits per Bloom bitmap word: 63, not 64 — the probe's mask must stay
+    * a positive long in every engine (a BIGINT `1 << 63` raises in DuckDB
+    * and wraps to the sign bit in Spark), so bit indices cap at 62. */
+  val BloomBitsPerWord: Int = 63
+
+  /** Static 2^b lookup (b = 0..62): bit masks come from literal-array
+    * indexing, never a runtime shift — portable and codegen-friendly. */
+  private val bloomPow2: Column =
+    array((0 until BloomBitsPerWord).map(b => lit(1L << b)): _*)
+
+  /** The k Bloom bit positions of a shingle from ONE md5: k disjoint
+    * 8-hex-digit windows (double-hashing style — one hash evaluation per
+    * shingle, not k), each reduced mod m. Portable: any engine with
+    * md5/substring derives identical positions. */
+  def bloomPositions(s: Column, m: Int, k: Int): Seq[Column] = {
+    require(k >= 1 && k <= 4, s"k must be in [1,4] (md5 has 4 windows): $k")
+    require(m >= 1, s"m must be >= 1: $m")
+    val hx = md5(s)
+    (0 until k).map { j =>
+      pmod(conv(substring(hx, 1 + 8 * j, 8), 16, 10).cast("long"),
+        lit(m.toLong)).cast("int")
+    }
+  }
+
+  /** Build an (nWords*63)-bit Bloom filter over the benchmark's distinct
+    * word shingles, returned as the driver-held word array. The whole
+    * reduction is a (word)-keyed bit_or aggregate whose map-side partials
+    * collapse to <= nWords rows per partition before the exchange — the
+    * shuffle is bounded by the FILTER size, never the benchmark's; the
+    * driver holds nWords longs (8 KB at nWords=1024). That bounded state
+    * is what turns the corpus-side probe into a pure map. */
+  def bloomBuild(benchmark: DataFrame, textCol: String, shingleWords: Int,
+                 nWords: Int, k: Int): Array[Long] = {
+    val m = nWords * BloomBitsPerWord
+    val rows = benchmark
+      .select(explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .select(explode(array(bloomPositions(col("sh"), m, k): _*)).as("pos"))
+      .select(floor(col("pos") / BloomBitsPerWord).cast("int").as("w"),
+        element_at(bloomPow2, pmod(col("pos"), lit(BloomBitsPerWord)) + 1)
+          .as("mask"))
+      .groupBy("w").agg(expr("bit_or(mask)").as("bits"))
+      .collect()
+    val arr = new Array[Long](nWords)
+    rows.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
+
+  /** Membership probe as a pure map-side expression over the bitmap
+    * literal: possibly-present iff ALL k position bits are set. False
+    * positives at the standard (1 - e^(-kn/m))^k rate; false negatives
+    * never — Bloom flags are a SUPERSET of the exact join's. */
+  def bloomMightContain(s: Column, bitmap: Array[Long], k: Int): Column = {
+    val m = bitmap.length * BloomBitsPerWord
+    val words = array(bitmap.map(lit): _*)
+    bloomPositions(s, m, k).map { pos =>
+      element_at(words, floor(pos / BloomBitsPerWord).cast("int") + 1)
+        .bitwiseAND(element_at(bloomPow2,
+          pmod(pos, lit(BloomBitsPerWord)) + 1)) =!= lit(0L)
+    }.reduce(_ && _)
+  }
+
+  /** Decontamination for benchmark sets too big to broadcast raw (the
+    * scale path beside [[decontaminate]]'s exact shingle join): probe
+    * every training shingle against the Bloom bitmap map-side — zero
+    * joins, the corpus text never shuffles; only the (id, hit-count)
+    * aggregate exchanges. Output shape matches [[decontaminate]] with
+    * `n_flagged` counting bloom-POSITIVE shingles. */
+  def decontaminateBloom(train: DataFrame, idCol: String, textCol: String,
+                         shingleWords: Int, bitmap: Array[Long],
+                         k: Int): DataFrame = {
+    val hits = train
+      .select(col(idCol),
+        explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .filter(bloomMightContain(col("sh"), bitmap, k))
+      .groupBy(idCol).agg(countDistinct(col("sh")).as("n_flagged"))
+    train.select(col(idCol)).join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_flagged"), lit(0L)).as("n_flagged"),
+        (coalesce(col("n_flagged"), lit(0L)) > 0).as("contaminated"))
+  }
+
   /** n-gram Jaccard similarity of two shingle-array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -536,6 +536,35 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(degraded.map(_.nMembers).sum == 3)
   }
 
+  test("bloom decontamination: no false negatives; superset of exact flags") {
+    import graft.ops.Dedup
+    val bench = Seq(1L -> "the quick brown fox jumps over the lazy dog")
+      .toDF("doc_id", "text")
+    val train = Seq(
+      10L -> "we all saw the quick brown fox leave",  // shares a 3-gram
+      11L -> "completely unrelated content about parquet row groups",
+      12L -> "another clean document with nothing shared at all"
+    ).toDF("doc_id", "text")
+    val bitmap = Dedup.bloomBuild(bench, "text", shingleWords = 3,
+      nWords = 64, k = 3)
+    // every inserted shingle tests positive — Bloom never false-negatives
+    val inserted = bench.select(
+      explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+    assert(inserted.filter(!Dedup.bloomMightContain(col("sh"), bitmap, 3))
+      .count() == 0)
+    val flagged = Dedup.decontaminateBloom(train, "doc_id", "text", 3,
+      bitmap, k = 3).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(flagged(10L), "contaminated doc not flagged")
+    // Bloom flags must cover the exact join's flags on the same split
+    val exact = Dedup.decontaminate(train, bench, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    exact.foreach { case (id, c) => if (c) assert(flagged(id),
+      s"exact flagged $id but bloom did not (false negative)") }
+    // at this m the clean docs also stay clean (fp rate ~1e-6 here)
+    assert(!flagged(11L) && !flagged(12L))
+  }
+
   test("semDedup: less-typical twin survives, exact ties break by id") {
     import graft.ops.KMeans
     // one small blob containing two planted near-dup pairs, plus a far
