@@ -654,6 +654,26 @@ object SparkEntry {
     // date-sorted CSV, then RE-READ the CSV — the result must hash-match
     // the api_store_sql panel values, proving the export round-trips
     // (Spark's shortest-repr double formatting parses back bit-identical).
+    // Corpus delivery: JSONL export round-trip — documents written as
+    // per-language JSONL shards (the partition column lives in the
+    // directory layout, not the lines), read back with the DECLARED
+    // schema. The oracle is the source table itself: the sink must
+    // round-trip every row byte-faithfully through Jackson escaping.
+    "export_jsonl" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+      graft.sources.Jsonl.write(docs, out, partitionBy = Seq("lang"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType)))
+      graft.sources.Jsonl.read(s, out, schema)
+        .select(col("doc_id"), col("text"),
+          col("lang").cast("string").as("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
     "panel_export_csv" -> ((s, _) => {
       import graft.api.EngineApi
       import org.apache.spark.sql.types._
@@ -2493,6 +2513,11 @@ object SparkEntry {
 
     // the CSV round-trip must reproduce the exact panel values the
     // api_store_sql oracle pins (same two fixture workbooks, same window)
+    // round-trip identity: the JSONL sink+scan must reproduce the table
+    "export_jsonl" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     "panel_export_csv" -> panelWindowOracle,
 
     // the V2-connector read of the same two grids must land on the same

@@ -189,4 +189,30 @@ class SourcesSpec extends SparkSuite {
     val bad = Seq(("x", "y")).toDF("colA", "colB")
     assert(NyuSource.process(bad).isEmpty)
   }
+
+  test("JSONL sink/scan: hostile content round-trips; partition layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    import graft.sources.Jsonl
+    // quotes, newlines, tabs, backslashes, unicode, JSON-looking text,
+    // empty string, and a NULL — everything a document corpus can carry
+    val rows = Seq(
+      (1L, "he said \"hi\"\nsecond\tline", "en"),
+      (2L, "back\\slash and emoji é中😀", "zh"),
+      (3L, "{\"looks\": [\"like\", \"json\"]}", "en"),
+      (4L, "", "en"),
+      (5L, null.asInstanceOf[String], "de"))
+    val df = rows.toDF("id", "text", "lang")
+    val out = java.nio.file.Files.createTempDirectory("jsonl-rt").toString
+    Jsonl.write(df, out, partitionBy = Seq("lang"))
+    // partition columns live in the directory layout, not the lines
+    assert(new java.io.File(s"$out/lang=en").isDirectory)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("text", StringType)))
+    val back = Jsonl.read(spark, out, schema)
+      .select($"id", $"text", $"lang".cast("string"))
+      .collect().map(r => (r.getLong(0), r.get(1), r.getString(2))).toSet
+    assert(back == rows.map(r => (r._1, r._2: Any, r._3)).toSet,
+      s"round-trip mismatch: $back")
+  }
 }
