@@ -1823,6 +1823,26 @@ object SparkEntry {
         .orderBy("doc_id", "pos")
     }),
 
+    // Distributed BPE merge training (Sennrich 2016): the corpus is
+    // touched once (word-frequency aggregate); each merge round runs on
+    // the vocabulary table with a driver-held argmax row. The oracle
+    // replays every round — pair stats, tie-break, fold application.
+    "bpe_merges" -> ((s, dir) => {
+      val ms = Bpe.fit(t(s, dir, "documents"), "text", rounds = 6)
+      Bpe.mergesDF(s, ms).orderBy("rank")
+    }),
+
+    // The learned merges APPLIED at corpus scale: folds run once per
+    // DISTINCT word (vocabulary-sized, like fit), and each doc's words
+    // broadcast-join to their encoded lengths — the corpus text never
+    // runs a fold and never shuffles.
+    "bpe_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ms = Bpe.fit(docs, "text", rounds = 6)
+      Bpe.encodedLengths(docs, "doc_id", "text", ms)
+        .orderBy("doc_id")
+    }),
+
     // The COMPOSED curation funnel an LLM data pipeline actually runs:
     // language gate -> quality gate -> exact dedup -> MinHash near-dup
     // drop, reported as per-source survivor counts at every stage. Each
@@ -1960,6 +1980,40 @@ object SparkEntry {
       |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
       |  FROM dt JOIN wts USING (tok)
       |  GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB replay of Bpe.fit(rounds) over the documents vocabulary:
+    * word-count CTE `wc`, symbol chain s0..s{rounds} (each word's symbol
+    * list CARRIES the word, so encode can join back), winning-merge CTEs
+    * m1..m{rounds}. Pair stats follow get_stats (all adjacent indexes);
+    * the merge fold is the same sentinel-seeded leftmost-first
+    * list_reduce the Spark side folds with `aggregate`. DuckDB slices
+    * are INCLUSIVE, hence acc[:-2] to drop the accumulator's last
+    * element and s[2:] to strip the sentinel. */
+  private def duckBpeCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """toks AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |wc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM toks GROUP BY 1),
+        |s0 AS (SELECT w, n,
+        |  list_append(regexp_extract_all(w, '.'), '</w>') AS s FROM wc)"""
+        .stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"s${r - 1}"
+      sb ++= s""",
+        |p$r AS (SELECT p.l AS l, p.r AS r, SUM(n) AS cnt
+        |  FROM (SELECT n, unnest(list_transform(range(1, len(s)),
+        |    i -> {'l': s[i], 'r': s[i + 1]})) AS p FROM $prev)
+        |  GROUP BY 1, 2),
+        |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+        |s$r AS (SELECT w, n, list_reduce(
+        |    list_prepend(['^'], list_transform(s, x -> [x])),
+        |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l
+        |        AND x[1] = m.r
+        |      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END)[2:] AS s
+        |  FROM $prev, m$r m)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** DuckDB nearest-centroid assignment mirroring KMeans.nearestExpr:
     * shifted squared distance |c|^2 - 2 v.c (same ascending-dim folds),
@@ -3559,6 +3613,25 @@ object SparkEntry {
         |  COALESCE(v.token_id, 0) AS token_id
         |FROM toks t LEFT JOIN vocab v USING (token)
         |ORDER BY doc_id, pos""".stripMargin,
+
+    // every merge round re-derived: pair stats, tie-break, fold
+    "bpe_merges" ->
+      s"""WITH ${duckBpeCtes(6)}
+        |SELECT * FROM (
+        |  ${(1 to 6).map(r =>
+             s"""SELECT $r AS rank, l AS "left", r AS "right",
+        |    CAST(cnt AS BIGINT) AS n FROM m$r""").mkString("\n|  UNION ALL\n|  ")}
+        |) ORDER BY rank""".stripMargin,
+
+    // encode = join each doc word back to its fully-merged symbol list
+    // (every corpus word is in the vocabulary by construction)
+    "bpe_encode" ->
+      s"""WITH ${duckBpeCtes(6)},
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+        |  FROM documents)
+        |SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n_bpe
+        |FROM d JOIN s6 USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // The full funnel re-derived relationally: langid CASE + quality
     // predicate, row_number exact dedup, and the shared MinHash pair CTE

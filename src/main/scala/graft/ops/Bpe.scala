@@ -1,0 +1,148 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed byte-pair-encoding merge training (Sennrich et al. 2016,
+  * arXiv:1508.07909) — the vocabulary-induction step of a tokenizer
+  * pipeline, shaped for corpus scale:
+  *
+  * The corpus is touched ONCE — a word-frequency aggregate (the classic
+  * distributed-BPE reduction: pair statistics are identical whether
+  * computed over the corpus or over the distinct-word table weighted by
+  * count, and the word table is vocabulary-sized, orders of magnitude
+  * smaller than the corpus). Every merge round then runs on that small
+  * table: one pair-count aggregate bounded by vocabulary size, one
+  * driver-held argmax row (like the k-means centroid state — bounded by
+  * the model, never the data), and a map-side fold applying the merge.
+  *
+  * Determinism / portability: pair counting follows the published
+  * get_stats convention (ALL adjacent index pairs, overlap included);
+  * the winning pair breaks count ties by (left, right) binary string
+  * order; merge application is leftmost-first non-overlapping via a
+  * sentinel-seeded left fold — each step replayed exactly by the DuckDB
+  * oracle's list_reduce.
+  */
+object Bpe {
+
+  /** One learned merge: rank (1-based), the pair, its weighted count. */
+  final case class Merge(rank: Int, left: String, right: String, n: Long)
+
+  /** Fold sentinel: never a symbol (symbols are word characters and the
+    * end-of-word marker), so the merge branch can never fire on it. */
+  private val Sentinel = "^"
+
+  /** End-of-word marker symbol (Sennrich's </w>): lets merges distinguish
+    * word-final from word-internal occurrences. */
+  val EndOfWord = "</w>"
+
+  /** A word as its initial symbol sequence: characters + end marker. */
+  def symbolize(word: Column): Column =
+    concat(split(word, ""), array(lit(EndOfWord)))
+
+  /** All adjacent (left, right) symbol pairs — overlap included, the
+    * get_stats convention. Guarded so single-symbol arrays yield an
+    * EMPTY pair list (an unguarded sequence(1, 0) would run backwards). */
+  def adjacentPairs(syms: Column): Column = {
+    val pairs = transform(sequence(lit(1), size(syms) - 1),
+      i => struct(element_at(syms, i).as("l"),
+        element_at(syms, i + 1).as("r")))
+    when(size(syms) >= 2, pairs)
+      .otherwise(array().cast("array<struct<l:string,r:string>>"))
+  }
+
+  /** Apply ONE merge to a symbol array: leftmost-first, non-overlapping.
+    * Sentinel-seeded left fold — the accumulator's last element is
+    * either a fresh symbol (merge candidate) or an already-merged token
+    * (which no longer string-equals `left`, so it cannot re-merge). */
+  def applyMergeExpr(syms: Column, left: String, right: String): Column = {
+    val merged = left + right
+    val folded = aggregate(syms, array(lit(Sentinel)),
+      (acc, x) =>
+        when(element_at(acc, -1) === lit(left) && x === lit(right),
+          concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+        .otherwise(concat(acc, array(x))))
+    slice(folded, lit(2), size(folded) - 1)
+  }
+
+  /** Learn `rounds` merges over the whitespace vocabulary of `textCol`.
+    * One corpus-scale aggregate (the word count), then vocabulary-table
+    * work only; the word table is persisted across rounds so round r
+    * does not replay rounds 1..r-1 against the corpus. */
+  def fit(corpus: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val words = corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      var syms = words.select(col("n"), symbolize(col("w")).as("s"))
+      val merges = Seq.newBuilder[Merge]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        val top = syms
+          .select(col("n"), explode(adjacentPairs(col("s"))).as("p"))
+          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(col("cnt").desc, col("l"), col("r"))
+          .limit(1).collect()
+        if (top.isEmpty) exhausted = true // every word fully merged
+        else {
+          val row = top.head
+          val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
+          merges += Merge(r, l, rt, cnt)
+          syms = syms.select(col("n"), applyMergeExpr(col("s"), l, rt).as("s"))
+          r += 1
+        }
+      }
+      merges.result()
+    } finally { words.unpersist(); () }
+  }
+
+  /** The learned merge list as a flat DataFrame — the persist/audit
+    * format (reload it anywhere, apply without refitting). */
+  def mergesDF(spark: SparkSession, merges: Seq[Merge]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        merges.map(m => Row(m.rank, m.left, m.right, m.n)), 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("left", StringType, nullable = false),
+        StructField("right", StringType, nullable = false),
+        StructField("n", LongType, nullable = false))))
+
+  /** Encode a text column with an already-learned merge list: symbolize
+    * each whitespace token, apply the merges in rank order (map-side
+    * folds over driver-held merge literals — no join, no shuffle), and
+    * return the flattened symbol array. */
+  def encodeExpr(text: Column, merges: Seq[Merge]): Column = {
+    val perWord = (w: Column) =>
+      merges.sortBy(_.rank).foldLeft(symbolize(w)) { (s, m) =>
+        applyMergeExpr(s, m.left, m.right)
+      }
+    flatten(transform(TextAnalysis.tokens(text), perWord))
+  }
+
+  /** Per-doc BPE token counts at corpus scale. [[encodeExpr]] folds the
+    * merges per OCCURRENCE — right for ad-hoc unseen text, quadratic
+    * waste on a corpus where every word repeats. Here the folds run once
+    * per DISTINCT word (vocabulary-sized work, like fit itself) and the
+    * corpus just broadcast-joins each word occurrence to its encoded
+    * length: the document text never runs a fold and never shuffles —
+    * only the (id, count) aggregate exchanges. */
+  def encodedLengths(corpus: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[Merge]): DataFrame = {
+    val docWords = corpus.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("w"))
+    val folded = merges.sortBy(_.rank)
+      .foldLeft(symbolize(col("w"))) { (s, m) =>
+        applyMergeExpr(s, m.left, m.right)
+      }
+    val vocab = docWords.select("w").distinct()
+      .select(col("w"), size(folded).cast("long").as("n_syms"))
+    docWords.join(broadcast(vocab), "w")
+      .groupBy(idCol).agg(sum("n_syms").as("n_bpe"))
+  }
+}

@@ -6,6 +6,40 @@ import org.apache.spark.sql.functions._
 /** Unit tests for the scalar/reshape operator library: full month/quarter
   * date algebra (SURVEY.md §5.1), coercions, percent heuristic, melt. */
 class OpsSpec extends SparkSuite {
+
+  test("bpe: Sennrich fixture learns the classic merges; encode applies them") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    // the published worked example: low x5, lower x2, newest x6, widest x3
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val ms = Bpe.fit(docs, "text", rounds = 5)
+    assert(ms.map(m => (m.left, m.right, m.n)) == Seq(
+      ("e", "s", 9L), ("es", "t", 9L), ("est", "</w>", 9L),
+      ("l", "o", 7L), ("lo", "w", 7L)), s"wrong merges: $ms")
+    assert(ms.map(_.rank) == Seq(1, 2, 3, 4, 5))
+    // encoding an UNSEEN word with the learned merges
+    val enc = Seq((1L, "lowest")).toDF("id", "text")
+      .select(Bpe.encodeExpr(col("text"), ms).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(enc == Seq("low", "est</w>"), s"wrong encoding: $enc")
+    // single-char word: no pairs, survives as (char, end marker)
+    val tiny = Seq((1L, "a")).toDF("id", "text")
+      .select(Bpe.encodeExpr(col("text"), ms).as("s"))
+      .collect().head.getSeq[String](0)
+    assert(tiny == Seq("a", "</w>"))
+    // the corpus-scale encode (vocabulary folds + broadcast join) agrees
+    // with the per-occurrence expression on every doc
+    val docs2 = Seq((1L, "low lower low"), (2L, "newest lowest widest"))
+      .toDF("id", "text")
+    val viaExpr = docs2
+      .select(col("id"), size(Bpe.encodeExpr(col("text"), ms)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaVocab = Bpe.encodedLengths(docs2, "id", "text", ms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaVocab, s"$viaExpr vs $viaVocab")
+  }
   import spark.implicits._
 
   // ------------------------------------------------------------ F1 monthly
