@@ -113,6 +113,17 @@ object Bpe {
         StructField("right", StringType, nullable = false),
         StructField("n", LongType, nullable = false))))
 
+  /** Reload a persisted [[mergesDF]] into driver state — the round-trip
+    * that lets a later session (or another cluster) encode against a
+    * learned vocabulary WITHOUT refitting. Rank order is restored from
+    * the rank column; strings survive parquet exactly. */
+  def fromDF(merges: DataFrame): Seq[Merge] = {
+    val rows = merges.select("rank", "left", "right", "n").collect()
+    require(rows.nonEmpty, "empty merge table")
+    rows.map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+      r.getLong(3))).sortBy(_.rank).toSeq
+  }
+
   /** Encode a text column with an already-learned merge list: symbolize
     * each whitespace token, apply the merges in rank order (map-side
     * folds over driver-held merge literals — no join, no shuffle), and

@@ -39,6 +39,12 @@ class OpsSpec extends SparkSuite {
     val viaVocab = Bpe.encodedLengths(docs2, "id", "text", ms)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(viaExpr == viaVocab, s"$viaExpr vs $viaVocab")
+    // persistence round-trip: a later session reloads the same merges it
+    // fitted (fit once, encode anywhere — the kmeans_assign discipline)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+    val store = new graft.store.TableStore(spark, tmp)
+    store.overwrite("merges", Bpe.mergesDF(spark, ms), maxFiles = 1)
+    assert(Bpe.fromDF(store.read("merges")) == ms)
   }
   import spark.implicits._
 
