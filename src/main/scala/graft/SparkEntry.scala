@@ -977,7 +977,8 @@ object SparkEntry {
     "dedup_semantic" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
-      KMeans.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.3)
+      KMeans.semDedup(emb, "vec_id", "embedding", cents, threshold = 0.3,
+          materialize = true)
         .select(col("vec_id"), col("cluster"),
           round(col("cent_sim"), 6).as("cent_sim"))
         .orderBy("vec_id")
@@ -1986,9 +1987,16 @@ object SparkEntry {
     * list CARRIES the word, so encode can join back), winning-merge CTEs
     * m1..m{rounds}. Pair stats follow get_stats (all adjacent indexes);
     * the merge fold is the same sentinel-seeded leftmost-first
-    * list_reduce the Spark side folds with `aggregate`. DuckDB slices
-    * are INCLUSIVE, hence acc[:-2] to drop the accumulator's last
-    * element and s[2:] to strip the sentinel. */
+    * list_reduce the Spark side folds with `aggregate` (sentinel = one
+    * SPACE, matching Bpe.Sentinel — never a symbol of \S+ words).
+    * DuckDB slices are INCLUSIVE, hence acc[:-2] to drop the
+    * accumulator's last element and s[2:] to strip the sentinel.
+    * EXHAUSTION is modeled: when a round's pair table is empty (every
+    * word fully merged), a ('', '', -1) dummy wins the argmax — its
+    * merge can never fire (no symbol is ''), so later s-stages pass
+    * through unchanged instead of going empty via the cross join, and
+    * merge consumers filter the dummy with l <> '' — exactly fit()'s
+    * stop-early behavior. */
   private def duckBpeCtes(rounds: Int): String = {
     val sb = new StringBuilder(
       """toks AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
@@ -2004,9 +2012,11 @@ object SparkEntry {
         |  FROM (SELECT n, unnest(list_transform(range(1, len(s)),
         |    i -> {'l': s[i], 'r': s[i + 1]})) AS p FROM $prev)
         |  GROUP BY 1, 2),
-        |m$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+        |m$r AS (SELECT * FROM (SELECT l, r, cnt FROM p$r
+        |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT))
+        |  ORDER BY cnt DESC, l, r LIMIT 1),
         |s$r AS (SELECT w, n, list_reduce(
-        |    list_prepend(['^'], list_transform(s, x -> [x])),
+        |    list_prepend([' '], list_transform(s, x -> [x])),
         |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l
         |        AND x[1] = m.r
         |      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END)[2:] AS s
@@ -3149,8 +3159,8 @@ object SparkEntry {
         |m AS (SELECT doc_id,
         |    CAST(len(toks) AS BIGINT) AS w,
         |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
-        |    CAST(len(regexp_extract_all(text, '#')) +
-        |         len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS symbols,
+        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes,
+        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS esyms,
         |    CAST(len(lines) AS BIGINT) AS n_lines,
         |    CAST(len(list_filter(lines,
         |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullets,
@@ -3164,13 +3174,14 @@ object SparkEntry {
         |SELECT doc_id,
         |  w BETWEEN 50 AND 100000 AS word_count_ok,
         |  (chars >= w * 3 AND chars <= w * 10) AS mean_word_len_ok,
-        |  symbols * 10 <= w AS symbol_ratio_ok,
-        |  bullets * 10 <= n_lines AS bullet_ok,
+        |  (hashes * 10 <= w AND esyms * 10 <= w) AS symbol_ratio_ok,
+        |  bullets * 10 <= n_lines * 9 AS bullet_ok,
         |  ellipses * 10 <= n_lines * 3 AS ellipsis_ok,
         |  alpha * 5 >= w * 4 AS alpha_word_ok,
         |  req >= 2 AS required_words_ok,
         |  (w BETWEEN 50 AND 100000 AND chars >= w * 3 AND chars <= w * 10
-        |   AND symbols * 10 <= w AND bullets * 10 <= n_lines
+        |   AND hashes * 10 <= w AND esyms * 10 <= w
+        |   AND bullets * 10 <= n_lines * 9
         |   AND ellipses * 10 <= n_lines * 3 AND alpha * 5 >= w * 4
         |   AND req >= 2) AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
@@ -3620,7 +3631,7 @@ object SparkEntry {
         |SELECT * FROM (
         |  ${(1 to 6).map(r =>
              s"""SELECT $r AS rank, l AS "left", r AS "right",
-        |    CAST(cnt AS BIGINT) AS n FROM m$r""").mkString("\n|  UNION ALL\n|  ")}
+        |    CAST(cnt AS BIGINT) AS n FROM m$r WHERE l <> ''""").mkString("\n|  UNION ALL\n|  ")}
         |) ORDER BY rank""".stripMargin,
 
     // encode = join each doc word back to its fully-merged symbol list

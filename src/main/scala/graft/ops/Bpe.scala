@@ -29,9 +29,12 @@ object Bpe {
   /** One learned merge: rank (1-based), the pair, its weighted count. */
   final case class Merge(rank: Int, left: String, right: String, n: Long)
 
-  /** Fold sentinel: never a symbol (symbols are word characters and the
-    * end-of-word marker), so the merge branch can never fire on it. */
-  private val Sentinel = "^"
+  /** Fold sentinel: a single SPACE — provably never a symbol, because
+    * symbols are characters of `\S+` words, the space-free end marker,
+    * or concatenations thereof. (A printable sentinel like '^' would
+    * collide: '^' IS a legal word character, and a learned merge with
+    * left = "^" would merge the sentinel into the word's first symbol.) */
+  private val Sentinel = " "
 
   /** End-of-word marker symbol (Sennrich's </w>): lets merges distinguish
     * word-final from word-internal occurrences. */
@@ -140,9 +143,14 @@ object Bpe {
     * merges per OCCURRENCE — right for ad-hoc unseen text, quadratic
     * waste on a corpus where every word repeats. Here the folds run once
     * per DISTINCT word (vocabulary-sized work, like fit itself) and the
-    * corpus just broadcast-joins each word occurrence to its encoded
-    * length: the document text never runs a fold and never shuffles —
-    * only the (id, count) aggregate exchanges. */
+    * corpus joins each word occurrence to its encoded length on the
+    * word key. NO broadcast hint: a web corpus's `\S+` vocabulary is
+    * heavy-tailed and unbounded (URLs, hashes, numbers — far past any
+    * broadcast cap), so the optimizer/AQE picks broadcast only when the
+    * vocabulary actually is small; the shuffle otherwise ships (id,
+    * word) pairs — the document TEXT never runs a fold and never
+    * shuffles — and the (id, count) aggregate's partials collapse
+    * map-side. */
   def encodedLengths(corpus: DataFrame, idCol: String, textCol: String,
                      merges: Seq[Merge]): DataFrame = {
     val docWords = corpus.select(col(idCol),
@@ -153,7 +161,7 @@ object Bpe {
       }
     val vocab = docWords.select("w").distinct()
       .select(col("w"), size(folded).cast("long").as("n_syms"))
-    docWords.join(broadcast(vocab), "w")
+    docWords.join(vocab, "w")
       .groupBy(idCol).agg(sum("n_syms").as("n_bpe"))
   }
 }

@@ -220,12 +220,22 @@ object KMeans {
     * bounded by construction because k is chosen ∝ corpus size precisely
     * so clusters stay small (the paper runs 50k clusters on LAION); the
     * final step is a distinct on dropped ids + a left-anti join. No
-    * all-pairs term ever touches the full corpus. */
+    * all-pairs term ever touches the full corpus.
+    *
+    * The assigned frame feeds THREE plan uses (both self-join sides and
+    * the anti-join probe). `materialize = true` caches it for the pass
+    * and releases it once the (small) survivor frame is persisted —
+    * callers that keep the result own unpersist(), the
+    * [[graft.ops.Dedup.minhashNearDupPairs]] discipline; the lazy path
+    * deliberately does not cache (an unowned cache would pin the
+    * largest intermediate in a shared session forever). */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               cents: Seq[Centroid], threshold: Double): DataFrame = {
-    val base = vecs(df, idCol, vecCol)
+               cents: Seq[Centroid], threshold: Double,
+               materialize: Boolean = false): DataFrame = {
+    val basePlan = vecs(df, idCol, vecCol)
       .withColumn("__cluster", assignExpr(col("__v"), cents))
       .withColumn("__cs", centroidCosExpr(col("__v"), col("__cluster"), cents))
+    val base = if (materialize) basePlan.cache() else basePlan
     val a = base.select(col("__cluster"), col("__id").as("__idA"),
       col("__v").as("__va"), col("__cs").as("__csA"))
     val b = base.select(col("__cluster"), col("__id").as("__idB"),
@@ -236,9 +246,16 @@ object KMeans {
       .filter(col("__csB") < col("__csA") ||
         (col("__csB") === col("__csA") && col("__idB") < col("__idA")))
       .select(col("__idA").as("__dropped")).distinct()
-    base.join(dropped, base("__id") === dropped("__dropped"), "left_anti")
+    val out = base
+      .join(dropped, base("__id") === dropped("__dropped"), "left_anti")
       .select(col("__id").as(idCol), col("__cluster").as("cluster"),
         col("__cs").as("cent_sim"))
+    if (materialize) {
+      val o = out.persist()
+      o.count()
+      base.unpersist(false)
+      o
+    } else out
   }
 
   /** IVF ANN with the TRAINED quantizer: corpus rows live in their nearest

@@ -96,8 +96,11 @@ object TextAnalysis {
     * heuristic filter suite for web-scale pre-training corpora:
     *   1. word count in [50, 100000];
     *   2. mean word length in [3, 10] characters;
-    *   3. symbol-to-word ratio ('#' or '...') <= 0.1;
-    *   4. <= 10% of lines start with a bullet ('-', '*', '•');
+    *   3. symbol-to-word ratio <= 0.1 for EACH of '#' and '...'
+    *      separately (the paper applies the ratio per symbol, not to
+    *      their sum);
+    *   4. <= 90% of lines start with a bullet ('-', '*', '•') — the
+    *      paper removes only bullet-DOMINATED documents;
     *   5. <= 30% of lines end with an ellipsis;
     *   6. >= 80% of words contain an alphabetic character;
     *   7. at least 2 of the 8 required English words appear.
@@ -111,8 +114,9 @@ object TextAnalysis {
     val toks = tokens(text)
     val w = size(toks).cast("long")
     val chars = length(regexp_replace(text, "\\s+", "")).cast("long")
-    val symbols = (size(regexp_extract_all(text, lit("#"), lit(0))) +
-      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0)))).cast("long")
+    val hashes = size(regexp_extract_all(text, lit("#"), lit(0))).cast("long")
+    val ellipsisSyms =
+      size(regexp_extract_all(text, lit("\\.\\.\\."), lit(0))).cast("long")
     val lines = split(text, "\n")
     val nLines = size(lines).cast("long")
     val bullets = size(filter(lines,
@@ -124,8 +128,8 @@ object TextAnalysis {
       sw => array_contains(toks, sw)))
     val r1 = w.between(50L, 100000L)
     val r2 = chars >= w * 3L && chars <= w * 10L
-    val r3 = symbols * 10L <= w
-    val r4 = bullets * 10L <= nLines
+    val r3 = hashes * 10L <= w && ellipsisSyms * 10L <= w
+    val r4 = bullets * 10L <= nLines * 9L
     val r5 = ellipses * 10L <= nLines * 3L
     val r6 = alphaWords * 5L >= w * 4L
     val r7 = reqHits >= 2

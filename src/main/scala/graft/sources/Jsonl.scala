@@ -40,9 +40,12 @@ object Jsonl {
   }
 
   /** Read a JSONL directory with a declared data schema; partition
-    * columns (if the layout has them) are appended by the scan. Rows
-    * that fail to parse surface in `_corrupt_record` mode PERMISSIVE by
-    * default — pass FAILFAST when the corpus is contract-bound. */
+    * columns (if the layout has them) are appended by the scan. The
+    * DEFAULT mode is FAILFAST — a corpus delivery is contract-bound, so
+    * a malformed line fails the read loudly. Pass mode = "PERMISSIVE"
+    * to null-fill bad rows instead (and add a `_corrupt_record` string
+    * field to the declared schema if the raw line should be captured —
+    * Spark only populates it when the schema declares it). */
   def read(spark: SparkSession, dir: String, schema: StructType,
            mode: String = "FAILFAST"): DataFrame =
     spark.read.schema(schema).option("mode", mode).json(dir)

@@ -83,7 +83,16 @@ class QuerySemanticsSpec extends SparkSuite {
       5L -> (0 until 60).map(_ => "trailing line ...").mkString("\n"),
       6L -> (Seq("the", "with") ++ (0 until 60).map(_ => "12345")).mkString(" "),
       7L -> (0 until 60).map(i => s"word$i").mkString(" "), // no required words
-      8L -> (0 until 60).map(_ => "a").mkString(" ")        // mean word len 1
+      8L -> (0 until 60).map(_ => "a").mkString(" "),       // mean word len 1
+      // list-BEARING doc (50% bulleted): the paper only removes
+      // bullet-DOMINATED docs (>90%), so this must KEEP
+      9L -> ((0 until 30).map(_ => "- the item listed here with detail") ++
+        (0 until 30).map(_ => "plain prose line of the document"))
+        .mkString("\n"),
+      // hash and ellipsis each under 0.1 separately (their SUM is over):
+      // the paper applies the ratio per symbol, so this must KEEP
+      10L -> (good + " # # # # " +
+        "also ... some ... trailing ... thoughts ... here")
     ).toDF("id", "text")
     val out = docs
       .select(col("id"), TextAnalysis.gopherRules(col("text")).as("g"))
@@ -98,6 +107,14 @@ class QuerySemanticsSpec extends SparkSuite {
     assert(!out(7L).getAs[Boolean]("required_words_ok"))
     assert(!out(8L).getAs[Boolean]("mean_word_len_ok"))
     assert((2L to 8L).forall(i => !out(i).getAs[Boolean]("passes")))
+    // published-threshold fidelity: 50% bulleted lines KEEP (the rule
+    // removes only >90% bullet-dominated docs) ...
+    assert(out(9L).getAs[Boolean]("bullet_ok") &&
+      out(9L).getAs[Boolean]("passes"))
+    // ... and the 0.1 symbol ratio applies to '#' and '...' SEPARATELY
+    // (each ~0.05 here; their sum is over 0.1 and must not fail the doc)
+    assert(out(10L).getAs[Boolean]("symbol_ratio_ok") &&
+      out(10L).getAs[Boolean]("passes"))
   }
 
   test("percentile: Spark's interpolated exact percentile on a pinned group") {
