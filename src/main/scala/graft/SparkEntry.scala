@@ -1728,6 +1728,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus curation: Gopher A1.2 LINE-repetition rules. The corpus is
+    // single-line, so the query first splices deterministic structure
+    // (the text_redact/boilerplate_filter convention): a newline every 8
+    // words, plus a repeated footer line — 6 copies on every 7th doc
+    // (over the 0.30 dup-line threshold → fails), 2 on every 3rd (under
+    // → keeps). The oracle replays the splice and both fractions.
+    "gopher_repetition" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nLines = ceil(size(toks) / lit(8.0)).cast("int")
+      val body = concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+      val footer = when(pmod(col("doc_id"), lit(7)) === 0,
+          lit("\nfollow us for more" * 6))
+        .when(pmod(col("doc_id"), lit(3)) === 0, lit("\nfollow us for more" * 2))
+        .otherwise(lit(""))
+      val spliced = t(s, dir, "documents")
+        .select(col("doc_id"), concat(body, footer).as("text"))
+      Corpus.lineRepetitionSignals(spliced, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Corpus curation: top-5 salient terms per doc by TF-IDF with the
     // RATIONAL ppm-integer score (floor(cnt*1e6*N/(total*df))) — exact
     // integer/double arithmetic, so score AND ranking are engine-portable
@@ -3462,6 +3483,36 @@ object SparkEntry {
         |  FROM c3 GROUP BY 1)
         |SELECT top2.doc_id, top2.top2gram_frac, dup3.dup3gram_frac
         |FROM top2 JOIN dup3 USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // same splice (8-word lines + footer copies), same beyond-first
+    // duplicate counting, same integer-cross-multiplied verdicts
+    "gopher_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents),
+        |sp AS (SELECT doc_id,
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+        |      i -> array_to_string(toks[i * 8 + 1:i * 8 + 8], ' ')), chr(10))
+        |    || CASE WHEN doc_id % 7 = 0
+        |         THEN repeat(chr(10) || 'follow us for more', 6)
+        |         WHEN doc_id % 3 = 0
+        |         THEN repeat(chr(10) || 'follow us for more', 2)
+        |         ELSE '' END AS text
+        |  FROM t),
+        |g AS (SELECT doc_id, line, COUNT(*) AS n,
+        |    length(line) AS lc
+        |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
+        |        FROM sp)
+        |  WHERE length(line) > 0 GROUP BY 1, 2, 4),
+        |a AS (SELECT doc_id, SUM(n) AS tot, SUM(n - 1) AS dup,
+        |    SUM(n * lc) AS totc, SUM((n - 1) * lc) AS dupc
+        |  FROM g GROUP BY 1)
+        |SELECT doc_id, CAST(tot AS BIGINT) AS n_lines,
+        |  round(CAST(dup AS DOUBLE) / tot, 6) AS dup_line_frac,
+        |  round(CAST(dupc AS DOUBLE) / totc, 6) AS dup_char_frac,
+        |  dup * 10 <= tot * 3 AS dup_line_ok,
+        |  dupc * 10 <= totc * 2 AS dup_char_ok
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     // The ppm score is one IEEE division of two exact (<2^52) integer
     // products, then floor — bit-identical across engines by construction.

@@ -60,6 +60,36 @@ object Corpus {
     top2.join(dup3, idCol)
   }
 
+  /** Gopher line-repetition signals (Rae et al. 2021, App. A1.2 — the
+    * LINE-level complement of [[repetitionSignals]]'s n-gram rules):
+    * per document,
+    *   - `dup_line_frac`: line occurrences BEYOND the first of their
+    *     value, over total non-empty lines (threshold 0.30 in the
+    *     paper);
+    *   - `dup_char_frac`: characters in those beyond-first occurrences
+    *     over total line characters (threshold 0.20).
+    * Both verdicts are integer cross-multiplications. Exactly one
+    * (id, line)-keyed hash aggregate then one id-keyed roll-up — the
+    * partials collapse map-side, nothing else shuffles, and the line
+    * text itself never leaves the first aggregate. */
+  def lineRepetitionSignals(df: DataFrame, idCol: String,
+                            textCol: String): DataFrame = {
+    val perLine = df
+      .select(col(idCol), explode(split(col(textCol), "\n")).as("__l"))
+      .where(length(col("__l")) > 0)
+      .groupBy(idCol, "__l").agg(count(lit(1)).as("__n"))
+    perLine.groupBy(idCol).agg(
+        sum("__n").as("__tot"),
+        sum(col("__n") - 1).as("__dup"),
+        sum(col("__n") * length(col("__l"))).as("__totc"),
+        sum((col("__n") - 1) * length(col("__l"))).as("__dupc"))
+      .select(col(idCol), col("__tot").as("n_lines"),
+        round(col("__dup") / col("__tot"), 6).as("dup_line_frac"),
+        round(col("__dupc") / col("__totc"), 6).as("dup_char_frac"),
+        (col("__dup") * 10L <= col("__tot") * 3L).as("dup_line_ok"),
+        (col("__dupc") * 10L <= col("__totc") * 2L).as("dup_char_ok"))
+  }
+
   /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf
     * (N/df instead of ln(N/df)) scaled to parts-per-million:
     *

@@ -7,6 +7,25 @@ import org.apache.spark.sql.functions._
   * date algebra (SURVEY.md §5.1), coercions, percent heuristic, melt. */
 class OpsSpec extends SparkSuite {
 
+  test("lineRepetitionSignals: hand-computed fractions, empty lines skipped") {
+    import spark.implicits._
+    val docs = Seq(
+      // x,x,x + one 14-char line: dup=2/4=0.5 (fails 0.3), dupc=2/17
+      // (0.117647, keeps 0.2)
+      (1L, "x\nx\nx\nlong line here"),
+      (2L, "alpha\nbeta\ngamma"),                 // all unique: 0, 0
+      (3L, "a\n\na")                              // empty line skipped: 1/2
+    ).toDF("id", "text")
+    val out = graft.ops.Corpus.lineRepetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getLong(1) == 4L)
+    assert(out(1L).getDouble(2) == 0.5 && !out(1L).getBoolean(4))
+    assert(out(1L).getDouble(3) == 0.117647 && out(1L).getBoolean(5))
+    assert(out(2L).getDouble(2) == 0.0 && out(2L).getBoolean(4) &&
+      out(2L).getBoolean(5))
+    assert(out(3L).getLong(1) == 2L && out(3L).getDouble(2) == 0.5)
+  }
+
   test("bpe: Sennrich fixture learns the classic merges; encode applies them") {
     import graft.ops.Bpe
     import spark.implicits._
