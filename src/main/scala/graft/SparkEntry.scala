@@ -969,6 +969,36 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // Product quantization (Jégou et al. 2011): per-subspace codebooks
+    // fitted with the same deterministic Lloyd; the corpus compresses to
+    // m=4 ints per vector via a map-side assign. The oracle replays all
+    // four subspace fits (seeds + one Lloyd round) and the assignment.
+    "pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = KMeans.pqFit(emb, "vec_id", "embedding", m = 4, k = 16,
+        iters = 1)
+      emb.select(col("vec_id"), posexplode(
+          KMeans.pqCodesExpr(Similarity.asDouble(col("embedding")), books))
+          .as(Seq("subspace", "code")))
+        .orderBy("vec_id", "subspace")
+    }),
+
+    // ADC search over the PQ codes: each query precomputes its m x k
+    // exact subspace-distance table map-side; the corpus contributes
+    // ONLY its 4-int codes; scores are ordered table-lookup folds.
+    // Broadcast query side, windowed top-k — at real scale this joins
+    // the IVF cell pruning (IVF-PQ), the billion-vector standard.
+    "ann_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val books = KMeans.pqFit(emb, "vec_id", "embedding", m = 4, k = 16,
+        iters = 1)
+      KMeans.pqTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", kNN = 10, books)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("qid", "rank")
+    }),
+
     // SemDeDup (arXiv:2303.09540): semantic near-dup removal through the
     // trained quantizer — candidate pairs only WITHIN a k-means cluster;
     // of each duplicate pair the less-typical item (lowest cosine to its
@@ -2046,6 +2076,29 @@ object SparkEntry {
     sb.toString
   }
 
+  /** DuckDB replay of KMeans.pqFit(m=4, k=16, iters=1) over embeddings:
+    * four sliced views v0..v3 (16 dims each), a `p{s}_`-prefixed
+    * farthest-first seed chain + one Lloyd round per subspace, final
+    * code assignment code0..code3 against the updated centroids. */
+  private lazy val duckPqCtes: String = {
+    val subs = (0 until 4).map { s =>
+      val lo = s * 16 + 1
+      val hi = (s + 1) * 16
+      s"""v$s AS MATERIALIZED (SELECT id, v[$lo:$hi] AS v FROM v),
+        |${duckKmeansSeeds(16, s"p${s}_", s"v$s")},
+        |p${s}_a1 AS (${duckKmeansAssign(s"v$s", s"p${s}_seed", 1)}),
+        |p${s}_u1 AS (${duckKmeansUpdate(s"p${s}_a1")}),
+        |p${s}_u1c AS MATERIALIZED (SELECT cluster, list(comp ORDER BY pos) AS c
+        |  FROM p${s}_u1 GROUP BY cluster),
+        |code$s AS MATERIALIZED (${duckKmeansAssign(s"v$s", s"p${s}_u1c", 1)})"""
+        .stripMargin
+    }
+    s"""v AS MATERIALIZED (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |${subs.mkString(",\n")}""".stripMargin
+  }
+
   /** DuckDB nearest-centroid assignment mirroring KMeans.nearestExpr:
     * shifted squared distance |c|^2 - 2 v.c (same ascending-dim folds),
     * ties by cluster id; `maxRk` = 1 for assignment, >1 for query-side
@@ -2077,26 +2130,31 @@ object SparkEntry {
   /** DuckDB farthest-first seed chain mirroring KMeans.seedCentroids:
     * s0 = lowest md5-priority vector; s{j} maximizes least(d2 to chosen
     * seeds), ties by id; every distance is the same
-    * `vn2 + (cn2 - 2 v.c)` fold the Spark side computes. Ends at `seed`
-    * (cluster, c). */
-  private def duckKmeansSeeds(k: Int): String = {
+    * `vn2 + (cn2 - 2 v.c)` fold the Spark side computes. Ends at
+    * `${pfx}seed` (cluster, c); `pfx` namespaces the chain so several
+    * independent fits (the PQ subspace codebooks) coexist in one WITH. */
+  private def duckKmeansSeeds(k: Int, pfx: String = "",
+                              vRel: String = "v"): String = {
     def d2(j: Int) =
       s"(list_sum(list_transform(v, x -> x * x)) + " +
         s"(list_sum(list_transform(c$j, x -> x * x)) - 2.0 * " +
         s"list_sum(list_transform(range(1, len(v) + 1), i -> v[i] * c$j[i]))))"
+    // MATERIALIZED is load-bearing: s{j} references s0..s{j-1}, and an
+    // inlining planner re-evaluates the chain exponentially (2^k scans —
+    // at k=16 that exhausted file handles before it exhausted patience)
     val chain = new StringBuilder(
-      s"s0 AS (SELECT list_transform(v, x -> round(x, 6)) AS c0 FROM v " +
-        s"ORDER BY ${duckHashPriority("id")}, id LIMIT 1)")
+      s"${pfx}s0 AS MATERIALIZED (SELECT list_transform(v, x -> round(x, 6)) AS c0 " +
+        s"FROM $vRel ORDER BY ${duckHashPriority("id")}, id LIMIT 1)")
     for (j <- 1 until k) {
-      val prev = (0 until j).map(i => s"s$i").mkString(", ")
+      val prev = (0 until j).map(i => s"${pfx}s$i").mkString(", ")
       val minD =
         if (j == 1) d2(0)
         else s"least(${(0 until j).map(d2).mkString(", ")})"
-      chain ++= s",\ns$j AS (SELECT list_transform(v, x -> round(x, 6)) " +
-        s"AS c$j FROM v, $prev ORDER BY $minD DESC, id LIMIT 1)"
+      chain ++= s",\n${pfx}s$j AS MATERIALIZED (SELECT list_transform(v, x -> round(x, 6)) " +
+        s"AS c$j FROM $vRel, $prev ORDER BY $minD DESC, id LIMIT 1)"
     }
-    chain ++= ",\nseed AS (" + (0 until k).map(j =>
-      s"SELECT $j AS cluster, c$j AS c FROM s$j").mkString(" UNION ALL ") + ")"
+    chain ++= s",\n${pfx}seed AS (" + (0 until k).map(j =>
+      s"SELECT $j AS cluster, c$j AS c FROM ${pfx}s$j").mkString(" UNION ALL ") + ")"
     chain.toString
   }
 
@@ -2738,6 +2796,40 @@ object SparkEntry {
         |  SELECT qid, nid, cosine,
         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS rank
         |  FROM p)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // all four subspace fits + the assignment, re-derived
+    "pq_encode" ->
+      s"""WITH $duckPqCtes
+        |SELECT id AS vec_id, s AS subspace, cluster AS code FROM (
+        |  ${(0 until 4).map(s =>
+             s"SELECT id, $s AS s, cluster FROM code$s")
+             .mkString("\n|  UNION ALL ")})
+        |ORDER BY vec_id, subspace""".stripMargin,
+
+    // ADC re-derived: per-(query, code) exact subspace distances joined
+    // to the corpus codes; the sum is an ORDERED list fold (never a bare
+    // SUM, whose reassociation would drift doubles across engines)
+    "ann_pq" ->
+      s"""WITH $duckPqCtes,
+        |qv AS (SELECT id, v FROM v WHERE id < 50),
+        |${(0 until 4).map { s =>
+            s"""dist$s AS (SELECT q.id AS qid, c.cluster AS code,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (q.v[i + ${s * 16}] - c.c[i]) * (q.v[i + ${s * 16}] - c.c[i])))
+        |    AS d
+        |  FROM qv q, p${s}_u1c c),
+        |part$s AS (SELECT d.qid, c.id AS nid, $s AS s, d.d
+        |  FROM code$s c JOIN dist$s d ON d.code = c.cluster)"""
+          }.mkString(",\n")},
+        |adc AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adc
+        |  FROM (SELECT * FROM part0 UNION ALL SELECT * FROM part1
+        |        UNION ALL SELECT * FROM part2 UNION ALL SELECT * FROM part3)
+        |  WHERE nid <> qid GROUP BY 1, 2)
+        |SELECT qid, nid, rank, round(adc, 6) AS adc FROM (
+        |  SELECT qid, nid, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+        |  FROM adc)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
 
     "dedup_semantic" ->

@@ -258,6 +258,86 @@ object KMeans {
     } else out
   }
 
+  // -------------------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks (Jégou, Douze, Schmid 2011 — the
+    * billion-scale ANN compression standard): the vector is cut into `m`
+    * contiguous subvectors and each subspace gets its own k-centroid
+    * quantizer, fitted with the SAME deterministic Lloyd as the coarse
+    * quantizer (farthest-first seeds, 6-dp centroids, exact integer
+    * sums) — so the whole codebook set is engine-replayable. Returns one
+    * centroid list per subspace. Dims must split evenly. */
+  def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
+            iters: Int): Seq[Seq[Centroid]] = {
+    val dims = df.select(size(col(vecCol)).as("d")).limit(1).collect()
+    require(dims.nonEmpty, "pqFit: empty input")
+    val dim = dims.head.getInt(0)
+    require(dim % m == 0, s"pqFit: dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { s =>
+      fit(df.select(col(idCol),
+          slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+        idCol, "__sub", k, iters)
+    }
+  }
+
+  /** PQ code assignment as a map-side expression: the code array is one
+    * nearest-centroid argmin per subspace over inlined codebook literals
+    * — m small CASEs, no join, no shuffle; the corpus compresses to m
+    * ints per vector (the representation ADC search reads). */
+  def pqCodesExpr(v: Column, books: Seq[Seq[Centroid]]): Column = {
+    val m = books.size
+    array(books.zipWithIndex.map { case (book, s) =>
+      val sub = book.head.comps.size
+      assignExpr(slice(v, s * sub + 1, sub), book)
+    }: _*)
+  }
+
+  /** Asymmetric-distance top-k over PQ codes: each query precomputes its
+    * m x k table of exact subspace distances ||q_s - c_j||^2 (map-side,
+    * codebooks inlined), the corpus carries only its m-int code arrays,
+    * and the ADC score is m table lookups summed in ascending-subspace
+    * order (a deterministic fold — never an unordered SUM, which would
+    * reassociate doubles differently per engine). Same plan skeleton as
+    * bruteForceTopK: corpus streams against the BROADCAST query side
+    * (codes + tables), ranked by a per-query window. At real scale this
+    * composes with the IVF cell join (IVF-PQ) so the per-query candidate
+    * set is cell-bounded rather than the whole corpus. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, kNN: Int, books: Seq[Seq[Centroid]]): DataFrame = {
+    val m = books.size
+    val sub = books.head.head.comps.size
+    def sqDist(q: Column, comps: Seq[Double]): Column =
+      aggregate(zip_with(q, array(comps.map(lit): _*),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    val distTable = array(books.zipWithIndex.map { case (book, s) =>
+      val qs = slice(col("qv"), s * sub + 1, sub)
+      // the lookup indexes by CLUSTER ID, and fit does NOT renumber when
+      // a starved cluster drops out — so the table spans 0..maxId with
+      // inert entries at the gaps (assignExpr never emits a missing id)
+      val maxId = book.map(_.cluster).max
+      array((0 to maxId).map { cid =>
+        book.find(_.cluster == cid)
+          .map(c => sqDist(qs, c.comps))
+          .getOrElse(lit(Double.MaxValue))
+      }: _*)
+    }: _*)
+    val q = vecs(queries, idCol, vecCol)
+      .select(col("__id").as("qid"), col("__v").as("qv"))
+      .select(col("qid"), distTable.as("dt"))
+    val c = vecs(corpus, idCol, vecCol)
+      .select(col("__id").as("nid"), pqCodesExpr(col("__v"), books).as("codes"))
+    val adc = aggregate(sequence(lit(1), lit(m)), lit(0.0),
+      (acc, s) => acc +
+        element_at(element_at(col("dt"), s), element_at(col("codes"), s) + 1))
+    val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), adc.as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("qid", "nid", "rank", "adc")
+  }
+
   /** IVF ANN with the TRAINED quantizer: corpus rows live in their nearest
     * centroid's cell (map-side assign — one scan, no shuffle), queries
     * probe their `probes` nearest cells, candidates come from the cell

@@ -595,6 +595,32 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(all(0L) < all(1L) && all(2L) < all(3L) && all(10L) == all(11L))
   }
 
+  test("PQ: twin shares all codes and minimal ADC; codes deterministic") {
+    import graft.ops.{KMeans, Similarity}
+    val base = (0L until 60L).map { i =>
+      i -> Array.tabulate(16)(d => math.sin(i * 2.3 + d).toFloat)
+    }
+    val rows = (base :+ (99L -> base(7)._2)).toDF("id", "vec")
+    val books = KMeans.pqFit(rows, "id", "vec", m = 4, k = 4, iters = 1)
+    assert(books.size == 4 && books.forall(_.nonEmpty))
+    val codes = rows
+      .select(col("id"), KMeans.pqCodesExpr(
+        Similarity.asDouble(col("vec")), books).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    // identical vector -> identical 4-code word; all codes valid ids
+    assert(codes(99L) == codes(7L))
+    assert(codes.values.forall(c => c.size == 4))
+    val top = KMeans.pqTopK(rows, rows.filter(col("id") === 7), "id", "vec",
+        kNN = 5, books).orderBy("rank").collect()
+    // the twin's ADC is the query's own quantization residual — nothing
+    // can score below it, so the twin carries the minimal ADC
+    val twinAdc = top.find(_.getLong(1) == 99L)
+      .getOrElse(fail(s"twin not in top-5: ${top.toSeq}")).getDouble(3)
+    assert(math.abs(twinAdc - top.head.getDouble(3)) < 1e-12)
+    // refit is deterministic
+    assert(KMeans.pqFit(rows, "id", "vec", m = 4, k = 4, iters = 1) == books)
+  }
+
   test("ivfTopKTrained: planted twin is rank-1 cosine 1.0; map-side assign") {
     import graft.ops.{KMeans, Similarity}
     // 40 spread vectors plus an exact twin of vector 7
