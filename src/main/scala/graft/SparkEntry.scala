@@ -999,6 +999,29 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // IVF-PQ (the FAISS billion-scale standard, composed from the two
+    // trained quantizers): corpus rows live in their coarse k-means cell
+    // carrying only the PQ codes of their residual; queries probe 2
+    // cells with one ADC table per probe. Candidates come from the cell
+    // equi-join only; each costs 4 lookups. The oracle replays the
+    // coarse fit, residuals, all four residual codebooks, and the
+    // per-probe ADC.
+    "ann_ivf_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val coarse = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val v = Similarity.asDouble(col("embedding"))
+      val res = emb.select(col("vec_id"),
+        KMeans.residualExpr(v, KMeans.assignExpr(v, coarse), coarse)
+          .as("res"))
+      val books = KMeans.pqFit(res, "vec_id", "res", m = 4, k = 16,
+        iters = 1)
+      KMeans.ivfPqTopK(emb, emb.filter(col("vec_id") < 50), "vec_id",
+          "embedding", kNN = 10, coarse, books, probes = 2)
+        .select(col("qid"), col("nid"), col("rank"),
+          round(col("adc"), 6).as("adc"))
+        .orderBy("qid", "rank")
+    }),
+
     // SemDeDup (arXiv:2303.09540): semantic near-dup removal through the
     // trained quantizer — candidate pairs only WITHIN a k-means cluster;
     // of each duplicate pair the less-typical item (lowest cosine to its
@@ -2080,11 +2103,11 @@ object SparkEntry {
     * four sliced views v0..v3 (16 dims each), a `p{s}_`-prefixed
     * farthest-first seed chain + one Lloyd round per subspace, final
     * code assignment code0..code3 against the updated centroids. */
-  private lazy val duckPqCtes: String = {
-    val subs = (0 until 4).map { s =>
+  private def duckPqSubCtes(vRel: String): String =
+    (0 until 4).map { s =>
       val lo = s * 16 + 1
       val hi = (s + 1) * 16
-      s"""v$s AS MATERIALIZED (SELECT id, v[$lo:$hi] AS v FROM v),
+      s"""v$s AS MATERIALIZED (SELECT id, v[$lo:$hi] AS v FROM $vRel),
         |${duckKmeansSeeds(16, s"p${s}_", s"v$s")},
         |p${s}_a1 AS (${duckKmeansAssign(s"v$s", s"p${s}_seed", 1)}),
         |p${s}_u1 AS (${duckKmeansUpdate(s"p${s}_a1")}),
@@ -2092,12 +2115,13 @@ object SparkEntry {
         |  FROM p${s}_u1 GROUP BY cluster),
         |code$s AS MATERIALIZED (${duckKmeansAssign(s"v$s", s"p${s}_u1c", 1)})"""
         .stripMargin
-    }
+    }.mkString(",\n")
+
+  private lazy val duckPqCtes: String =
     s"""v AS MATERIALIZED (SELECT vec_id AS id,
       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings),
-      |${subs.mkString(",\n")}""".stripMargin
-  }
+      |${duckPqSubCtes("v")}""".stripMargin
 
   /** DuckDB nearest-centroid assignment mirroring KMeans.nearestExpr:
     * shifted squared distance |c|^2 - 2 v.c (same ascending-dim folds),
@@ -2821,6 +2845,43 @@ object SparkEntry {
         |  FROM qv q, p${s}_u1c c),
         |part$s AS (SELECT d.qid, c.id AS nid, $s AS s, d.d
         |  FROM code$s c JOIN dist$s d ON d.code = c.cluster)"""
+          }.mkString(",\n")},
+        |adc AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adc
+        |  FROM (SELECT * FROM part0 UNION ALL SELECT * FROM part1
+        |        UNION ALL SELECT * FROM part2 UNION ALL SELECT * FROM part3)
+        |  WHERE nid <> qid GROUP BY 1, 2)
+        |SELECT qid, nid, rank, round(adc, 6) AS adc FROM (
+        |  SELECT qid, nid, adc,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
+        |  FROM adc)
+        |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // coarse fit + residuals + residual codebooks + per-probe ADC,
+    // re-derived end to end; the adc sum is the same ordered list fold
+    "ann_ivf_pq" ->
+      s"""WITH $kmeansCtes,
+        |ca AS MATERIALIZED (${duckKmeansAssign("v", "u2c", 1)}),
+        |res AS MATERIALIZED (SELECT ca.id, ca.cluster AS cell,
+        |    list_transform(range(1, len(ca.v) + 1),
+        |      i -> ca.v[i] - u2c.c[i]) AS v
+        |  FROM ca JOIN u2c ON u2c.cluster = ca.cluster),
+        |${duckPqSubCtes("res")},
+        |qv AS (SELECT id, v FROM v WHERE id < 50),
+        |qa AS (${duckKmeansAssign("qv", "u2c", 2)}),
+        |qres AS MATERIALIZED (SELECT qa.id, qa.cluster AS cell,
+        |    list_transform(range(1, len(qa.v) + 1),
+        |      i -> qa.v[i] - u2c.c[i]) AS v
+        |  FROM qa JOIN u2c ON u2c.cluster = qa.cluster),
+        |cc AS MATERIALIZED (SELECT id, cell FROM res),
+        |${(0 until 4).map { s =>
+            s"""dist$s AS (SELECT q.id AS qid, q.cell, c.cluster AS code,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> (q.v[i + ${s * 16}] - c.c[i]) * (q.v[i + ${s * 16}] - c.c[i])))
+        |    AS d
+        |  FROM qres q, p${s}_u1c c),
+        |part$s AS (SELECT d.qid, co.id AS nid, $s AS s, d.d
+        |  FROM code$s co JOIN cc ON cc.id = co.id
+        |  JOIN dist$s d ON d.cell = cc.cell AND d.code = co.cluster)"""
           }.mkString(",\n")},
         |adc AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adc
         |  FROM (SELECT * FROM part0 UNION ALL SELECT * FROM part1

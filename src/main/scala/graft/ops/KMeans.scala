@@ -303,18 +303,19 @@ object KMeans {
     * (codes + tables), ranked by a per-query window. At real scale this
     * composes with the IVF cell join (IVF-PQ) so the per-query candidate
     * set is cell-bounded rather than the whole corpus. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, kNN: Int, books: Seq[Seq[Centroid]]): DataFrame = {
-    val m = books.size
+  private def sqDist(q: Column, comps: Seq[Double]): Column =
+    aggregate(zip_with(q, array(comps.map(lit): _*),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+
+  /** The m x k ADC lookup table for one query-side vector `q`: exact
+    * subspace distances ||q_s - c_j||^2 over inlined codebook literals.
+    * Indexed by CLUSTER ID — fit does NOT renumber when a starved
+    * cluster drops out, so the table spans 0..maxId with inert entries
+    * at the gaps (assignExpr never emits a missing id). */
+  private def adcDistTable(q: Column, books: Seq[Seq[Centroid]]): Column = {
     val sub = books.head.head.comps.size
-    def sqDist(q: Column, comps: Seq[Double]): Column =
-      aggregate(zip_with(q, array(comps.map(lit): _*),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
-    val distTable = array(books.zipWithIndex.map { case (book, s) =>
-      val qs = slice(col("qv"), s * sub + 1, sub)
-      // the lookup indexes by CLUSTER ID, and fit does NOT renumber when
-      // a starved cluster drops out — so the table spans 0..maxId with
-      // inert entries at the gaps (assignExpr never emits a missing id)
+    array(books.zipWithIndex.map { case (book, s) =>
+      val qs = slice(q, s * sub + 1, sub)
       val maxId = book.map(_.cluster).max
       array((0 to maxId).map { cid =>
         book.find(_.cluster == cid)
@@ -322,16 +323,67 @@ object KMeans {
           .getOrElse(lit(Double.MaxValue))
       }: _*)
     }: _*)
+  }
+
+  /** ADC = the m table lookups summed in ascending-subspace order (a
+    * deterministic fold — never an unordered SUM, which would
+    * reassociate doubles differently per engine). */
+  private def adcExpr(dt: Column, codes: Column, m: Int): Column =
+    aggregate(sequence(lit(1), lit(m)), lit(0.0),
+      (acc, s) => acc + element_at(element_at(dt, s),
+        element_at(codes, s) + 1))
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, kNN: Int, books: Seq[Seq[Centroid]]): DataFrame = {
     val q = vecs(queries, idCol, vecCol)
       .select(col("__id").as("qid"), col("__v").as("qv"))
-      .select(col("qid"), distTable.as("dt"))
+      .select(col("qid"), adcDistTable(col("qv"), books).as("dt"))
     val c = vecs(corpus, idCol, vecCol)
       .select(col("__id").as("nid"), pqCodesExpr(col("__v"), books).as("codes"))
-    val adc = aggregate(sequence(lit(1), lit(m)), lit(0.0),
-      (acc, s) => acc +
-        element_at(element_at(col("dt"), s), element_at(col("codes"), s) + 1))
     val scored = c.join(broadcast(q), col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), adc.as("adc"))
+      .select(col("qid"), col("nid"),
+        adcExpr(col("dt"), col("codes"), books.size).as("adc"))
+    val w = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("qid", "nid", "rank", "adc")
+  }
+
+  /** Residual to the row's assigned coarse centroid — the vector IVF-PQ
+    * actually quantizes — as a map-side k-branch CASE. */
+  def residualExpr(v: Column, cluster: Column,
+                   cents: Seq[Centroid]): Column =
+    coalesce(cents.map { c =>
+      when(cluster === c.cluster,
+        zip_with(v, array(c.comps.map(lit): _*), (x, y) => x - y))
+    }: _*)
+
+  /** IVF-PQ (the FAISS billion-scale standard, composed from the two
+    * trained quantizers): corpus rows live in their coarse cell and
+    * carry only the PQ codes of their RESIDUAL to that cell's centroid;
+    * queries probe their `probes` nearest cells and build one ADC table
+    * per probed cell from their residual TO THAT CELL — so candidates
+    * come from the cell equi-join only, and each candidate costs m
+    * lookups. A corpus row lives in exactly one cell, so no pair is
+    * scored twice. Everything upstream of the cell join is map-side. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, kNN: Int, coarse: Seq[Centroid],
+                books: Seq[Seq[Centroid]], probes: Int = 2): DataFrame = {
+    val c = vecs(corpus, idCol, vecCol)
+      .withColumn("cell", assignExpr(col("__v"), coarse))
+      .select(col("__id").as("nid"), col("cell"),
+        pqCodesExpr(residualExpr(col("__v"), col("cell"), coarse), books)
+          .as("codes"))
+    val q = vecs(queries, idCol, vecCol)
+      .select(col("__id").as("qid"), col("__v"),
+        explode(nearestExpr(col("__v"), coarse, probes)).as("cell"))
+      .select(col("qid"), col("cell"),
+        adcDistTable(residualExpr(col("__v"), col("cell"), coarse), books)
+          .as("dt"))
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        adcExpr(col("dt"), col("codes"), books.size).as("adc"))
     val w = Window.partitionBy("qid").orderBy(col("adc"), col("nid"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)

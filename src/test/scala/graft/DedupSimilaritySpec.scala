@@ -621,6 +621,33 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(KMeans.pqFit(rows, "id", "vec", m = 4, k = 4, iters = 1) == books)
   }
 
+  test("IVF-PQ: twin lands in the query's cell with minimal ADC") {
+    import graft.ops.{KMeans, Similarity}
+    val base = (0L until 60L).map { i =>
+      i -> Array.tabulate(16)(d => math.sin(i * 2.3 + d).toFloat)
+    }
+    val rows = (base :+ (99L -> base(7)._2)).toDF("id", "vec")
+    val coarse = KMeans.fit(rows, "id", "vec", k = 3, iters = 2)
+    val v = Similarity.asDouble(col("vec"))
+    val res = rows.select(col("id"),
+      KMeans.residualExpr(v, KMeans.assignExpr(v, coarse), coarse).as("r"))
+    val books = KMeans.pqFit(res, "id", "r", m = 4, k = 4, iters = 1)
+    // fetch everything: with k=4 codes per subspace many vectors share
+    // the twin's full code word and TIE at the minimal ADC (ties break
+    // by id, and 99 is the largest id) — the invariant is that the twin
+    // sits AT the minimum, not that it alone wins rank 1
+    val top = KMeans.ivfPqTopK(rows, rows.filter(col("id") === 7), "id",
+        "vec", kNN = 60, coarse, books, probes = 2)
+      .orderBy("rank").collect()
+    // the twin shares the query's cell BY CONSTRUCTION (cell is a
+    // function of the vector) and its residual codes equal the query's,
+    // so its ADC is the query's own quantization residual — minimal
+    val twinAdc = top.find(_.getLong(1) == 99L)
+      .getOrElse(fail(s"twin not returned: ${top.toSeq}")).getDouble(3)
+    assert(math.abs(twinAdc - top.head.getDouble(3)) < 1e-12)
+    assert(top.map(_.getInt(2)).toSeq == (1 to top.length), "ranks not dense")
+  }
+
   test("ivfTopKTrained: planted twin is rank-1 cosine 1.0; map-side assign") {
     import graft.ops.{KMeans, Similarity}
     // 40 spread vectors plus an exact twin of vector 7
