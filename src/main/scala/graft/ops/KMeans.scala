@@ -70,16 +70,19 @@ object KMeans {
     * vector coincides with a seed, subsequent picks tie at distance 0
     * and the starved clusters drop out in the first Lloyd update. */
   def seedCentroids(df: DataFrame, idCol: String, vecCol: String,
-                    k: Int): Seq[Centroid] = {
+                    k: Int): Seq[Centroid] =
+    seedFromVecs(vecs(df, idCol, vecCol), k)
+
+  private def seedFromVecs(vIn: DataFrame, k: Int): Seq[Centroid] = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val v = vecs(df, idCol, vecCol)
+    val v = vIn
       .withColumn("__vn2", Similarity.dot(col("__v"), col("__v")))
     val firstRow = v
       .select(col("__id"), transform(col("__v"), x => round(x, 6)).as("__c"))
       .orderBy(Sampling.hashPriority(col("__id")), col("__id"))
       .limit(1).collect()
     require(firstRow.nonEmpty,
-      s"KMeans.seedCentroids: no input rows in $vecCol — nothing to seed from")
+      "KMeans.seedCentroids: no input rows — nothing to seed from")
     val first = firstRow.head.getSeq[Double](1)
     var seeds = Vector(first)
     while (seeds.size < k) {
@@ -146,15 +149,24 @@ object KMeans {
   }
 
   /** Fit `iters` Lloyd iterations from the deterministic seeds. Each
-    * iteration is one scan (map-side assign) + one k×dims aggregate. */
+    * iteration is one scan (map-side assign) + one k×dims aggregate.
+    * The (id, vector) projection is CACHED for the duration of the fit
+    * and released before returning: seeding alone is k driver-paced
+    * passes, and when the input is itself an expression chain (the
+    * IVF-PQ residuals re-derive a coarse assignment per row) re-running
+    * that lineage k+iters times dominated the fit cost. Everything that
+    * reads the cache is collected eagerly inside this call, so the
+    * unpersist strands no lazy consumer. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int): Seq[Centroid] = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val v = vecs(df, idCol, vecCol)
-    var cents = seedCentroids(df, idCol, vecCol, k)
-    for (_ <- 0 until iters)
-      cents = update(v.withColumn("__cluster", assignExpr(col("__v"), cents)))
-    cents
+    val v = vecs(df, idCol, vecCol).persist()
+    try {
+      var cents = seedFromVecs(v, k)
+      for (_ <- 0 until iters)
+        cents = update(v.withColumn("__cluster", assignExpr(col("__v"), cents)))
+      cents
+    } finally { v.unpersist(); () }
   }
 
   /** The fitted model as a flat DataFrame (cluster, pos, comp, n_members)
@@ -266,7 +278,14 @@ object KMeans {
     * quantizer, fitted with the SAME deterministic Lloyd as the coarse
     * quantizer (farthest-first seeds, 6-dp centroids, exact integer
     * sums) — so the whole codebook set is engine-replayable. Returns one
-    * centroid list per subspace. Dims must split evenly. */
+    * centroid list per subspace.
+    *
+    * The m fits are INDEPENDENT, and each is a chain of small
+    * driver-paced jobs (k seed passes + the Lloyd rounds) whose cost is
+    * dominated by job-scheduling latency, not compute — so they run as
+    * m concurrent Spark job chains (the [[graft.pipeline.Runner]]
+    * parallel-ingest discipline), quartering the wall clock without
+    * touching the deterministic per-subspace result. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             iters: Int): Seq[Seq[Centroid]] = {
     val dims = df.select(size(col(vecCol)).as("d")).limit(1).collect()
@@ -274,11 +293,17 @@ object KMeans {
     val dim = dims.head.getInt(0)
     require(dim % m == 0, s"pqFit: dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    (0 until m).map { s =>
-      fit(df.select(col(idCol),
-          slice(col(vecCol), s * sub + 1, sub).as("__sub")),
-        idCol, "__sub", k, iters)
-    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      Await.result(Future.sequence((0 until m).map { s =>
+        Future(fit(df.select(col(idCol),
+            slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+          idCol, "__sub", k, iters))
+      }), Duration.Inf)
+    } finally { pool.shutdown(); () }
   }
 
   /** PQ code assignment as a map-side expression: the code array is one
