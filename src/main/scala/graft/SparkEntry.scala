@@ -1022,6 +1022,50 @@ object SparkEntry {
         .orderBy("qid", "rank")
     }),
 
+    // MEASURED IVF-PQ fidelity: recall@10 of the cell-pruned quantized
+    // search against exact L2 top-10 — the number a practitioner reads
+    // before trusting a compressed index. Both sides fully re-derived
+    // in the oracle (same distance folds, same tie-breaks).
+    "pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 50)
+      val coarse = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val vv = Similarity.asDouble(col("embedding"))
+      val res = emb.select(col("vec_id"),
+        KMeans.residualExpr(vv, KMeans.assignExpr(vv, coarse), coarse)
+          .as("res"))
+      val books = KMeans.pqFit(res, "vec_id", "res", m = 4, k = 16,
+        iters = 1)
+      val approx = KMeans.ivfPqTopK(emb, q, "vec_id", "embedding",
+        kNN = 10, coarse, books, probes = 2)
+      val refined = KMeans.ivfPqRefinedTopK(emb, q, "vec_id", "embedding",
+        kNN = 10, coarse, books, probes = 2, shortlist = 50)
+      // exact L2 ground truth: same ascending-dim squared-distance fold
+      val c = emb.select(col("vec_id").as("nid"),
+        Similarity.asDouble(col("embedding")).as("cv"))
+      val qq = q.select(col("vec_id").as("qid"),
+        Similarity.asDouble(col("embedding")).as("qv"))
+      val d2 = aggregate(zip_with(col("qv"), col("cv"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("d2"), col("nid"))
+      val exact = c.join(broadcast(qq), col("nid") =!= col("qid"))
+        .select(col("qid"), col("nid"), d2.as("d2"))
+        .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      def hits(d: DataFrame, name: String) = d.select("qid", "nid")
+        .join(exact.select("qid", "nid"), Seq("qid", "nid"))
+        .groupBy("qid").agg(count(lit(1)).as(name))
+      qq.select("qid")
+        .join(hits(approx, "h0"), Seq("qid"), "left")
+        .join(hits(refined, "h1"), Seq("qid"), "left")
+        .select(col("qid"),
+          (coalesce(col("h0"), lit(0L)).cast("double") / 10.0)
+            .as("recall_at_10"),
+          (coalesce(col("h1"), lit(0L)).cast("double") / 10.0)
+            .as("recall_refined_at_10"))
+        .orderBy("qid")
+    }),
+
     // SemDeDup (arXiv:2303.09540): semantic near-dup removal through the
     // trained quantizer — candidate pairs only WITHIN a k-means cluster;
     // of each duplicate pair the less-typical item (lowest cosine to its
@@ -2123,6 +2167,40 @@ object SparkEntry {
       |  FROM embeddings),
       |${duckPqSubCtes("v")}""".stripMargin
 
+  /** DuckDB replay of the IVF-PQ ADC pipeline, shared by ann_ivf_pq and
+    * pq_recall: coarse fit (kmeansCtes) + corpus residuals + residual
+    * codebooks + 2-probe query residuals + per-probe distance tables,
+    * ending at `adc` (qid, nid, adc) with the ordered list fold. */
+  private lazy val duckIvfPqAdcCtes: String =
+    s"""$kmeansCtes,
+      |ca AS MATERIALIZED (${duckKmeansAssign("v", "u2c", 1)}),
+      |res AS MATERIALIZED (SELECT ca.id, ca.cluster AS cell,
+      |    list_transform(range(1, len(ca.v) + 1),
+      |      i -> ca.v[i] - u2c.c[i]) AS v
+      |  FROM ca JOIN u2c ON u2c.cluster = ca.cluster),
+      |${duckPqSubCtes("res")},
+      |qv AS (SELECT id, v FROM v WHERE id < 50),
+      |qa AS (${duckKmeansAssign("qv", "u2c", 2)}),
+      |qres AS MATERIALIZED (SELECT qa.id, qa.cluster AS cell,
+      |    list_transform(range(1, len(qa.v) + 1),
+      |      i -> qa.v[i] - u2c.c[i]) AS v
+      |  FROM qa JOIN u2c ON u2c.cluster = qa.cluster),
+      |cc AS MATERIALIZED (SELECT id, cell FROM res),
+      |${(0 until 4).map { s =>
+          s"""dist$s AS (SELECT q.id AS qid, q.cell, c.cluster AS code,
+      |    list_sum(list_transform(range(1, 17),
+      |      i -> (q.v[i + ${s * 16}] - c.c[i]) * (q.v[i + ${s * 16}] - c.c[i])))
+      |    AS d
+      |  FROM qres q, p${s}_u1c c),
+      |part$s AS (SELECT d.qid, co.id AS nid, $s AS s, d.d
+      |  FROM code$s co JOIN cc ON cc.id = co.id
+      |  JOIN dist$s d ON d.cell = cc.cell AND d.code = co.cluster)"""
+        }.mkString(",\n")},
+      |adc AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adc
+      |  FROM (SELECT * FROM part0 UNION ALL SELECT * FROM part1
+      |        UNION ALL SELECT * FROM part2 UNION ALL SELECT * FROM part3)
+      |  WHERE nid <> qid GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB nearest-centroid assignment mirroring KMeans.nearestExpr:
     * shifted squared distance |c|^2 - 2 v.c (same ascending-dim folds),
     * ties by cluster id; `maxRk` = 1 for assignment, >1 for query-side
@@ -2859,39 +2937,48 @@ object SparkEntry {
     // coarse fit + residuals + residual codebooks + per-probe ADC,
     // re-derived end to end; the adc sum is the same ordered list fold
     "ann_ivf_pq" ->
-      s"""WITH $kmeansCtes,
-        |ca AS MATERIALIZED (${duckKmeansAssign("v", "u2c", 1)}),
-        |res AS MATERIALIZED (SELECT ca.id, ca.cluster AS cell,
-        |    list_transform(range(1, len(ca.v) + 1),
-        |      i -> ca.v[i] - u2c.c[i]) AS v
-        |  FROM ca JOIN u2c ON u2c.cluster = ca.cluster),
-        |${duckPqSubCtes("res")},
-        |qv AS (SELECT id, v FROM v WHERE id < 50),
-        |qa AS (${duckKmeansAssign("qv", "u2c", 2)}),
-        |qres AS MATERIALIZED (SELECT qa.id, qa.cluster AS cell,
-        |    list_transform(range(1, len(qa.v) + 1),
-        |      i -> qa.v[i] - u2c.c[i]) AS v
-        |  FROM qa JOIN u2c ON u2c.cluster = qa.cluster),
-        |cc AS MATERIALIZED (SELECT id, cell FROM res),
-        |${(0 until 4).map { s =>
-            s"""dist$s AS (SELECT q.id AS qid, q.cell, c.cluster AS code,
-        |    list_sum(list_transform(range(1, 17),
-        |      i -> (q.v[i + ${s * 16}] - c.c[i]) * (q.v[i + ${s * 16}] - c.c[i])))
-        |    AS d
-        |  FROM qres q, p${s}_u1c c),
-        |part$s AS (SELECT d.qid, co.id AS nid, $s AS s, d.d
-        |  FROM code$s co JOIN cc ON cc.id = co.id
-        |  JOIN dist$s d ON d.cell = cc.cell AND d.code = co.cluster)"""
-          }.mkString(",\n")},
-        |adc AS (SELECT qid, nid, list_sum(list(d ORDER BY s)) AS adc
-        |  FROM (SELECT * FROM part0 UNION ALL SELECT * FROM part1
-        |        UNION ALL SELECT * FROM part2 UNION ALL SELECT * FROM part3)
-        |  WHERE nid <> qid GROUP BY 1, 2)
+      s"""WITH $duckIvfPqAdcCtes
         |SELECT qid, nid, rank, round(adc, 6) AS adc FROM (
         |  SELECT qid, nid, adc,
         |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS rank
         |  FROM adc)
         |WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
+    // same ADC chain ranked to 10 (quantized-only) and to a 50-shortlist
+    // re-ranked by exact L2 (the refine stage), both intersected with
+    // exact-L2 top-10 (identical squared-distance fold, ties by nid)
+    "pq_recall" ->
+      s"""WITH $duckIvfPqAdcCtes,
+        |ar AS (SELECT qid, nid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY adc, nid) AS r
+        |  FROM adc),
+        |ap AS (SELECT qid, nid FROM ar WHERE r <= 10),
+        |rrd AS (SELECT ar.qid, ar.nid,
+        |    list_sum(list_transform(range(1, len(q.v) + 1),
+        |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+        |  FROM ar JOIN qv q ON q.id = ar.qid JOIN v c ON c.id = ar.nid
+        |  WHERE ar.r <= 50),
+        |rf AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS r
+        |    FROM rrd) WHERE r <= 10),
+        |exd AS (SELECT q.id AS qid, c.id AS nid,
+        |    list_sum(list_transform(range(1, len(q.v) + 1),
+        |      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+        |  FROM qv q JOIN v c ON c.id <> q.id),
+        |ex AS (SELECT qid, nid FROM (
+        |    SELECT qid, nid,
+        |      row_number() OVER (PARTITION BY qid ORDER BY d2, nid) AS r
+        |    FROM exd) WHERE r <= 10),
+        |h0 AS (SELECT qid, COUNT(*) AS n FROM ap JOIN ex USING (qid, nid)
+        |  GROUP BY 1),
+        |h1 AS (SELECT qid, COUNT(*) AS n FROM rf JOIN ex USING (qid, nid)
+        |  GROUP BY 1)
+        |SELECT qv.id AS qid,
+        |  CAST(COALESCE(h0.n, 0) AS DOUBLE) / 10.0 AS recall_at_10,
+        |  CAST(COALESCE(h1.n, 0) AS DOUBLE) / 10.0 AS recall_refined_at_10
+        |FROM qv LEFT JOIN h0 ON h0.qid = qv.id
+        |LEFT JOIN h1 ON h1.qid = qv.id ORDER BY qid""".stripMargin,
 
     "dedup_semantic" ->
       s"""WITH $kmeansCtes,

@@ -415,6 +415,35 @@ object KMeans {
       .select("qid", "nid", "rank", "adc")
   }
 
+  /** The FAISS refine stage over [[ivfPqTopK]]: rank an ADC SHORTLIST
+    * (`shortlist` candidates per query), then re-rank it by EXACT L2 and
+    * keep kNN. The exact pass touches shortlist rows only — the
+    * (queries × shortlist) id set broadcasts against one corpus scan, so
+    * the refine cost is candidate-bounded, never corpus², and it buys
+    * back the recall quantized-only ranking loses (worst on
+    * near-isotropic embedding spaces, where ADC distortion reorders
+    * near-equidistant neighbors). */
+  def ivfPqRefinedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, kNN: Int, coarse: Seq[Centroid],
+                       books: Seq[Seq[Centroid]], probes: Int = 2,
+                       shortlist: Int = 50): DataFrame = {
+    val short = ivfPqTopK(corpus, queries, idCol, vecCol, shortlist,
+      coarse, books, probes).select("qid", "nid")
+    val cv = vecs(corpus, idCol, vecCol)
+      .select(col("__id").as("nid"), col("__v").as("cv"))
+    val qv = vecs(queries, idCol, vecCol)
+      .select(col("__id").as("qid"), col("__v").as("qv"))
+    val d2 = aggregate(zip_with(col("qv"), col("cv"),
+      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    val rer = cv.join(broadcast(short), Seq("nid"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("nid"), d2.as("d2"))
+    val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
+    rer.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= kNN)
+      .select("qid", "nid", "rank", "d2")
+  }
+
   /** IVF ANN with the TRAINED quantizer: corpus rows live in their nearest
     * centroid's cell (map-side assign — one scan, no shuffle), queries
     * probe their `probes` nearest cells, candidates come from the cell

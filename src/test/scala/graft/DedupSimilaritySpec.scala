@@ -646,6 +646,15 @@ class DedupSimilaritySpec extends SparkSuite {
       .getOrElse(fail(s"twin not returned: ${top.toSeq}")).getDouble(3)
     assert(math.abs(twinAdc - top.head.getDouble(3)) < 1e-12)
     assert(top.map(_.getInt(2)).toSeq == (1 to top.length), "ranks not dense")
+    // the refine stage breaks the quantization tie EXACTLY: the twin's
+    // true L2 is 0, so exact re-ranking of the ADC shortlist puts it at
+    // rank 1 even though many vectors share its code word
+    val refined = KMeans.ivfPqRefinedTopK(rows, rows.filter(col("id") === 7),
+        "id", "vec", kNN = 5, coarse, books, probes = 2, shortlist = 60)
+      .orderBy("rank").collect()
+    assert(refined.head.getLong(1) == 99L,
+      s"refine did not surface the twin: ${refined.toSeq}")
+    assert(refined.head.getDouble(3) < 1e-12)
   }
 
   test("ivfTopKTrained: planted twin is rank-1 cosine 1.0; map-side assign") {
