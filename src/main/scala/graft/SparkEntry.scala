@@ -1846,6 +1846,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Corpus curation: multinomial Naive Bayes trained and applied
+    // in-engine (the classifier stage a CCNet-style pipeline runs with
+    // fasttext) in exact integer bits — floor-log2 via bin-length, no
+    // libm. Output is the lang-vs-predicted confusion matrix; the
+    // oracle replays training (per-class surprisal + prior bits) and
+    // the argmin decision rule.
+    "nb_classify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Corpus.naiveBayesClassify(docs, "doc_id", "text", "lang")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    }),
+
     // Corpus curation: top-5 salient terms per doc by TF-IDF with the
     // RATIONAL ppm-integer score (floor(cnt*1e6*N/(total*df))) — exact
     // integer/double arithmetic, so score AND ranking are engine-portable
@@ -3753,6 +3768,40 @@ object SparkEntry {
         |  dup * 10 <= tot * 3 AS dup_line_ok,
         |  dupc * 10 <= totc * 2 AS dup_char_ok
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    // NB re-derived: same add-one-smoothed bin-length surprisal per
+    // (class, token) over the GLOBAL vocabulary, same prior bits, same
+    // (score, class) argmin
+    "nb_classify" ->
+      """WITH toks AS (SELECT doc_id, lang AS cls,
+        |    unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+        |  FROM documents),
+        |cc AS (SELECT cls, tok, COUNT(*) AS cnt FROM toks GROUP BY 1, 2),
+        |ct AS (SELECT cls, COUNT(*) AS nc FROM toks GROUP BY 1),
+        |dt AS (SELECT lang AS cls, COUNT(*) AS dc FROM documents GROUP BY 1),
+        |g AS (SELECT COUNT(*) AS d, COUNT(DISTINCT lang) AS c FROM documents),
+        |vv AS (SELECT DISTINCT tok FROM toks),
+        |vn AS (SELECT COUNT(*) AS v FROM vv),
+        |w AS (SELECT ct.cls, vv.tok,
+        |    length(bin((ct.nc + vn.v) // (COALESCE(cc.cnt, 0) + 1))) - 1
+        |      AS bits
+        |  FROM vv CROSS JOIN vn CROSS JOIN ct
+        |  LEFT JOIN cc ON cc.cls = ct.cls AND cc.tok = vv.tok),
+        |pri AS (SELECT dt.cls,
+        |    length(bin((g.d + g.c) // (dt.dc + 1))) - 1 AS prior
+        |  FROM dt, g),
+        |dtk AS (SELECT doc_id, tok, COUNT(*) AS n FROM toks GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, w.cls, SUM(d.n * w.bits) AS s
+        |  FROM dtk d JOIN w ON w.tok = d.tok GROUP BY 1, 2),
+        |scp AS (SELECT sc.doc_id, sc.cls, sc.s + pri.prior AS score
+        |  FROM sc JOIN pri ON pri.cls = sc.cls),
+        |pred AS (SELECT doc_id, cls AS predicted FROM (
+        |    SELECT doc_id, cls,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY score, cls) AS r
+        |    FROM scp) WHERE r = 1)
+        |SELECT d.lang, p.predicted, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM documents d JOIN pred p USING (doc_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The ppm score is one IEEE division of two exact (<2^52) integer
     // products, then floor — bit-identical across engines by construction.

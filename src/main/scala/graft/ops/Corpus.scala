@@ -90,6 +90,64 @@ object Corpus {
         (col("__dupc") * 10L <= col("__totc") * 2L).as("dup_char_ok"))
   }
 
+  /** Multinomial Naive Bayes text classifier, trained AND applied
+    * in-engine — the classifier stage of a CCNet-style curation pipeline
+    * (there a fasttext model; here the same bag-of-words decision rule)
+    * — in EXACT integer bits, no libm anywhere:
+    *
+    *   bits_c(t)  = floor(log2((N_c + V) DIV (cnt_{t,c} + 1)))   (token
+    *                surprisal under class c, add-one smoothing over the
+    *                GLOBAL vocabulary — unseen (t, c) pairs get the
+    *                full N_c + V surprisal, never an infinity)
+    *   prior_c    = floor(log2((D + C) DIV (d_c + 1)))
+    *   score_c(doc) = prior_c + Σ_t cnt_doc(t) · bits_c(t)
+    *   predicted  = argmin_c score_c, ties by class name ascending
+    *
+    * floor(log2(x)) is bin-string length − 1 — the [[unigramSurprisal]]
+    * trick — so training and inference replay bit-identically in any
+    * engine. Scale shape: two hash-aggregates over the exploded token
+    * stream ((class, token) and (id, token), both map-side partial), a
+    * C-row class-totals broadcast crossed with the distinct vocabulary
+    * to keep unseen pairs (V×C rows — C is small), a token-keyed join of
+    * collapsed per-doc counts against the weight table, and a (doc)
+    * struct-min for the argmin. The corpus text never shuffles. */
+  def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
+                         classCol: String): DataFrame = {
+    val toks = df.select(col(idCol), col(classCol).as("__cls"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val classCounts = toks.groupBy("__cls", "tok")
+      .agg(count(lit(1)).as("__cnt"))
+    val classTotals = toks.groupBy("__cls").agg(count(lit(1)).as("__nc"))
+    val docTotals = df.groupBy(col(classCol).as("__cls"))
+      .agg(count(lit(1)).as("__dc"))
+    val globals = df.agg(count(lit(1)).as("__d"),
+      countDistinct(col(classCol)).as("__c"))
+    val vocab = toks.select("tok").distinct()
+      .crossJoin(broadcast(toks.select("tok").distinct()
+        .agg(count(lit(1)).as("__v"))))
+    val weights = vocab
+      .crossJoin(broadcast(classTotals))
+      .join(classCounts, Seq("__cls", "tok"), "left")
+      .select(col("__cls"), col("tok"),
+        (length(bin(expr("(__nc + __v) DIV (coalesce(__cnt, 0L) + 1)"))) - 1)
+          .cast("long").as("__bits"))
+    val priors = docTotals.crossJoin(broadcast(globals))
+      .select(col("__cls"),
+        (length(bin(expr("(__d + __c) DIV (__dc + 1)"))) - 1)
+          .cast("long").as("__prior"))
+    val docTok = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("__n"))
+    val scores = docTok.join(weights, Seq("tok"))
+      .groupBy(col(idCol), col("__cls"))
+      .agg(sum(col("__n") * col("__bits")).as("__s"))
+      .join(broadcast(priors), Seq("__cls"))
+      .select(col(idCol), col("__cls"), (col("__s") + col("__prior")).as("__score"))
+    scores.groupBy(idCol)
+      .agg(min(struct(col("__score"), col("__cls"))).as("__best"))
+      .select(col(idCol), col("__best.__cls").as("predicted"),
+        col("__best.__score").as("score_bits"))
+  }
+
   /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf
     * (N/df instead of ln(N/df)) scaled to parts-per-million:
     *

@@ -26,6 +26,31 @@ class OpsSpec extends SparkSuite {
     assert(out(3L).getLong(1) == 2L && out(3L).getDouble(2) == 0.5)
   }
 
+  test("naiveBayesClassify: separable fixture classified perfectly") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apfel brot apfel", "de"),
+      (2L, "brot apfel brot", "de"),
+      (3L, "cat dog cat", "en"),
+      (4L, "dog cat dog", "en"),
+      (5L, "apfel apfel brot", "de"),
+      (6L, "cat cat dog", "en")).toDF("id", "text", "lang")
+    val out = graft.ops.Corpus.naiveBayesClassify(docs, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "de", 2L -> "de", 3L -> "en", 4L -> "en",
+      5L -> "de", 6L -> "en"), s"misclassified: $out")
+    // a doc of tokens UNSEEN in training still classifies (smoothed
+    // surprisal, never an infinity) — to the smaller-N_c class is not
+    // guaranteed, only that a deterministic prediction exists
+    val mixed = docs.unionByName(
+      Seq((7L, "zebra quagga", "de")).toDF("id", "text", "lang"))
+    val out7 = graft.ops.Corpus.naiveBayesClassify(mixed, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Set("de", "en").contains(out7(7L)))
+    assert((1L to 6L).forall(i => out7(i) == out(i)),
+      "one outlier doc changed the separable predictions")
+  }
+
   test("bpe: Sennrich fixture learns the classic merges; encode applies them") {
     import graft.ops.Bpe
     import spark.implicits._
