@@ -1036,21 +1036,23 @@ object SparkEntry {
           .as("res"))
       val books = KMeans.pqFit(res, "vec_id", "res", m = 4, k = 16,
         iters = 1)
-      val approx = KMeans.ivfPqTopK(emb, q, "vec_id", "embedding",
-        kNN = 10, coarse, books, probes = 2)
-      val refined = KMeans.ivfPqRefinedTopK(emb, q, "vec_id", "embedding",
-        kNN = 10, coarse, books, probes = 2, shortlist = 50)
+      // ONE ADC pipeline: the quantized-only answer is the rank<=10
+      // prefix of the same 50-shortlist the refine stage re-ranks
+      val short = KMeans.ivfPqTopK(emb, q, "vec_id", "embedding",
+        kNN = 50, coarse, books, probes = 2)
+      val approx = short.filter(col("rank") <= 10)
+      val refined = KMeans.refineExact(short, emb, q, "vec_id",
+        "embedding", kNN = 10)
       // exact L2 ground truth: same ascending-dim squared-distance fold
       val c = emb.select(col("vec_id").as("nid"),
         Similarity.asDouble(col("embedding")).as("cv"))
       val qq = q.select(col("vec_id").as("qid"),
         Similarity.asDouble(col("embedding")).as("qv"))
-      val d2 = aggregate(zip_with(col("qv"), col("cv"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("d2"), col("nid"))
       val exact = c.join(broadcast(qq), col("nid") =!= col("qid"))
-        .select(col("qid"), col("nid"), d2.as("d2"))
+        .select(col("qid"), col("nid"),
+          Similarity.sqDist(col("qv"), col("cv")).as("d2"))
         .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
       def hits(d: DataFrame, name: String) = d.select("qid", "nid")
         .join(exact.select("qid", "nid"), Seq("qid", "nid"))

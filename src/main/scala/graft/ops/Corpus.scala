@@ -122,9 +122,12 @@ object Corpus {
       .agg(count(lit(1)).as("__dc"))
     val globals = df.agg(count(lit(1)).as("__d"),
       countDistinct(col(classCol)).as("__c"))
-    val vocab = toks.select("tok").distinct()
-      .crossJoin(broadcast(toks.select("tok").distinct()
-        .agg(count(lit(1)).as("__v"))))
+    // vocabulary and V both derive from the ALREADY-AGGREGATED
+    // (class, token) counts — the raw exploded stream is scanned only
+    // by the two hash-aggregates above, never re-distincted
+    val vocabToks = classCounts.select("tok").distinct()
+    val vocab = vocabToks
+      .crossJoin(broadcast(vocabToks.agg(count(lit(1)).as("__v"))))
     val weights = vocab
       .crossJoin(broadcast(classTotals))
       .join(classCounts, Seq("__cls", "tok"), "left")

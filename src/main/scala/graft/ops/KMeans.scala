@@ -288,9 +288,16 @@ object KMeans {
     * touching the deterministic per-subspace result. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             iters: Int): Seq[Seq[Centroid]] = {
-    val dims = df.select(size(col(vecCol)).as("d")).limit(1).collect()
-    require(dims.nonEmpty, "pqFit: empty input")
-    val dim = dims.head.getInt(0)
+    // uniform-dimension check is LOUD, not sampled: slice() silently
+    // clamps short arrays, so a ragged corpus would otherwise train
+    // wrong codebooks with no error (and a sampled row is
+    // nondeterministic across runs)
+    val mm = df.agg(min(size(col(vecCol))).as("lo"),
+      max(size(col(vecCol))).as("hi")).collect().head
+    require(!mm.isNullAt(0), "pqFit: empty input")
+    require(mm.getInt(0) == mm.getInt(1),
+      s"pqFit: ragged embedding dims [${mm.getInt(0)}, ${mm.getInt(1)}]")
+    val dim = mm.getInt(0)
     require(dim % m == 0, s"pqFit: dim $dim not divisible into $m subspaces")
     val sub = dim / m
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -318,19 +325,9 @@ object KMeans {
     }: _*)
   }
 
-  /** Asymmetric-distance top-k over PQ codes: each query precomputes its
-    * m x k table of exact subspace distances ||q_s - c_j||^2 (map-side,
-    * codebooks inlined), the corpus carries only its m-int code arrays,
-    * and the ADC score is m table lookups summed in ascending-subspace
-    * order (a deterministic fold — never an unordered SUM, which would
-    * reassociate doubles differently per engine). Same plan skeleton as
-    * bruteForceTopK: corpus streams against the BROADCAST query side
-    * (codes + tables), ranked by a per-query window. At real scale this
-    * composes with the IVF cell join (IVF-PQ) so the per-query candidate
-    * set is cell-bounded rather than the whole corpus. */
+  /** [[Similarity.sqDist]] against an inlined literal centroid. */
   private def sqDist(q: Column, comps: Seq[Double]): Column =
-    aggregate(zip_with(q, array(comps.map(lit): _*),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
+    Similarity.sqDist(q, array(comps.map(lit): _*))
 
   /** The m x k ADC lookup table for one query-side vector `q`: exact
     * subspace distances ||q_s - c_j||^2 over inlined codebook literals.
@@ -358,6 +355,15 @@ object KMeans {
       (acc, s) => acc + element_at(element_at(dt, s),
         element_at(codes, s) + 1))
 
+  /** Asymmetric-distance top-k over PQ codes: each query precomputes its
+    * m x k table of exact subspace distances ||q_s - c_j||^2 (map-side,
+    * codebooks inlined), the corpus carries only its m-int code arrays,
+    * and the ADC score is m table lookups summed in ascending-subspace
+    * order. Same plan skeleton as bruteForceTopK: corpus streams against
+    * the BROADCAST query side (codes + tables), ranked by a per-query
+    * window. At real scale this composes with the IVF cell join (IVF-PQ)
+    * so the per-query candidate set is cell-bounded rather than the
+    * whole corpus. */
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, kNN: Int, books: Seq[Seq[Centroid]]): DataFrame = {
     val q = vecs(queries, idCol, vecCol)
@@ -426,18 +432,27 @@ object KMeans {
   def ivfPqRefinedTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                        vecCol: String, kNN: Int, coarse: Seq[Centroid],
                        books: Seq[Seq[Centroid]], probes: Int = 2,
-                       shortlist: Int = 50): DataFrame = {
-    val short = ivfPqTopK(corpus, queries, idCol, vecCol, shortlist,
-      coarse, books, probes).select("qid", "nid")
+                       shortlist: Int = 50): DataFrame =
+    refineExact(ivfPqTopK(corpus, queries, idCol, vecCol, shortlist,
+      coarse, books, probes), corpus, queries, idCol, vecCol, kNN)
+
+  /** The refine stage standalone: exact-L2 re-rank of an already-ranked
+    * (qid, nid) shortlist, keeping kNN. Public so a caller holding a
+    * shortlist (e.g. one that also reads its rank<=k prefix as the
+    * quantized-only answer, as pq_recall does) pays the ADC pipeline
+    * ONCE instead of per consumer. */
+  def refineExact(shortlist: DataFrame, corpus: DataFrame,
+                  queries: DataFrame, idCol: String, vecCol: String,
+                  kNN: Int): DataFrame = {
+    val short = shortlist.select("qid", "nid")
     val cv = vecs(corpus, idCol, vecCol)
       .select(col("__id").as("nid"), col("__v").as("cv"))
     val qv = vecs(queries, idCol, vecCol)
       .select(col("__id").as("qid"), col("__v").as("qv"))
-    val d2 = aggregate(zip_with(col("qv"), col("cv"),
-      (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d)
     val rer = cv.join(broadcast(short), Seq("nid"))
       .join(broadcast(qv), Seq("qid"))
-      .select(col("qid"), col("nid"), d2.as("d2"))
+      .select(col("qid"), col("nid"),
+        Similarity.sqDist(col("qv"), col("cv")).as("d2"))
     val w = Window.partitionBy("qid").orderBy(col("d2"), col("nid"))
     rer.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= kNN)

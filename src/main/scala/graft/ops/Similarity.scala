@@ -36,6 +36,14 @@ object Similarity {
     when(d > 0, dot(a, b) / d).otherwise(lit(0.0))
   }
 
+  /** Squared L2 distance as the ascending-index fold Σ(a_i - b_i)² —
+    * THE portability-critical distance shape (PQ/ADC, refine, exact
+    * ground truth): every consumer and every SQL oracle must fold in
+    * this exact order, so there is exactly one owner. */
+  def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, d) => acc + d)
+
   /** Exact brute-force top-k: for each query vector, the k nearest corpus
     * vectors by cosine (ties broken by id for determinism).
     * Output: (query_id, neighbor_id, rank, cosine). */
