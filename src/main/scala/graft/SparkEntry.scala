@@ -2117,6 +2117,38 @@ object SparkEntry {
       |  FROM dt JOIN wts USING (tok)
       |  GROUP BY doc_id)""".stripMargin
 
+  /** Shared Gopher-rule measure CTEs (`d`, `m`) over documents —
+    * one owner for gopher_filter's verdicts and the streaming gate's
+    * passes predicate. */
+  private val duckGopherCtes: String =
+    """d AS (SELECT doc_id, text,
+      |    regexp_extract_all(lower(text), '\S+') AS toks,
+      |    string_split(text, chr(10)) AS lines
+      |  FROM documents),
+      |m AS (SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS w,
+      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+      |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes,
+      |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS esyms,
+      |    CAST(len(lines) AS BIGINT) AS n_lines,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullets,
+      |    CAST(len(list_filter(lines,
+      |      l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS ellipses,
+      |    CAST(len(list_filter(toks,
+      |      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
+      |    len(list_filter(['the','be','to','of','and','that','have','with'],
+      |      sw -> list_contains(toks, sw))) AS req
+      |  FROM d)""".stripMargin
+
+  /** The 7-rule conjunction over `m`'s columns. */
+  private val duckGopherPasses: String =
+    """w BETWEEN 50 AND 100000 AND chars >= w * 3 AND chars <= w * 10
+      |   AND hashes * 10 <= w AND esyms * 10 <= w
+      |   AND bullets * 10 <= n_lines * 9
+      |   AND ellipses * 10 <= n_lines * 3 AND alpha * 5 >= w * 4
+      |   AND req >= 2""".stripMargin
+
   /** DuckDB replay of Bpe.fit(rounds) over the documents vocabulary:
     * word-count CTE `wc`, symbol chain s0..s{rounds} (each word's symbol
     * list CARRIES the word, so encode can join back), winning-merge CTEs
@@ -3430,25 +3462,7 @@ object SparkEntry {
 
     // the same 7 integer cross-multiplied rule verdicts re-derived
     "gopher_filter" ->
-      """WITH d AS (SELECT doc_id, text,
-        |    regexp_extract_all(lower(text), '\S+') AS toks,
-        |    string_split(text, chr(10)) AS lines
-        |  FROM documents),
-        |m AS (SELECT doc_id,
-        |    CAST(len(toks) AS BIGINT) AS w,
-        |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
-        |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes,
-        |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS esyms,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(list_filter(lines,
-        |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullets,
-        |    CAST(len(list_filter(lines,
-        |      l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS ellipses,
-        |    CAST(len(list_filter(toks,
-        |      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
-        |    len(list_filter(['the','be','to','of','and','that','have','with'],
-        |      sw -> list_contains(toks, sw))) AS req
-        |  FROM d)
+      s"""WITH $duckGopherCtes
         |SELECT doc_id,
         |  w BETWEEN 50 AND 100000 AS word_count_ok,
         |  (chars >= w * 3 AND chars <= w * 10) AS mean_word_len_ok,
@@ -3457,11 +3471,7 @@ object SparkEntry {
         |  ellipses * 10 <= n_lines * 3 AS ellipsis_ok,
         |  alpha * 5 >= w * 4 AS alpha_word_ok,
         |  req >= 2 AS required_words_ok,
-        |  (w BETWEEN 50 AND 100000 AND chars >= w * 3 AND chars <= w * 10
-        |   AND hashes * 10 <= w AND esyms * 10 <= w
-        |   AND bullets * 10 <= n_lines * 9
-        |   AND ellipses * 10 <= n_lines * 3 AND alpha * 5 >= w * 4
-        |   AND req >= 2) AS passes
+        |  ($duckGopherPasses) AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
 
     // same splice + the verbatim PiiPatterns applied in the same order

@@ -165,4 +165,28 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("SortAggregate"),
       s"sort-aggregate (no map-side combine) in:\n$plan")
   }
+
+  test("naiveBayesClassify: no cartesian on data, hash aggs, broadcast model") {
+    import graft.ops.Corpus
+    val docs = spark.read.parquet(s"$dir/t")
+      .select($"id".as("doc_id"), $"name".as("text"),
+        ($"id" % 3).cast("string").as("cls"))
+    val plan = planOf(Corpus.naiveBayesClassify(docs, "doc_id", "text", "cls"))
+    // the only nested-loop joins permitted are the broadcast totals /
+    // priors (bounded by C and V); the corpus stream itself must never
+    // cartesian; the token-keyed corpus aggregates must be hash. The
+    // struct-argmin is ALLOWED to be a SortAggregate (struct buffers
+    // aren't hash-aggregable) because its input is the already-reduced
+    // D x C score stream and it still gets a map-side partial_min —
+    // exactly two SortAggregate nodes (partial + final), no more.
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in NB plan:\n$plan")
+    assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
+    val sortAggs = plan.sliding("SortAggregate".length)
+      .count(_ == "SortAggregate")
+    assert(sortAggs == 2 && plan.contains("min(struct"),
+      s"unexpected sort-aggregates ($sortAggs) beyond the argmin:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"model/priors not broadcast:\n$plan")
+  }
 }

@@ -197,4 +197,32 @@ object GraftProperties extends Properties("graft") {
         .select("doc_id").as[Long].collect().toSet
       vsOwn == 0L && vsEmpty == plain
   }
+
+  // Bloom decontamination never false-negatives: whatever benchmark and
+  // corpus the generator produces, every doc the EXACT shingle join
+  // flags is also bloom-flagged (the converse — extra bloom flags — is
+  // the permitted false-positive rate)
+  property("bloomDecontaminate.noFalseNegatives") = Prop.forAll(
+    for {
+      nb <- Gen.choose(1, 4)
+      nt <- Gen.choose(2, 10)
+      mkDoc = Gen.choose(3, 9).flatMap(k => Gen.listOfN(k,
+        Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+          "eta", "theta", "iota", "kappa")).map(_.mkString(" ")))
+      bench <- Gen.listOfN(nb, mkDoc)
+      train <- Gen.listOfN(nt, mkDoc)
+    } yield (bench, train)) { case (bench, train) =>
+      import graft.ops.Dedup
+      val b = bench.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val t = train.zipWithIndex.map { case (x, i) => (100L + i, x) }
+        .toDF("doc_id", "text")
+      val bitmap = Dedup.bloomBuild(b, "text", shingleWords = 3,
+        nWords = 64, k = 3)
+      val bloom = Dedup.decontaminateBloom(t, "doc_id", "text", 3, bitmap, 3)
+        .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+      val exact = Dedup.decontaminate(t, b, "doc_id", "text", 3)
+        .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
+      exact.subsetOf(bloom)
+  }
 }
