@@ -31,6 +31,74 @@ object Probe {
     }
 
     args(0) match {
+      // stage-by-stage wall clock of the curate_corpus_v2 funnel
+      case "funnel" =>
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val (df, build) = timed(SparkEntry.curateFunnelV2(spark, dir))
+        println(s"[funnel] construct (bloom+kmeans+semdedup eager): $build%s")
+        val (n, c) = timed(df.count())
+        println(s"[funnel] toExport count=$n: $c")
+        val (_, c2) = timed(df.count())
+        println(s"[funnel] toExport count again: $c2")
+        val plan = df.queryExecution.executedPlan.toString
+        println(s"[funnel] parquet scans: ${"Scan parquet".r.findAllIn(plan).length}")
+        println(s"[funnel] inmem scans: ${"InMemoryTableScan".r.findAllIn(plan).length}")
+        plan.linesIterator.filter(l => l.contains("Scan parquet") ||
+          l.contains("InMemoryTableScan") || l.contains("HashAggregate(keys=[id"))
+          .take(40).foreach(l => println("[funnel-plan] " + l.take(160)))
+        val out = java.nio.file.Files.createTempDirectory("probe-funnel").toString
+        val (_, w) = timed(graft.sources.Jsonl.write(df, out,
+          partitionBy = Seq("shard")))
+        println(s"[funnel] jsonl write: $w")
+
+      // construction sub-steps of the funnel, timed independently
+      case "funnelsub" =>
+        import graft.ops._
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val hist = Seq("src0", "src1", "src2", "src3", "src4")
+        val g = TextAnalysis.gopherRules(col("text"))
+        val mapGate = docs
+          .filter(!col("source").isin(hist: _*))
+          .filter(TextAnalysis.langIdHeuristic(col("text")) === "en")
+          .filter(g.getField("word_count_ok") && g.getField("mean_word_len_ok") &&
+            g.getField("symbol_ratio_ok") && g.getField("bullet_ok") &&
+            g.getField("ellipsis_ok") && g.getField("alpha_word_ok"))
+          .cache()
+        println(s"[sub] mapGate count=${timed(mapGate.count())}")
+        val repOk = Corpus.lineRepetitionSignals(mapGate, "doc_id", "text")
+          .filter(col("dup_line_ok") && col("dup_char_ok")).select("doc_id")
+        println(s"[sub] repOk=${timed(repOk.count())}")
+        val (bitmap, tb) = timed(Dedup.bloomBuild(
+          docs.filter(col("doc_id") % 50 === 0), "text", 3, 1024, 3))
+        println(s"[sub] bloomBuild: $tb")
+        val nsh = mapGate.select(col("doc_id"),
+          size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_sh"))
+        val bloomOk = Dedup.decontaminateBloom(mapGate, "doc_id", "text", 3,
+            bitmap, 3)
+          .join(nsh, "doc_id").filter(col("n_flagged") * 5 < col("n_sh"))
+          .select("doc_id")
+        println(s"[sub] bloomOk=${timed(bloomOk.count())}")
+        val index = Dedup.minhashIndex(
+          docs.filter(col("source").isin(hist: _*)), "doc_id", "text")
+        val ndDrop = Dedup.nearDupAgainstIndex(mapGate, index, "doc_id", "text")
+          .select(col("id").as("doc_id")).distinct()
+        println(s"[sub] ndDrop=${timed(ndDrop.count())}")
+        val g3 = mapGate.select("doc_id", "source", "n_chars")
+          .join(repOk, "doc_id").join(bloomOk, "doc_id")
+          .join(ndDrop, Seq("doc_id"), "left_anti").cache()
+        println(s"[sub] g3=${timed(g3.count())}")
+        println(s"[sub] g3 again=${timed(g3.count())}")
+        val (cents, tk) = timed(KMeans.fit(emb, "vec_id", "embedding", 8, 2))
+        println(s"[sub] kmeans fit: $tk")
+        val g3e = emb.join(g3.select(col("doc_id").as("vec_id")), "vec_id")
+        val (sk, ts) = timed {
+          val f = KMeans.semDedup(g3e, "vec_id", "embedding", cents, 0.3,
+            materialize = true)
+          f.count()
+        }
+        println(s"[sub] semDedup eager: $ts ($sk rows)")
       // a pure PATH of near-dups: the worst case for label propagation
       // (diameter = n); large-star/small-star must stay logarithmic
       case "chain" =>

@@ -2013,8 +2013,159 @@ object SparkEntry {
           sum(when(col("ex_ok") && col("nd_drop").isNull, 1L).otherwise(0L))
             .as("n_final"))
         .orderBy("source")
+    }),
+
+    // The round-16 curation operators composed END-TO-END — the single
+    // pipeline a pre-training data run actually executes, proving the
+    // operators chain on shared column contracts without re-materializing
+    // or re-shuffling the corpus text:
+    //   langid -> Gopher content-shape rules (map-side) -> A1.2
+    //   line-repetition -> Bloom decontamination (proportional 20% rule:
+    //   an any-hit rule annihilates the corpus once the benchmark's
+    //   shingle set is dense, from genuine 3-gram overlap plus Bloom
+    //   false positives) -> incremental minhash near-dup vs the
+    //   src0-src4 history index -> SemDeDup through the trained k=8
+    //   coarse quantizer -> mixCorpus to a 15-source target composition
+    //   -> DSIR importance resampling (on a DOMAIN-SEPARATED 'rs:' key:
+    //   mix and resample draw from the same hashPriority variate, so an
+    //   unsalted composition keeps mix survivors with certainty instead
+    //   of probability — see Sampling.hashPriority's composition caveat)
+    //   -> 8-way global shard shuffle -> 128-token sequence packing in
+    //   shard_pos order -> JSONL export, read back through the
+    //   declared-schema FAILFAST scan.
+    // Scale shape: every per-doc gate/signal is computed from the one
+    // map-side-gated scan and reduced to an id-keyed frame before it
+    // touches the spine, so the text column itself crosses at most one
+    // exchange (the final export attach) — PlanSpec pins this. Each
+    // survivor set g3..g6 matches the prototype funnel stage for stage;
+    // the DuckDB oracle replays all ten stages in one WITH chain.
+    "curate_corpus_v2" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val toExport = curateFunnelV2(s, dir)
+      val out = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+      graft.sources.Jsonl.write(toExport, out, partitionBy = Seq("shard"))
+      val schema = StructType(Seq(
+        StructField("shard_pos", LongType), StructField("bin", LongType),
+        StructField("doc_id", LongType), StructField("source", StringType),
+        StructField("n_toks", LongType), StructField("text", StringType)))
+      graft.sources.Jsonl.read(s, out, schema)
+        .select(col("shard").cast("long").as("shard"), col("shard_pos"),
+          col("bin"), col("doc_id"), col("source"), col("n_toks"), col("text"))
+        .orderBy("shard", "shard_pos")
     })
   )
+
+  /** The curate_corpus_v2 funnel up to (and excluding) the JSONL
+    * delivery — the frame the query writes and PlanSpec audits (never
+    * cartesian; the corpus `text` column crosses at most one exchange). */
+  private[graft] def curateFunnelV2(s: SparkSession, dir: String): DataFrame = {
+      val docs = t(s, dir, "documents")
+      val hist = Seq("src0", "src1", "src2", "src3", "src4")
+      // stages 1+2 (map-side): language + six content-shape Gopher rules
+      // (required_words_ok omitted: the synthetic corpus contains at most
+      // one of the eight Gopher function words by construction, so the
+      // full conjunction would gate every document out)
+      val g = TextAnalysis.gopherRules(col("text"))
+      // cached: SIX downstream branches (spine, line-rep, shingle count,
+      // bloom probe, minhash incoming, DSIR text) each reference this
+      // frame, and Catalyst has no common-subplan reuse across joins —
+      // uncached, every branch re-runs the scan plus the ~10 regex
+      // extracts of the language/Gopher gates (measured 128s -> ~15s at
+      // sf0.1 with the two funnel caches). Cache ownership follows the
+      // minhashNearDupPairs discipline: the caller-visible result frame
+      // still reads it lazily, so the entries stay persisted after the
+      // query and Bench clears the session cache between timed runs.
+      val mapGate = docs
+        .filter(!col("source").isin(hist: _*))
+        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en")
+        .filter(g.getField("word_count_ok") && g.getField("mean_word_len_ok") &&
+          g.getField("symbol_ratio_ok") && g.getField("bullet_ok") &&
+          g.getField("ellipsis_ok") && g.getField("alpha_word_ok"))
+        .cache()
+      val spine = mapGate.select("doc_id", "source", "n_chars")
+      // stage 3: Gopher A1.2 line-repetition (per-doc aggregate signal)
+      val repOk = Corpus.lineRepetitionSignals(mapGate, "doc_id", "text")
+        .filter(col("dup_line_ok") && col("dup_char_ok"))
+        .select("doc_id")
+      // stage 4: Bloom decontamination vs the doc_id%50==0 benchmark,
+      // keep iff flagged shingles < 20% of the doc's distinct shingles
+      val bitmap = Dedup.bloomBuild(docs.filter(col("doc_id") % 50 === 0),
+        "text", shingleWords = 3, nWords = 1024, k = 3)
+      val nsh = mapGate.select(col("doc_id"),
+        size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_sh"))
+      val bloomOk = Dedup.decontaminateBloom(mapGate, "doc_id", "text",
+          shingleWords = 3, bitmap = bitmap, k = 3)
+        .join(nsh, "doc_id")
+        .filter(col("n_flagged") * 5 < col("n_sh"))
+        .select("doc_id")
+      // stage 5: incremental minhash near-dup vs the persisted history
+      // index (per-doc independent, so probed from mapGate's scan branch)
+      val index = Dedup.minhashIndex(
+        docs.filter(col("source").isin(hist: _*)), "doc_id", "text")
+      val ndDrop = Dedup.nearDupAgainstIndex(mapGate, index, "doc_id", "text")
+        .select(col("id").as("doc_id")).distinct()
+      // LINEAGE CUT, not just a cache: g3's subtree carries the whole
+      // gate/signal chain (including the history-index signature build),
+      // and every downstream stage references it several times over —
+      // semdedup's base feeds both self-join sides AND the anti probe,
+      // mix references g4 twice (corpus + fraction agg), the DSIR chain
+      // references its token stream three times. A cache() leaves the
+      // ANALYZED plan exponentially duplicated (the ~4000-leaf tree cost
+      // ~25s of pure planning per action at sf0.1, 128s total); the
+      // eager localCheckpoint materializes the tiny id/source/chars
+      // spine once and replaces the subtree with a leaf. At cluster
+      // scale the same barrier is a reliable checkpoint() or a parquet
+      // handoff of the survivor spine.
+      val g3 = spine.join(repOk, "doc_id").join(bloomOk, "doc_id")
+        .join(ndDrop, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // stage 6: SemDeDup through the trained k=8 coarse quantizer.
+      // Drop-set semantics, NOT keep-set: a doc with no embedding row
+      // cannot be judged semantically and passes through (only a proven
+      // within-cluster near-dup drops) — the sf0.1 testdata exercises
+      // exactly this, covering only 2 of 5 docs with embeddings.
+      val emb = t(s, dir, "embeddings")
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val g3emb = emb.join(g3.select(col("doc_id").as("vec_id")), "vec_id")
+      val semKeep = KMeans.semDedup(g3emb, "vec_id", "embedding", cents,
+          threshold = 0.3, materialize = true)
+        .select(col("vec_id").as("doc_id"))
+      val semDropped = g3emb.select(col("vec_id").as("doc_id"))
+        .join(semKeep, Seq("doc_id"), "left_anti")
+      val g4 = g3.join(semDropped, Seq("doc_id"), "left_anti")
+      // stage 7: mix to the target 15-source composition
+      val shares = ((5 to 9).map(i => s"src$i" -> 0.1) ++
+        (10 to 19).map(i => s"src$i" -> 0.05)).toMap
+      val g5 = Sampling.mixCorpus(g4, "source", "doc_id", "n_chars",
+        shares, budget = 20000L)
+      // stage 8: DSIR importance weights toward src5, Poisson-PPS
+      // resample on the domain-separated 'rs:' key
+      val g5text = mapGate.select("doc_id", "text")
+        .join(g5.select("doc_id", "source"), "doc_id")
+      val scored = Corpus.importanceWeights(g5text, "doc_id", "text",
+        col("source") === "src5")
+      // second lineage cut: the resampled spine is the layout stages'
+      // only input, and the DSIR chain above it is the other
+      // multi-reference subtree (toks x3, scored x2 via the PPS total)
+      val g6 = Sampling.weightedSample(
+          scored.withColumn("rs_key",
+            concat(lit("rs:"), col("doc_id").cast("string"))),
+          "rs_key", "score_avg_ppm", expectedRows = 30L)
+        .select("doc_id", "n_toks")
+        .localCheckpoint()
+      // stage 9: global shard shuffle + in-order sequence packing
+      val sharded = Layout.assignShards(
+        g5.select("doc_id", "source").join(g6, "doc_id"), "doc_id", 8)
+      val packed = Chunking.packByBudget(sharded, Seq("shard"), "shard_pos",
+        col("n_toks"), budget = 128, carryCols = Seq("doc_id", "source"))
+      // stage 10 (delivery prep): attach text for export — the funnel's
+      // ONE text-bearing exchange (every earlier stage consumed text
+      // map-side or reduced it to an id-keyed signal before joining)
+      packed
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(col("shard"), col("shard_pos"), col("bin"), col("doc_id"),
+          col("source"), col("__tok").as("n_toks"), col("text"))
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (or a deterministic VALUES / first-principles
@@ -2117,37 +2268,47 @@ object SparkEntry {
       |  FROM dt JOIN wts USING (tok)
       |  GROUP BY doc_id)""".stripMargin
 
-  /** Shared Gopher-rule measure CTEs (`d`, `m`) over documents —
-    * one owner for gopher_filter's verdicts and the streaming gate's
-    * passes predicate. */
-  private val duckGopherCtes: String =
-    """d AS (SELECT doc_id, text,
-      |    regexp_extract_all(lower(text), '\S+') AS toks,
+  /** Shared Gopher-rule measure CTEs (`{pfx}d`, `{pfx}m`) over `rel` —
+    * one owner for gopher_filter's verdicts, the streaming gate's passes
+    * predicate, and the curate_corpus_v2 funnel's quality stage (which
+    * prefixes the CTE names to avoid collisions in its long WITH chain). */
+  private def duckGopherCtesFrom(rel: String, pfx: String = ""): String =
+    s"""${pfx}d AS (SELECT doc_id, text,
+      |    regexp_extract_all(lower(text), '\\S+') AS toks,
       |    string_split(text, chr(10)) AS lines
-      |  FROM documents),
-      |m AS (SELECT doc_id,
+      |  FROM $rel),
+      |${pfx}m AS (SELECT doc_id,
       |    CAST(len(toks) AS BIGINT) AS w,
-      |    CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars,
+      |    CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS BIGINT) AS chars,
       |    CAST(len(regexp_extract_all(text, '#')) AS BIGINT) AS hashes,
-      |    CAST(len(regexp_extract_all(text, '\.\.\.')) AS BIGINT) AS esyms,
+      |    CAST(len(regexp_extract_all(text, '\\.\\.\\.')) AS BIGINT) AS esyms,
       |    CAST(len(lines) AS BIGINT) AS n_lines,
       |    CAST(len(list_filter(lines,
-      |      l -> regexp_matches(l, '^\s*[-*•]'))) AS BIGINT) AS bullets,
+      |      l -> regexp_matches(l, '^\\s*[-*•]'))) AS BIGINT) AS bullets,
       |    CAST(len(list_filter(lines,
-      |      l -> regexp_matches(l, '\.\.\.\s*$'))) AS BIGINT) AS ellipses,
+      |      l -> regexp_matches(l, '\\.\\.\\.\\s*$$'))) AS BIGINT) AS ellipses,
       |    CAST(len(list_filter(toks,
       |      t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha,
       |    len(list_filter(['the','be','to','of','and','that','have','with'],
       |      sw -> list_contains(toks, sw))) AS req
-      |  FROM d)""".stripMargin
+      |  FROM ${pfx}d)""".stripMargin
 
-  /** The 7-rule conjunction over `m`'s columns. */
-  private val duckGopherPasses: String =
+  private val duckGopherCtes: String = duckGopherCtesFrom("documents")
+
+  /** The six content-shape rules over `m`'s columns (everything except
+    * the required-words rule) — the subset the curate_corpus_v2 funnel
+    * gates on (the synthetic corpus contains at most one of the eight
+    * Gopher function words by construction, so the full conjunction
+    * would filter every document and prove nothing about composition). */
+  private val duckGopherShapeRules: String =
     """w BETWEEN 50 AND 100000 AND chars >= w * 3 AND chars <= w * 10
       |   AND hashes * 10 <= w AND esyms * 10 <= w
       |   AND bullets * 10 <= n_lines * 9
-      |   AND ellipses * 10 <= n_lines * 3 AND alpha * 5 >= w * 4
-      |   AND req >= 2""".stripMargin
+      |   AND ellipses * 10 <= n_lines * 3 AND alpha * 5 >= w * 4""".stripMargin
+
+  /** The full 7-rule conjunction over `m`'s columns. */
+  private val duckGopherPasses: String =
+    duckGopherShapeRules + "\n   AND req >= 2"
 
   /** DuckDB replay of Bpe.fit(rounds) over the documents vocabulary:
     * word-count CTE `wc`, symbol chain s0..s{rounds} (each word's symbol
@@ -4048,6 +4209,185 @@ object SparkEntry {
         |FROM flags f
         |LEFT JOIN corpus c ON f.doc_id = c.doc_id
         |LEFT JOIN drops d ON f.doc_id = d.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The ten-stage curation funnel re-derived in ONE WITH chain: langid
+    // CASE + six-rule Gopher gate + line-repetition + Bloom positions
+    // (proportional 20% rule) + history-index minhash estimate + the
+    // k-means fit/assign/semdedup sweep + mix fractions + DSIR weights +
+    // 'rs:'-salted PPS resample + shard/pos/bin layout, final text joined
+    // from the source table (the JSONL round-trip must be byte-faithful
+    // for the hashes to meet). Stage CTEs are MATERIALIZED: DuckDB
+    // re-inlines every reference otherwise, and the g1..g6 chain's
+    // multi-reference fan-out re-evaluates the minhash/k-means prefixes
+    // exponentially (≈320s at sf0.01 inlined vs ≈1s materialized).
+    "curate_corpus_v2" ->
+      s"""WITH batch AS MATERIALIZED (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |lpred AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['el','la','de','que','y','en','los','una'], t))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['le','la','de','et','les','des','une','est'], t))) AS fr,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        |  FROM batch),
+        |lid AS (SELECT doc_id,
+        |    (CASE WHEN cjk > 0 THEN 'zh'
+        |          WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+        |          WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+        |          WHEN fr > 0 AND fr >= de THEN 'fr'
+        |          WHEN de > 0 THEN 'de'
+        |          ELSE 'und' END) = 'en' AS lang_ok FROM lpred),
+        |${duckGopherCtesFrom("batch", "g")},
+        |gok AS (SELECT doc_id, ($duckGopherShapeRules) AS gopher_ok FROM gm),
+        |lrp AS (SELECT doc_id, l, COUNT(*) AS n, length(l) AS cl FROM
+        |    (SELECT doc_id, unnest(string_split(text, chr(10))) AS l FROM batch)
+        |  WHERE length(l) > 0 GROUP BY 1, 2, 4),
+        |lr AS (SELECT doc_id,
+        |    (SUM(n - 1) * 10 <= SUM(n) * 3) AND
+        |    (SUM((n - 1) * cl) * 10 <= SUM(n * cl) * 2) AS rep_ok
+        |  FROM lrp GROUP BY 1),
+        |g1 AS MATERIALIZED (SELECT b.* FROM batch b
+        |  JOIN lid USING (doc_id) JOIN gok USING (doc_id)
+        |  JOIN lr USING (doc_id)
+        |  WHERE lang_ok AND gopher_ok AND rep_ok),
+        |bsh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |ks AS (SELECT unnest([0, 1, 2]) AS j),
+        |bpos AS (SELECT DISTINCT
+        |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
+        |      AS BIGINT) % 64512 AS INT) AS pos
+        |  FROM (SELECT DISTINCT unnest(s) AS shg FROM bsh), ks),
+        |wrd AS (SELECT CAST(pos // 63 AS INT) AS w,
+        |    bit_or(1::BIGINT << (pos % 63)) AS bits
+        |  FROM bpos GROUP BY 1),
+        |psh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM g1),
+        |trp AS (SELECT id, shg,
+        |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
+        |      AS BIGINT) % 64512 AS INT) AS pos
+        |  FROM (SELECT id, unnest(s) AS shg FROM psh), ks),
+        |tchk AS (SELECT id, shg,
+        |    bool_and(COALESCE((wrd.bits & (1::BIGINT << (trp.pos % 63))) <> 0,
+        |      FALSE)) AS hit
+        |  FROM trp LEFT JOIN wrd ON wrd.w = CAST(trp.pos // 63 AS INT)
+        |  GROUP BY 1, 2),
+        |bstat AS (SELECT t.id, COUNT(DISTINCT shg) FILTER (hit) AS n_flag,
+        |    COUNT(DISTINCT shg) AS n_sh
+        |  FROM tchk t GROUP BY 1),
+        |g2 AS MATERIALIZED (SELECT g1.* FROM g1 JOIN bstat b ON g1.doc_id = b.id
+        |  WHERE b.n_flag * 5 < b.n_sh),
+        |mrel AS (SELECT doc_id, text FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4')
+        |  UNION ALL SELECT doc_id, text FROM g2),
+        |${minhashSigCtesFrom("mrel")},
+        |sigm AS MATERIALIZED (SELECT * FROM sig),
+        |bkm AS MATERIALIZED (SELECT * FROM bk),
+        |idxb AS (SELECT bkm.id, b, bucket FROM bkm
+        |  JOIN documents d ON bkm.id = d.doc_id
+        |  WHERE d.source IN ('src0','src1','src2','src3','src4')),
+        |incb AS (SELECT bkm.id, b, bucket FROM bkm
+        |  JOIN g2 ON bkm.id = g2.doc_id),
+        |cand AS (SELECT DISTINCT n.id AS id, h.id AS matched_id
+        |  FROM incb n JOIN idxb h ON n.b = h.b AND n.bucket = h.bucket),
+        |nd AS (SELECT DISTINCT c.id FROM cand c JOIN sigm sn ON sn.id = c.id
+        |  JOIN sigm sm ON sm.id = c.matched_id
+        |  WHERE CAST(list_sum(list_transform(range(1, 65),
+        |      k -> CASE WHEN sn.sig[k] = sm.sig[k] THEN 1 ELSE 0 END))
+        |      AS DOUBLE) / 64 >= 0.7),
+        |g3 AS MATERIALIZED (SELECT g2.* FROM g2 LEFT JOIN nd ON g2.doc_id = nd.id
+        |  WHERE nd.id IS NULL),
+        |$kmeansCtes,
+        |u2cm AS MATERIALIZED (SELECT * FROM u2c),
+        |sv AS (SELECT v.id, v.v FROM v JOIN g3 ON v.id = g3.doc_id),
+        |a3 AS (${duckKmeansAssign("sv", "u2cm", 1)}),
+        |cs AS MATERIALIZED (SELECT a3.id, a3.v, a3.cluster,
+        |    ${duckCosine("a3.v", "u2cm.c")} AS cs
+        |  FROM a3 JOIN u2cm USING (cluster)),
+        |drp AS (SELECT DISTINCT a.id FROM cs a JOIN cs b
+        |  ON a.cluster = b.cluster AND a.id <> b.id
+        |  AND ${duckCosine("a.v", "b.v")} >= 0.3
+        |  AND (b.cs < a.cs OR (b.cs = a.cs AND b.id < a.id))),
+        |g4 AS MATERIALIZED (SELECT g3.* FROM g3 LEFT JOIN drp ON g3.doc_id = drp.id
+        |  WHERE drp.id IS NULL),
+        |shares(source, target_share) AS (VALUES
+        |    ('src5', CAST(0.1 AS DOUBLE)), ('src6', CAST(0.1 AS DOUBLE)),
+        |    ('src7', CAST(0.1 AS DOUBLE)), ('src8', CAST(0.1 AS DOUBLE)),
+        |    ('src9', CAST(0.1 AS DOUBLE)), ('src10', CAST(0.05 AS DOUBLE)),
+        |    ('src11', CAST(0.05 AS DOUBLE)), ('src12', CAST(0.05 AS DOUBLE)),
+        |    ('src13', CAST(0.05 AS DOUBLE)), ('src14', CAST(0.05 AS DOUBLE)),
+        |    ('src15', CAST(0.05 AS DOUBLE)), ('src16', CAST(0.05 AS DOUBLE)),
+        |    ('src17', CAST(0.05 AS DOUBLE)), ('src18', CAST(0.05 AS DOUBLE)),
+        |    ('src19', CAST(0.05 AS DOUBLE))),
+        |frac AS (
+        |  SELECT d.source,
+        |    least(CAST(1.0 AS DOUBLE),
+        |          s.target_share * 20000 / CAST(sum(d.n_chars) AS DOUBLE))
+        |      AS keep_frac
+        |  FROM g4 d JOIN shares s ON d.source = s.source
+        |  GROUP BY d.source, s.target_share),
+        |g5 AS MATERIALIZED (SELECT d.* FROM g4 d JOIN frac f ON d.source = f.source
+        |  WHERE ${duckHashPriority("d.doc_id")} < f.keep_frac),
+        |itoks AS MATERIALIZED (SELECT doc_id, source = 'src5' AS is_t,
+        |    unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+        |  FROM g5),
+        |istats AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt_c,
+        |    CAST(COUNT(*) FILTER (is_t) AS BIGINT) AS cnt_t
+        |  FROM itoks GROUP BY tok),
+        |itot AS (SELECT CAST(SUM(cnt_c) AS BIGINT) AS n_c,
+        |    CAST(SUM(cnt_t) AS BIGINT) AS n_t,
+        |    CAST(COUNT(*) AS BIGINT) AS v FROM istats),
+        |iwts AS (SELECT tok,
+        |    (1000000 * (cnt_t + 1) * (n_c + v)) // ((cnt_c + 1) * (n_t + v))
+        |      AS w_ppm
+        |  FROM istats, itot),
+        |idt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+        |  FROM itoks GROUP BY doc_id, tok),
+        |scored AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+        |    CAST(CAST(SUM(cnt * w_ppm) AS BIGINT)
+        |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
+        |  FROM idt JOIN iwts USING (tok) GROUP BY doc_id),
+        |tw AS (SELECT CAST(SUM(score_avg_ppm) AS DOUBLE) AS total_w FROM scored),
+        |g6 AS MATERIALIZED (SELECT g5.doc_id, g5.source, s.n_toks FROM g5
+        |  JOIN scored s USING (doc_id), tw
+        |  WHERE ${duckHashPriority("concat('rs:', CAST(g5.doc_id AS VARCHAR))")}
+        |    < least(CAST(1.0 AS DOUBLE),
+        |        CAST(30.0 AS DOUBLE) * s.score_avg_ppm / tw.total_w)),
+        |shrd AS (SELECT doc_id, source, n_toks,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 8 AS shard,
+        |    CAST(concat('0x', substring(md5(concat('ord:',
+        |      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) / power(16, 12)
+        |      AS ord
+        |  FROM g6),
+        |spos AS (SELECT doc_id, source, n_toks, shard,
+        |    CAST(row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id)
+        |      AS BIGINT) - 1 AS shard_pos
+        |  FROM shrd),
+        |packed AS (SELECT shard, shard_pos, doc_id, source, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY shard ORDER BY shard_pos
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      // 128 AS BIGINT) AS bin
+        |  FROM spos)
+        |SELECT p.shard, p.shard_pos, p.bin, p.doc_id, p.source, p.n_toks,
+        |  d.text
+        |FROM packed p JOIN documents d USING (doc_id)
+        |ORDER BY p.shard, p.shard_pos""".stripMargin
   )
 }

@@ -50,16 +50,20 @@ object Chunking {
   /** Sequence packing: within each stratum (ordered by `idCol`), assign
     * documents to consecutive token-budget bins by exclusive running sum —
     * bin = floor(tokens_before_this_doc / budget). Deterministic, one
-    * shuffle (the stratum-partitioned window), no global order. */
+    * shuffle (the stratum-partitioned window), no global order.
+    * `carryCols` are passed through untouched (e.g. the doc id and source
+    * when packing a sharded layout ordered by `shard_pos`), so a composed
+    * pipeline does not need a join to recover them afterwards. */
   def packByBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
-                   tokenCountCol: Column, budget: Int): DataFrame = {
+                   tokenCountCol: Column, budget: Int,
+                   carryCols: Seq[String] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    df.select(strataCols.map(col) :+ col(idCol) :+
-        tokenCountCol.cast("long").as("__tok"): _*)
+    df.select((strataCols.map(col) :+ col(idCol) :+
+        tokenCountCol.cast("long").as("__tok")) ++ carryCols.map(col): _*)
       .withColumn("bin",
         floor(coalesce(sum(col("__tok")).over(w), lit(0L)).cast("double") / budget)
           .cast("long"))

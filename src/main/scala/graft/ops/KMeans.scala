@@ -263,9 +263,13 @@ object KMeans {
       .select(col("__id").as(idCol), col("__cluster").as("cluster"),
         col("__cs").as("cent_sim"))
     if (materialize) {
+      // base's cache is scoped to this eager pass: release it even when
+      // the count throws (a failed job must not leave the largest
+      // intermediate pinned in a long-lived session)
       val o = out.persist()
-      o.count()
-      base.unpersist(false)
+      try o.count()
+      catch { case e: Throwable => o.unpersist(false); throw e }
+      finally base.unpersist(false)
       o
     } else out
   }

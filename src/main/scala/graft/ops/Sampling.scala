@@ -15,7 +15,17 @@ import org.apache.spark.sql.expressions.Window
 object Sampling {
 
   /** Stable per-row priority in [0, 1): first 12 md5 hex digits of the key
-    * scaled down. Uniform enough for sampling; deterministic everywhere. */
+    * scaled down. Uniform enough for sampling; deterministic everywhere.
+    *
+    * COMPOSITION CAVEAT: two sampling stages keyed on the SAME key draw
+    * the SAME uniform variate, so their selections are perfectly
+    * correlated — rows that survived an upstream `p1` threshold pass a
+    * downstream `p2 > p1` with certainty instead of probability `p2`
+    * (the curate_corpus_v2 funnel hit exactly this composing
+    * [[mixCorpus]] with [[weightedSample]]). When stages must draw
+    * independently, domain-separate the key per stage (e.g.
+    * `concat(lit("rs:"), key)`), the [[graft.ops.Layout.shardOrderKey]]
+    * discipline. */
   def hashPriority(key: Column): Column =
     conv(substring(md5(key.cast("string")), 1, 12), 16, 10)
       .cast("double") / lit(math.pow(16, 12))

@@ -26,15 +26,22 @@ import org.apache.spark.sql.types.StructType
 object Jsonl {
 
   /** Write `df` as JSONL under `outDir`, one line per row; columns in
-    * `partitionBy` become directory levels, the rest the JSON payload. */
+    * `partitionBy` become directory levels, the rest the JSON payload.
+    * `saveMode` is the caller's clobber contract: the default
+    * "overwrite" REPLACES any existing directory at `outDir` (the
+    * deliver-to-a-fresh-path convention this engine's sinks use); pass
+    * "errorifexists" when a delivery must never silently clobber a
+    * previous one — the explicit knob keeps the write path's posture as
+    * contract-bound as the read path's FAILFAST. */
   def write(df: DataFrame, outDir: String,
-            partitionBy: Seq[String] = Nil): Unit = {
+            partitionBy: Seq[String] = Nil,
+            saveMode: String = "overwrite"): Unit = {
     val dataCols = df.columns.filterNot(partitionBy.contains).toSeq
     require(dataCols.nonEmpty, "no data columns left outside partitionBy")
     val w = df
       .select(partitionBy.map(col) :+
         to_json(struct(dataCols.map(col): _*)).as("value"): _*)
-      .write.mode("overwrite")
+      .write.mode(saveMode)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .text(outDir)
   }

@@ -166,6 +166,38 @@ class PlanSpec extends SparkSuite {
       s"sort-aggregate (no map-side combine) in:\n$plan")
   }
 
+  test("curate_corpus_v2 funnel: never cartesian; text crosses at most one shuffle") {
+    // The composed ten-stage funnel's scale contract: every per-doc
+    // gate/signal is consumed map-side or reduced to an id-keyed frame
+    // before joining the spine, so the corpus `text` column itself rides
+    // at most ONE shuffle exchange (the export attach) — re-shuffling
+    // multi-KB text bodies per stage is the composition failure mode
+    // this pins against. Built on the real sf0.001 testdata because the
+    // funnel's constants (history sources, benchmark ids) are part of
+    // the query contract.
+    val df = SparkEntry.curateFunnelV2(spark, "/root/testdata/sf0.001")
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the funnel plan:\n$plan")
+    val fmt = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // formatted-explain node blocks: "(n) Exchange" + "Input [k]: [...]";
+    // count shuffle exchanges whose input carries the text attribute
+    // (BroadcastExchange excluded: a small-side broadcast of the final
+    // packed frame is the good path, and AQE picks SMJ at real scale)
+    val blocks = fmt.split("\n\n").map(_.linesIterator.toSeq)
+    val shuffleBlocks = blocks.filter(
+      _.headOption.exists(_.matches("""\(\d+\) Exchange.*""")))
+    // parse sanity: the funnel HAS shuffles (windows, aggregates) — zero
+    // found means the block format drifted and the pin went vacuous
+    assert(shuffleBlocks.nonEmpty,
+      s"formatted-explain parse found no Exchange blocks:\n$fmt")
+    val textShuffles = shuffleBlocks.count(
+      _.exists(l => l.startsWith("Input") && l.contains("text#")))
+    assert(textShuffles <= 1,
+      s"corpus text crosses $textShuffles shuffles (max 1):\n$fmt")
+  }
+
   test("naiveBayesClassify: no cartesian on data, hash aggs, broadcast model") {
     import graft.ops.Corpus
     val docs = spark.read.parquet(s"$dir/t")
