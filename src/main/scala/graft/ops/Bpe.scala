@@ -161,7 +161,12 @@ object Bpe {
       }
     val vocab = docWords.select("w").distinct()
       .select(col("w"), size(folded).cast("long").as("n_syms"))
-    docWords.join(vocab, "w")
+    val counts = docWords.join(vocab, "w")
       .groupBy(idCol).agg(sum("n_syms").as("n_bpe"))
+    // empty/whitespace-only docs explode to zero words and would vanish
+    // from the aggregate — the spine join gives them their true n_bpe=0
+    // row instead of a silent drop
+    corpus.select(col(idCol)).join(counts, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
 }

@@ -78,7 +78,7 @@ object Corpus {
       .select(col(idCol), explode(split(col(textCol), "\n")).as("__l"))
       .where(length(col("__l")) > 0)
       .groupBy(idCol, "__l").agg(count(lit(1)).as("__n"))
-    perLine.groupBy(idCol).agg(
+    val sig = perLine.groupBy(idCol).agg(
         sum("__n").as("__tot"),
         sum(col("__n") - 1).as("__dup"),
         sum(col("__n") * length(col("__l"))).as("__totc"),
@@ -88,6 +88,18 @@ object Corpus {
         round(col("__dupc") / col("__totc"), 6).as("dup_char_frac"),
         (col("__dup") * 10L <= col("__tot") * 3L).as("dup_line_ok"),
         (col("__dupc") * 10L <= col("__totc") * 2L).as("dup_char_ok"))
+    // EVERY input doc gets a row: a doc with no nonempty lines has no
+    // line-explode output, and an aggregate-only shape would silently
+    // drop it from the signal frame (a gate joining on these signals
+    // would then drop the doc for the wrong reason). Degenerate docs
+    // carry n_lines=0, NULL fractions (0/0 is undefined, not 0), and
+    // vacuously-true rule verdicts (0 duplicated of 0).
+    df.select(col(idCol)).join(sig, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        col("dup_line_frac"), col("dup_char_frac"),
+        coalesce(col("dup_line_ok"), lit(true)).as("dup_line_ok"),
+        coalesce(col("dup_char_ok"), lit(true)).as("dup_char_ok"))
   }
 
   /** Multinomial Naive Bayes text classifier, trained AND applied
@@ -113,6 +125,45 @@ object Corpus {
     * struct-min for the argmin. The corpus text never shuffles. */
   def naiveBayesClassify(df: DataFrame, idCol: String, textCol: String,
                          classCol: String): DataFrame = {
+    val (weights, priors) = nbWeightsAndPriors(df, idCol, textCol, classCol)
+    nbApply(df, idCol, textCol, weights, priors)
+  }
+
+  /** The trained NB model as ONE flat frame — the audit/persist format
+    * (the [[graft.ops.KMeans.centroidsDF]] / [[Bpe.mergesDF]] convention:
+    * fit once, store, reload in a later session and classify without the
+    * training corpus). Token rows carry (cls, tok, bits); the C prior
+    * rows carry (cls, NULL, prior_bits) — `tok IS NULL` is the
+    * discriminator, safe because [[graft.ops.TextAnalysis.tokens]] never
+    * yields a NULL token. */
+  def nbModelDF(df: DataFrame, idCol: String, textCol: String,
+                classCol: String): DataFrame = {
+    val (weights, priors) = nbWeightsAndPriors(df, idCol, textCol, classCol)
+    weights.select(col("__cls").as("cls"), col("tok"),
+        col("__bits").as("bits"))
+      .unionByName(priors.select(col("__cls").as("cls"),
+        lit(null: String).as("tok"), col("__prior").as("bits")))
+  }
+
+  /** Classify with a persisted/reloaded [[nbModelDF]] frame: predictions
+    * are bit-identical to the fitting session's (integer bits at rest,
+    * nothing lossy in the round-trip). */
+  def nbClassify(df: DataFrame, idCol: String, textCol: String,
+                 model: DataFrame): DataFrame = {
+    val weights = model.filter(col("tok").isNotNull)
+      .select(col("cls").as("__cls"), col("tok"), col("bits").as("__bits"))
+    val priors = model.filter(col("tok").isNull)
+      .select(col("cls").as("__cls"), col("bits").as("__prior"))
+    nbApply(df, idCol, textCol, weights, priors)
+  }
+
+  /** Training halves of the NB surface: the (cls, tok, bits) weight
+    * table and the (cls, prior_bits) priors, shared by the one-shot
+    * classifier and the persist path so the smoothing arithmetic has
+    * exactly one owner. */
+  private def nbWeightsAndPriors(df: DataFrame, idCol: String,
+                                 textCol: String, classCol: String)
+      : (DataFrame, DataFrame) = {
     val toks = df.select(col(idCol), col(classCol).as("__cls"),
       explode(TextAnalysis.tokens(col(textCol))).as("tok"))
     val classCounts = toks.groupBy("__cls", "tok")
@@ -138,17 +189,34 @@ object Corpus {
       .select(col("__cls"),
         (length(bin(expr("(__d + __c) DIV (__dc + 1)"))) - 1)
           .cast("long").as("__prior"))
-    val docTok = toks.groupBy(col(idCol), col("tok"))
+    (weights, priors)
+  }
+
+  /** Inference half: per-doc token counts against the weight table, the
+    * struct-min argmin, and the empty-doc fallback — a doc whose text
+    * yields zero tokens has score_c = prior_c for every class, so it
+    * gets the PRIOR-ONLY argmin (ties by class name) instead of silently
+    * vanishing from the output. */
+  private def nbApply(df: DataFrame, idCol: String, textCol: String,
+                      weights: DataFrame, priors: DataFrame): DataFrame = {
+    val docTok = df
+      .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
       .agg(count(lit(1)).as("__n"))
     val scores = docTok.join(weights, Seq("tok"))
       .groupBy(col(idCol), col("__cls"))
       .agg(sum(col("__n") * col("__bits")).as("__s"))
       .join(broadcast(priors), Seq("__cls"))
       .select(col(idCol), col("__cls"), (col("__s") + col("__prior")).as("__score"))
-    scores.groupBy(idCol)
+    val best = scores.groupBy(idCol)
       .agg(min(struct(col("__score"), col("__cls"))).as("__best"))
-      .select(col(idCol), col("__best.__cls").as("predicted"),
-        col("__best.__score").as("score_bits"))
+    val priorBest = priors
+      .agg(min(struct(col("__prior"), col("__cls"))).as("__pb"))
+    df.select(col(idCol)).join(best, Seq(idCol), "left")
+      .crossJoin(broadcast(priorBest))
+      .select(col(idCol),
+        coalesce(col("__best.__cls"), col("__pb.__cls")).as("predicted"),
+        coalesce(col("__best.__score"), col("__pb.__prior")).as("score_bits"))
   }
 
   /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf

@@ -51,6 +51,62 @@ class OpsSpec extends SparkSuite {
       "one outlier doc changed the separable predictions")
   }
 
+  test("empty/zero-token docs keep their rows: NB prior-only, line-rep, BPE") {
+    import spark.implicits._
+    // empty and whitespace-only docs yield no tokens/lines — the
+    // per-doc aggregate shapes would silently drop them without the
+    // spine joins (the r16 advice finding)
+    val docs = Seq(
+      (1L, "apfel brot apfel", "de"), (2L, "brot apfel brot", "de"),
+      (3L, "cat dog cat", "en"), (4L, "dog cat dog", "en"),
+      (5L, "", "de"), (6L, "   \n  ", "en")).toDF("id", "text", "lang")
+    val nb = graft.ops.Corpus.naiveBayesClassify(docs, "id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(nb.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L),
+      s"empty docs missing from NB output: ${nb.keySet}")
+    // empty docs score prior-only: D=6, C=2, d_de=3, d_en=3 ->
+    // prior = floor(log2((6+2) DIV (3+1))) = 1 for both; tie breaks to
+    // the ascending class name
+    assert(nb(5L) == ("de", 1L) && nb(6L) == ("de", 1L),
+      s"empty docs not prior-only argmin: ${nb(5L)}, ${nb(6L)}")
+    val lr = graft.ops.Corpus.lineRepetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(lr.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(lr(5L).getLong(1) == 0L && lr(5L).isNullAt(2) &&
+      lr(5L).getBoolean(4) && lr(5L).getBoolean(5),
+      "empty doc's line-rep row should be n_lines=0/NULL fracs/vacuous-true")
+    val ms = graft.ops.Bpe.fit(docs.filter($"id" <= 4), "text", rounds = 2)
+    val bpe = graft.ops.Bpe.encodedLengths(docs, "id", "text", ms)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bpe.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    assert(bpe(5L) == 0L && bpe(6L) == 0L, s"empty docs n_bpe: $bpe")
+  }
+
+  test("NB model persists and reloads: predictions bit-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "apfel brot apfel", "de"), (2L, "brot apfel brot", "de"),
+      (3L, "cat dog cat", "en"), (4L, "dog cat dog", "en"),
+      (5L, "apfel dog", "de"), (6L, "", "en")).toDF("id", "text", "lang")
+    val direct = graft.ops.Corpus.naiveBayesClassify(docs, "id", "text", "lang")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("graft-nb").toString
+    val store = new graft.store.TableStore(spark, tmp)
+    store.overwrite("nb_model",
+      graft.ops.Corpus.nbModelDF(docs, "id", "text", "lang"), maxFiles = 1)
+    val reloaded = graft.ops.Corpus.nbClassify(docs, "id", "text",
+        store.read("nb_model"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(reloaded == direct,
+      s"reloaded-model predictions drifted:\n$reloaded\nvs\n$direct")
+    // the model frame discriminates weights from priors by tok IS NULL:
+    // exactly C prior rows, V x C weight rows
+    val m = store.read("nb_model")
+    assert(m.filter(col("tok").isNull).count() == 2L)
+    assert(m.filter(col("tok").isNotNull).count() ==
+      m.filter(col("tok").isNotNull).select("tok").distinct().count() * 2)
+  }
+
   test("bpe: Sennrich fixture learns the classic merges; encode applies them") {
     import graft.ops.Bpe
     import spark.implicits._

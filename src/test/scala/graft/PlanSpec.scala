@@ -207,17 +207,18 @@ class PlanSpec extends SparkSuite {
     // the only nested-loop joins permitted are the broadcast totals /
     // priors (bounded by C and V); the corpus stream itself must never
     // cartesian; the token-keyed corpus aggregates must be hash. The
-    // struct-argmin is ALLOWED to be a SortAggregate (struct buffers
-    // aren't hash-aggregable) because its input is the already-reduced
-    // D x C score stream and it still gets a map-side partial_min —
-    // exactly two SortAggregate nodes (partial + final), no more.
+    // struct-argmins are ALLOWED to be SortAggregates (struct buffers
+    // aren't hash-aggregable) because their inputs are already reduced
+    // (the D x C score stream; the C-row priors for the empty-doc
+    // fallback) and both still get map-side partial_mins — exactly four
+    // SortAggregate nodes (partial + final for each argmin), no more.
     assert(!plan.contains("CartesianProduct"),
       s"cartesian in NB plan:\n$plan")
     assert(plan.contains("HashAggregate"), s"no hash aggregate:\n$plan")
     val sortAggs = plan.sliding("SortAggregate".length)
       .count(_ == "SortAggregate")
-    assert(sortAggs == 2 && plan.contains("min(struct"),
-      s"unexpected sort-aggregates ($sortAggs) beyond the argmin:\n$plan")
+    assert(sortAggs == 4 && plan.contains("min(struct"),
+      s"unexpected sort-aggregates ($sortAggs) beyond the two argmins:\n$plan")
     assert(plan.contains("BroadcastExchange"),
       s"model/priors not broadcast:\n$plan")
   }
