@@ -300,4 +300,38 @@ class QuerySemanticsSpec extends SparkSuite {
     assert(recall >= 0.90,
       s"mean recall_refined@10 = $recall fell below the 0.90 floor")
   }
+
+  test("large-k fit routes through k-means|| seeding and separates 40 planted blobs") {
+    import graft.ops.KMeans
+    // 40 one-hot-separated clusters (10 members each) in 40 dims — k=40
+    // is past LargeKSeedThreshold, so fit seeds via the deterministic
+    // k-means|| oversampling path; 40 sequential farthest-first scans is
+    // exactly what that path exists to avoid. After 2 Lloyd rounds every
+    // blob must be PURE (one cluster per blob) and blobs must not merge.
+    assert(40 > KMeans.LargeKSeedThreshold)
+    val emb = (0L until 400L).map { i =>
+      val c = (i % 40).toInt
+      (i, Array.tabulate(40) { d =>
+        val base = if (d == c) 5.0f else 0.0f
+        base + 0.05f * ((i * 13 + d * 5) % 7 - 3)
+      })
+    }.toDF("vec_id", "embedding")
+    val cents = KMeans.fit(emb, "vec_id", "embedding", k = 40, iters = 2)
+    assert(cents.size == 40, s"expected 40 centroids, got ${cents.size}")
+    val vv = Similarity.asDouble(col("embedding"))
+    val assigned = emb
+      .select((col("vec_id") % 40).as("blob"),
+        KMeans.assignExpr(vv, cents).as("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val byBlob = assigned.groupBy(_._1).map { case (b, rs) =>
+      b -> rs.map(_._2).distinct }
+    assert(byBlob.values.forall(_.size == 1),
+      s"some blob split across clusters: ${byBlob.filter(_._2.size > 1)}")
+    val clustersUsed = byBlob.values.map(_.head).toSeq.distinct
+    assert(clustersUsed.size == 40,
+      s"blobs merged: only ${clustersUsed.size} distinct clusters for 40 blobs")
+    // determinism: a refit lands on bit-identical centroids
+    val cents2 = KMeans.fit(emb, "vec_id", "embedding", k = 40, iters = 2)
+    assert(cents == cents2, "k-means|| fit is not deterministic across runs")
+  }
 }
