@@ -40,16 +40,48 @@ object Probe {
         println(s"[funnel] toExport count=$n: $c")
         val (_, c2) = timed(df.count())
         println(s"[funnel] toExport count again: $c2")
+        // plan-size telemetry: the lineage-cut regression signature is
+        // this count exploding (~4000 pre-localCheckpoint, ~27 after)
         val plan = df.queryExecution.executedPlan.toString
         println(s"[funnel] parquet scans: ${"Scan parquet".r.findAllIn(plan).length}")
         println(s"[funnel] inmem scans: ${"InMemoryTableScan".r.findAllIn(plan).length}")
-        plan.linesIterator.filter(l => l.contains("Scan parquet") ||
-          l.contains("InMemoryTableScan") || l.contains("HashAggregate(keys=[id"))
-          .take(40).foreach(l => println("[funnel-plan] " + l.take(160)))
         val out = java.nio.file.Files.createTempDirectory("probe-funnel").toString
         val (_, w) = timed(graft.sources.Jsonl.write(df, out,
           partitionBy = Seq("shard")))
         println(s"[funnel] jsonl write: $w")
+
+      // BPE merge training + corpus encode at realistic merge depth:
+      // synthetic vocabulary large enough that 1000+ rounds don't
+      // exhaust, per-round rate compared across depths for flatness
+      case "bpedepth" =>
+        import spark.implicits._
+        val nWords = if (args.length > 1) args(1).toInt else 20000
+        val rounds = if (args.length > 2) args(2).toInt else 1000
+        // chars must mix ALL bits of i (a mod-26 linear form collapses
+        // to 26 distinct words and exhausts the merge space at ~240)
+        val words = (0 until nWords).map { i =>
+          var h = i.toLong * 2654435761L + 12345L
+          (0 until 10).map { _ =>
+            h = h * 6364136223846793005L + 1442695040888963407L
+            ('a' + math.floorMod(h >>> 33, 26L).toInt).toChar
+          }.mkString
+        }
+        println(s"[bpedepth] vocabulary: ${words.distinct.size} distinct " +
+          s"of $nWords generated")
+        val corpus = words.toDF("text")
+        for (r <- Seq(rounds / 4, rounds)) {
+          val (ms, secs) = timed(graft.ops.Bpe.fit(corpus, "text", r))
+          println(f"[bpedepth] fit rounds=$r: $secs%.1fs " +
+            f"(${secs / r}%.3f s/round, learned ${ms.size})")
+          if (r == rounds) {
+            val (enc, esecs) = timed(
+              graft.ops.Bpe.encodedLengths(corpus.select(
+                  monotonically_increasing_id().as("id"), col("text")),
+                "id", "text", ms).count())
+            println(f"[bpedepth] encodedLengths with ${ms.size} merges: " +
+              f"$esecs%.1fs over $enc docs")
+          }
+        }
 
       // construction sub-steps of the funnel, timed independently
       case "funnelsub" =>

@@ -58,7 +58,16 @@ object Bpe {
   /** Apply ONE merge to a symbol array: leftmost-first, non-overlapping.
     * Sentinel-seeded left fold — the accumulator's last element is
     * either a fresh symbol (merge candidate) or an already-merged token
-    * (which no longer string-equals `left`, so it cannot re-merge). */
+    * (which no longer string-equals `left`, so it cannot re-merge).
+    *
+    * The sentinel is stripped with a single-reference `filter` (it can
+    * never equal a real symbol — see [[Sentinel]]), NOT with
+    * `slice(folded, 2, size(folded) - 1)`: that shape references the
+    * fold twice, so CHAINED application (fit's rounds, encode's rank
+    * fold) doubled the expression tree per merge — 2^16 subtree copies
+    * made a 258 MB task binary at 16 chained merges, and ~2^60 killed
+    * the driver's column conversion outright near 64. With the single
+    * reference the tree grows linearly in merges. */
   def applyMergeExpr(syms: Column, left: String, right: String): Column = {
     val merged = left + right
     val folded = aggregate(syms, array(lit(Sentinel)),
@@ -66,13 +75,33 @@ object Bpe {
         when(element_at(acc, -1) === lit(left) && x === lit(right),
           concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
         .otherwise(concat(acc, array(x))))
-    slice(folded, lit(2), size(folded) - 1)
+    filter(folded, x => x =!= lit(Sentinel))
   }
+
+  /** Rounds between eager materializations of the evolving symbol table
+    * inside [[fit]]: each round nests one more `aggregate` fold onto the
+    * lineage, so an unmaterialized loop makes round r re-execute rounds
+    * 1..r-1's folds (O(rounds²) work) and grows Catalyst expression
+    * depth without bound. Every 8th round the table localCheckpoints —
+    * fold nesting stays ≤ 8, total work O(rounds), cost one extra
+    * vocabulary-sized job per 8 rounds. Measured at depth (Probe
+    * bpedepth, 20k-word synthetic vocabulary, local[32]): 0.392 s/round
+    * at 250 rounds and 0.373 s/round at 1000 — FLAT, i.e. the wall
+    * clock is rounds-bound on driver-paced job latency, not depth.
+    * Honest ceiling: at that rate a real tokenizer's 30k merges is ~3h
+    * of sequential rounds — past a few thousand, batch non-conflicting
+    * merges per round or pull the (MB-scale) word table into driver
+    * memory for the classic in-memory loop; the distributed rounds are
+    * the right shape only while the VOCABULARY is too big to hold. */
+  private val FitCheckpointEvery = 8
 
   /** Learn `rounds` merges over the whitespace vocabulary of `textCol`.
     * One corpus-scale aggregate (the word count), then vocabulary-table
     * work only; the word table is persisted across rounds so round r
-    * does not replay rounds 1..r-1 against the corpus. */
+    * does not replay rounds 1..r-1 against the corpus, and the evolving
+    * symbol table is materialized every [[FitCheckpointEvery]] rounds so
+    * per-round cost stays flat to realistic merge depths (real
+    * tokenizers run 30k-100k merges). */
   def fit(corpus: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val words = corpus
@@ -97,6 +126,7 @@ object Bpe {
           val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
           merges += Merge(r, l, rt, cnt)
           syms = syms.select(col("n"), applyMergeExpr(col("s"), l, rt).as("s"))
+          if (r % FitCheckpointEvery == 0) syms = syms.localCheckpoint()
           r += 1
         }
       }
@@ -151,16 +181,36 @@ object Bpe {
     * word) pairs — the document TEXT never runs a fold and never
     * shuffles — and the (id, count) aggregate's partials collapse
     * map-side. */
+  /** Merges per projection batch in [[encodedLengths]]: a single select
+    * nesting one `aggregate` fold per merge hits Catalyst
+    * analysis/codegen depth limits long before a real vocabulary's
+    * 30k-100k merges (and CollapseProject would re-nest split
+    * projections), so the vocabulary table localCheckpoints between
+    * batches. 16 is measured headroom: Spark 4's recursive
+    * ColumnNode-to-expression conversion StackOverflows on the driver
+    * near ~64 nested aggregate folds, well before analysis limits. One
+    * batch (every shipped query, <= 16 merges) keeps the exact
+    * single-projection plan. [[encodeExpr]] has no table to
+    * checkpoint — its per-occurrence fold keeps the single-expression
+    * ceiling and stays the ad-hoc/unseen-text path only. */
+  private val EncodeBatchSize = 16
+
   def encodedLengths(corpus: DataFrame, idCol: String, textCol: String,
                      merges: Seq[Merge]): DataFrame = {
     val docWords = corpus.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
-    val folded = merges.sortBy(_.rank)
-      .foldLeft(symbolize(col("w"))) { (s, m) =>
-        applyMergeExpr(s, m.left, m.right)
-      }
-    val vocab = docWords.select("w").distinct()
-      .select(col("w"), size(folded).cast("long").as("n_syms"))
+    val batches = merges.sortBy(_.rank).grouped(EncodeBatchSize).toSeq
+    var vocabSyms = docWords.select("w").distinct()
+      .select(col("w"), symbolize(col("w")).as("__s"))
+    for (batch <- batches) {
+      vocabSyms = vocabSyms.select(col("w"),
+        batch.foldLeft(col("__s")) { (s, m) =>
+          applyMergeExpr(s, m.left, m.right)
+        }.as("__s"))
+      if (batches.size > 1) vocabSyms = vocabSyms.localCheckpoint()
+    }
+    val vocab = vocabSyms
+      .select(col("w"), size(col("__s")).cast("long").as("n_syms"))
     val counts = docWords.join(vocab, "w")
       .groupBy(idCol).agg(sum("n_syms").as("n_bpe"))
     // empty/whitespace-only docs explode to zero words and would vanish

@@ -111,6 +111,20 @@ def main(argv):
         print(f"  (dump-stored: median {stored[0]} -> {stored[1]}, "
               f"min {stored[2]} -> {stored[3]})")
 
+    # Standing adjudication for job-count-heavy queries (the dedup_cluster
+    # pattern: O(log n) driver-paced rounds of paired jobs, whose
+    # interleaved medians — and sometimes mins — inflate 2x under bench
+    # contention while focused quiet runs sit at the floor; three rounds
+    # of manual adjudication motivated making it mechanical). Queries
+    # listed in BENCH_FOCUSED.json carry a quiet-box FOCUSED-RUN floor
+    # (SPARK_GRAFT_ONLY=<q>); an interleaved "SLOWER" within threshold of
+    # that floor is a contention artifact, not a regression.
+    focused_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_FOCUSED.json")
+    focused = {}
+    if os.path.exists(focused_path):
+        focused = json.load(open(focused_path)).get("queries_min", {})
+
     rows = []
     for q in sorted(set(o_min) & set(n_min)):
         a, b = o_min[q], n_min[q]
@@ -122,8 +136,17 @@ def main(argv):
 
     for ratio, q, a, b, ma, mb in sorted(rows, reverse=True):
         tag = "SLOWER" if ratio > 1 else "faster"
+        note = ""
+        if ratio > 1 and q in focused:
+            ff = focused[q]
+            if b <= ff * (1.0 + threshold):
+                note = (f"   [job-count-heavy; within focused floor "
+                        f"{ff} — contention artifact]")
+            else:
+                note = (f"   [job-count-heavy; EXCEEDS focused floor {ff} "
+                        f"— re-measure with SPARK_GRAFT_ONLY={q}]")
         print(f"  {q:28s} min {a:7.3f} -> {b:7.3f}  ({ratio:5.2f}x {tag})"
-              f"   median {ma} -> {mb}")
+              f"   median {ma} -> {mb}{note}")
 
     only_old = sorted(set(o_min) - set(n_min))
     only_new = sorted(set(n_min) - set(o_min))
