@@ -1834,18 +1834,47 @@ object SparkEntry {
     // (over the 0.30 dup-line threshold → fails), 2 on every 3rd (under
     // → keeps). The oracle replays the splice and both fractions.
     "gopher_repetition" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val nLines = ceil(size(toks) / lit(8.0)).cast("int")
-      val body = concat_ws("\n", transform(sequence(lit(0), nLines - 1),
-        i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
-      val footer = when(pmod(col("doc_id"), lit(7)) === 0,
-          lit("\nfollow us for more" * 6))
-        .when(pmod(col("doc_id"), lit(3)) === 0, lit("\nfollow us for more" * 2))
-        .otherwise(lit(""))
-      val spliced = t(s, dir, "documents")
-        .select(col("doc_id"), concat(body, footer).as("text"))
-      Corpus.lineRepetitionSignals(spliced, "doc_id", "text")
+      Corpus.lineRepetitionSignals(splicedBoilerplateDocs(s, dir),
+          "doc_id", "text")
         .orderBy("doc_id")
+    }),
+
+    // C4-style INTER-document line dedup (boilerplate strip): the spliced
+    // footer lines repeat across ~40% of docs and get removed from every
+    // one; body lines survive unless the small vocabulary genuinely
+    // repeats an 8-gram more than 3 times corpus-wide (the oracle
+    // replays those too). Reassembly order and content are pinned by
+    // md5(text_clean).
+    "strip_boilerplate" -> ((s, dir) => {
+      Corpus.stripRepeatedLines(splicedBoilerplateDocs(s, dir),
+          "doc_id", "text", maxOccurrences = 3)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          length(col("text_clean")).cast("long").as("len_clean"),
+          md5(col("text_clean")).as("fp_clean"))
+        .orderBy("doc_id")
+    }),
+
+    // mT5/XLM-R temperature mixing: shares DERIVED from the corpus at
+    // alpha = 0.5 (iterated-sqrt exact-integer ppm — no libm pow), fed
+    // straight into mixCorpus. Low-resource sources get upweighted
+    // relative to their mass; the oracle replays weights, shares, keep
+    // fractions, and the kept set digit-for-digit.
+    "sample_mix_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shares = Sampling.temperatureShares(docs, "source", "n_chars",
+        alphaQuarters = 2)
+      val shareMap = shares.collect()
+        .map(r => r.getString(0) -> r.getLong(3) / 1e6).toMap
+      val mixed = Sampling.mixCorpus(docs, "source", "doc_id", "n_chars",
+        shareMap, budget = 40000L)
+      shares.select(col("source"), col("w"), col("share_ppm"))
+        .join(mixed.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"),
+            sum("n_chars").as("mass_kept")), Seq("source"), "left")
+        .select(col("source"), col("w"), col("share_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("mass_kept"), lit(0L)).as("mass_kept"))
+        .orderBy("source")
     }),
 
     // Corpus curation: multinomial Naive Bayes trained and applied
@@ -2167,6 +2196,24 @@ object SparkEntry {
           col("source"), col("__tok").as("n_toks"), col("text"))
   }
 
+  /** Documents re-lined into 8-token lines with a repeated marketing
+    * footer spliced onto every doc_id % 7 == 0 (x6) and % 3 == 0 (x2)
+    * doc — the shared fixture of gopher_repetition (within-doc
+    * repetition signals) and strip_boilerplate (across-doc line dedup),
+    * so the two rule families are exercised against the same corpus. */
+  private def splicedBoilerplateDocs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nLines = ceil(size(toks) / lit(8.0)).cast("int")
+    val body = concat_ws("\n", transform(sequence(lit(0), nLines - 1),
+      i => concat_ws(" ", slice(toks, i * 8 + 1, lit(8)))))
+    val footer = when(pmod(col("doc_id"), lit(7)) === 0,
+        lit("\nfollow us for more" * 6))
+      .when(pmod(col("doc_id"), lit(3)) === 0, lit("\nfollow us for more" * 2))
+      .otherwise(lit(""))
+    t(s, dir, "documents")
+      .select(col("doc_id"), concat(body, footer).as("text"))
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables (or a deterministic VALUES / first-principles
     * re-derivation where the query's inputs are generated fixtures). */
@@ -2267,6 +2314,26 @@ object SparkEntry {
       |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
       |  FROM dt JOIN wts USING (tok)
       |  GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB twin of [[splicedBoilerplateDocs]] — CTEs `t`, `sp` ending
+    * at (doc_id, text). Shared by the gopher_repetition and
+    * strip_boilerplate oracles. */
+  private val duckSplicedCtes: String =
+    // no line may BEGIN with '||' — this fragment is interpolated into
+    // oracles that call .stripMargin on the whole string, which would
+    // eat the first pipe of a leading '||'
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks
+      |  FROM documents),
+      |sp AS (SELECT doc_id,
+      |    array_to_string(list_transform(
+      |      range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
+      |      i -> array_to_string(toks[i * 8 + 1:i * 8 + 8], ' ')), chr(10)) ||
+      |    CASE WHEN doc_id % 7 = 0
+      |         THEN repeat(chr(10) || 'follow us for more', 6)
+      |         WHEN doc_id % 3 = 0
+      |         THEN repeat(chr(10) || 'follow us for more', 2)
+      |         ELSE '' END AS text
+      |  FROM t)""".stripMargin
 
   /** Shared Gopher-rule measure CTEs (`{pfx}d`, `{pfx}m`) over `rel` —
     * one owner for gopher_filter's verdicts, the streaming gate's passes
@@ -3915,18 +3982,7 @@ object SparkEntry {
     // same splice (8-word lines + footer copies), same beyond-first
     // duplicate counting, same integer-cross-multiplied verdicts
     "gopher_repetition" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents),
-        |sp AS (SELECT doc_id,
-        |    array_to_string(list_transform(
-        |      range(0, CAST(ceil(len(toks) / 8.0) AS INT)),
-        |      i -> array_to_string(toks[i * 8 + 1:i * 8 + 8], ' ')), chr(10))
-        |    || CASE WHEN doc_id % 7 = 0
-        |         THEN repeat(chr(10) || 'follow us for more', 6)
-        |         WHEN doc_id % 3 = 0
-        |         THEN repeat(chr(10) || 'follow us for more', 2)
-        |         ELSE '' END AS text
-        |  FROM t),
+      s"""WITH $duckSplicedCtes,
         |g AS (SELECT doc_id, line, COUNT(*) AS n,
         |    length(line) AS lc
         |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line
@@ -4388,6 +4444,54 @@ object SparkEntry {
         |SELECT p.shard, p.shard_pos, p.bin, p.doc_id, p.source, p.n_toks,
         |  d.text
         |FROM packed p JOIN documents d USING (doc_id)
-        |ORDER BY p.shard, p.shard_pos""".stripMargin
+        |ORDER BY p.shard, p.shard_pos""".stripMargin,
+
+    // C4 line dedup re-derived: corpus-wide line counts over the same
+    // spliced fixture, lines with count > 3 stripped everywhere,
+    // position-ordered reassembly, content pinned by md5.
+    "strip_boilerplate" ->
+      s"""WITH $duckSplicedCtes,
+        |ln AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS l,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM sp),
+        |rep AS (SELECT l FROM ln GROUP BY l HAVING COUNT(*) > 3),
+        |kept AS (SELECT ln.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(ln.l ORDER BY ln.pos), chr(10)) AS text_clean
+        |  FROM ln LEFT JOIN rep ON ln.l = rep.l
+        |  WHERE rep.l IS NULL GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(len(string_split(s.text, chr(10))) AS BIGINT) AS n_lines,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  CAST(length(COALESCE(k.text_clean, '')) AS BIGINT) AS len_clean,
+        |  md5(COALESCE(k.text_clean, '')) AS fp_clean
+        |FROM sp s LEFT JOIN kept k USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Temperature shares re-derived: sqrt (IEEE-exact on both engines)
+    // -> floor x 1e6 integer weights -> integer-DIV ppm shares -> the
+    // same mixCorpus fraction/threshold replay as sample_mix.
+    "sample_mix_temperature" ->
+      s"""WITH m AS (SELECT source, CAST(SUM(n_chars) AS DOUBLE) AS mass
+        |    FROM documents GROUP BY 1),
+        |w AS (SELECT source, mass,
+        |    CAST(floor(sqrt(mass) * 1e6) AS BIGINT) AS w FROM m),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM w),
+        |sh AS (SELECT source, mass, w, (1000000 * w) // t AS share_ppm
+        |  FROM w, tw),
+        |frac AS (SELECT source,
+        |    least(CAST(1.0 AS DOUBLE),
+        |          (share_ppm / 1000000.0) * 40000 / mass) AS kf
+        |  FROM sh),
+        |kept AS (SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(d.n_chars) AS BIGINT) AS mass_kept
+        |  FROM documents d JOIN frac f USING (source)
+        |  WHERE ${duckHashPriority("d.doc_id")} < f.kf
+        |  GROUP BY 1)
+        |SELECT sh.source, sh.w, sh.share_ppm,
+        |  COALESCE(k.n_kept, 0) AS n_kept,
+        |  COALESCE(k.mass_kept, 0) AS mass_kept
+        |FROM sh LEFT JOIN kept k USING (source)
+        |ORDER BY sh.source""".stripMargin
   )
 }

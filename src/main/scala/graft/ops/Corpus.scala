@@ -102,6 +102,52 @@ object Corpus {
         coalesce(col("dup_char_ok"), lit(true)).as("dup_char_ok"))
   }
 
+  /** C4-style inter-document line deduplication (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2: lines occurring more than once in the corpus
+    * are boilerplate — nav bars, cookie banners, license footers — and
+    * are removed from EVERY document, unlike within-doc repetition which
+    * [[lineRepetitionSignals]] only scores). A line is stripped iff its
+    * corpus-wide occurrence count exceeds `maxOccurrences`; surviving
+    * lines are reassembled in their original order.
+    *
+    * Every input doc keeps a row: a doc whose every line is boilerplate
+    * comes back with empty text and n_kept = 0 (the downstream length
+    * gate is where it dies, with provenance — not a silent drop here).
+    *
+    * Scale shape: posexplode → line-keyed count (map-side partial) →
+    * the REPEATED subset only (count > max — for real corpora orders of
+    * magnitude smaller than distinct lines, and the natural broadcast
+    * side) → left-anti join of the exploded lines against it → per-doc
+    * array_agg re-assembly (one hash exchange on the doc id). The
+    * repeated-line key is intrinsically skewed (that is what makes it
+    * boilerplate) — the anti-join probes, never groups, on it, so the
+    * skew lands on AQE's join-skew handling, not on a hot reducer.
+    * Reassembly order rides struct(pos, line) array_sort, not a window —
+    * no per-doc sort partition needed. */
+  def stripRepeatedLines(df: DataFrame, idCol: String, textCol: String,
+                         maxOccurrences: Long = 1L): DataFrame = {
+    require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
+    val lines = df.select(col(idCol),
+      posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
+    val repeated = lines.groupBy("__l")
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxOccurrences)
+      .select("__l")
+    val kept = lines.join(repeated, Seq("__l"), "left_anti")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__l")))),
+          s => s("__l")), "\n").as("text_clean"))
+    df.select(col(idCol),
+        (size(split(col(textCol), "\n"))).cast("long").as("n_lines"))
+      .join(kept, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** Multinomial Naive Bayes text classifier, trained AND applied
     * in-engine — the classifier stage of a CCNet-style curation pipeline
     * (there a fasttext model; here the same bag-of-words decision rule)

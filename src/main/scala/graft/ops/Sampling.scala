@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -130,6 +130,68 @@ object Sampling {
     df.join(broadcast(frac), Seq(domainCol))
       .filter(hashPriority(col(keyCol)) < col("__keep_frac"))
       .drop("__keep_frac")
+  }
+
+  /** Temperature-flattened domain shares (the mT5 / XLM-R alpha-sampling
+    * rule, arXiv:1910.10683 / 1911.02116: sample domain d with
+    * probability ∝ mass_d^alpha, alpha < 1 upweighting low-resource
+    * domains) — the share map a [[mixCorpus]] call consumes when the
+    * target composition should be DERIVED from the corpus instead of
+    * hand-written.
+    *
+    * `alphaQuarters`/4 is the exponent (1 → 0.25, 2 → 0.5, 3 → 0.75,
+    * 4 → 1.0): the power is computed as a product of iterated square
+    * roots, because sqrt is IEEE-correctly-rounded on every engine
+    * while libm pow(x, 0.3) differs in the last ulp across
+    * implementations — the same portability discipline that keeps ln()
+    * out of the TF-IDF scores. Weights and shares are then EXACT
+    * integers (w_d = floor(sqrt-product × 1e6),
+    * share_ppm = 1e6·w_d DIV Σw) — an oracle replays them
+    * digit-for-digit.
+    *
+    * Domain masses aggregate exactly (DECIMAL(28,9), the mixCorpus
+    * discipline); the per-domain table is model-sized (domains are few
+    * by definition), collected and shared out on the driver like the
+    * k-means centroid state. Returns (domain, mass, w, share_ppm)
+    * sorted by domain. */
+  def temperatureShares(df: DataFrame, domainCol: String, massCol: String,
+                        alphaQuarters: Int): DataFrame = {
+    require(alphaQuarters >= 1 && alphaQuarters <= 4,
+      s"alphaQuarters must be in 1..4, got $alphaQuarters")
+    val spark = df.sparkSession
+    val masses = df.groupBy(domainCol)
+      .agg(sum(col(massCol).cast("decimal(28,9)")).cast("double")
+        .as("__mass"))
+      .collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).sortBy(_._1)
+    def powQ(m: Double): Double = {
+      val s2 = math.sqrt(m)        // m^(1/2)
+      val s4 = math.sqrt(s2)       // m^(1/4)
+      alphaQuarters match {
+        case 1 => s4
+        case 2 => s2
+        case 3 => s2 * s4
+        case 4 => m
+      }
+    }
+    val ws = masses.map { case (d, m) =>
+      (d, m, math.floor(powQ(math.max(m, 0.0)) * 1e6).toLong)
+    }
+    val tot = ws.map(_._3).sum
+    val rows = ws.map { case (d, m, w) =>
+      Row(d, m, w, if (tot > 0) 1000000L * w / tot else 0L)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(domainCol,
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("mass",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("w",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("share_ppm",
+          org.apache.spark.sql.types.LongType))))
   }
 
   /** Poisson PPS sample: keep each row with inclusion probability

@@ -82,6 +82,56 @@ class OpsSpec extends SparkSuite {
     assert(bpe(5L) == 0L && bpe(6L) == 0L, s"empty docs n_bpe: $bpe")
   }
 
+  test("stripRepeatedLines: boilerplate stripped everywhere, order kept, empty-doc row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique alpha\nfollow us\nunique beta"),
+      (2L, "follow us\nunique gamma"),
+      (3L, "unique delta\nfollow us"),
+      (4L, "follow us")                         // all boilerplate
+    ).toDF("id", "text")
+    val out = graft.ops.Corpus.stripRepeatedLines(docs, "id", "text",
+        maxOccurrences = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    // "follow us" occurs 4x > 1 -> stripped from every doc; original
+    // line order preserved in the reassembly
+    assert(out(1L) == (("unique alpha\nunique beta", 3L, 2L)))
+    assert(out(2L) == (("unique gamma", 2L, 1L)))
+    assert(out(3L) == (("unique delta", 2L, 1L)))
+    // a doc that was ALL boilerplate keeps its row: empty text, 0 kept
+    assert(out(4L) == (("", 1L, 0L)))
+    // maxOccurrences = 4 tolerates the repetition: everything survives
+    val lax = graft.ops.Corpus.stripRepeatedLines(docs, "id", "text",
+        maxOccurrences = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(lax(4L) == "follow us" && lax(1L).contains("follow us"))
+  }
+
+  test("temperatureShares: exact ppm weights, flattening toward low-resource domains") {
+    import spark.implicits._
+    val docs = Seq.tabulate(90)(i => (i.toLong, "big", 100L)) ++
+      Seq.tabulate(10)(i => ((i + 90).toLong, "small", 100L))
+    val df = docs.toDF("id", "domain", "chars")
+    // alpha = 1 (4 quarters): shares proportional to mass -> 90% / 10%
+    val a4 = graft.ops.Sampling.temperatureShares(df, "domain", "chars", 4)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a4("big") == 900000L && a4("small") == 100000L, s"$a4")
+    // alpha = 1/2: w = floor(sqrt(mass) * 1e6) exactly
+    val a2 = graft.ops.Sampling.temperatureShares(df, "domain", "chars", 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val wBig = math.floor(math.sqrt(9000.0) * 1e6).toLong
+    val wSmall = math.floor(math.sqrt(1000.0) * 1e6).toLong
+    assert(a2("big")._1 == wBig && a2("small")._1 == wSmall)
+    assert(a2("small")._2 == 1000000L * wSmall / (wBig + wSmall))
+    // temperature < 1 flattens: the small domain's share strictly grows
+    // as alpha drops, and never exceeds parity
+    val a1 = graft.ops.Sampling.temperatureShares(df, "domain", "chars", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(a4("small") < a2("small")._2 && a2("small")._2 < a1("small"))
+    assert(a1("small") < 500000L)
+  }
+
   test("NB model persists and reloads: predictions bit-identical") {
     import spark.implicits._
     val docs = Seq(
