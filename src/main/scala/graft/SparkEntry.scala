@@ -1202,6 +1202,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail quality split: exact tercile cutoffs from
+    // the bounded-integer score HISTOGRAM (distinct-value-sized driver
+    // state, never a global sort), then a map-side CASE. The recipe
+    // step that keeps head+middle for pre-training.
+    "perplexity_buckets" -> ((s, dir) => {
+      Corpus.perplexityBuckets(t(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Embedding int8 QUANTIZATION round-trip contract: per vector, the
     // cosine between original and dequantized embedding and the max
     // absolute reconstruction error — the 4x-compression fidelity check a
@@ -2314,6 +2323,33 @@ object SparkEntry {
       |      // CAST(SUM(cnt) AS BIGINT) AS BIGINT) AS score_avg_ppm
       |  FROM dt JOIN wts USING (tok)
       |  GROUP BY doc_id)""".stripMargin
+
+  /** Shared CTE chain for the exact-integer unigram surprisal (CCNet
+    * perplexity proxy) over documents, ending at `ppl` (doc_id, n_toks,
+    * bits, bits_x1000_per_tok). One owner for the text_perplexity and
+    * perplexity_buckets oracles. */
+  private val duckPplCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
+      |  FROM documents),
+      |cnts AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
+      |tot AS (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM cnts),
+      |sup AS (
+      |  SELECT tok,
+      |    CAST(length(bin((n + v) // (cnt + 1))) - 1 AS BIGINT) AS b
+      |  FROM cnts, tot),
+      |dt AS (
+      |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM toks GROUP BY doc_id, tok),
+      |ppl AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
+      |    CAST(SUM(cnt * b) AS BIGINT) AS bits,
+      |    (1000 * CAST(SUM(cnt * b) AS BIGINT)) // CAST(SUM(cnt) AS BIGINT)
+      |      AS bits_x1000_per_tok
+      |  FROM dt JOIN sup USING (tok) GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of [[splicedBoilerplateDocs]] — CTEs `t`, `sp` ending
     * at (doc_id, text). Shared by the gopher_repetition and
@@ -3621,27 +3657,26 @@ object SparkEntry {
         |FROM k ORDER BY shard, shard_pos""".stripMargin,
 
     "text_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-        |  FROM documents),
-        |cnts AS (
-        |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-        |tot AS (
-        |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
-        |  FROM cnts),
-        |sup AS (
-        |  SELECT tok,
-        |    CAST(length(bin((n + v) // (cnt + 1))) - 1 AS BIGINT) AS b
-        |  FROM cnts, tot),
-        |dt AS (
-        |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-        |  FROM toks GROUP BY doc_id, tok)
-        |SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
-        |  CAST(SUM(cnt * b) AS BIGINT) AS bits,
-        |  (1000 * CAST(SUM(cnt * b) AS BIGINT)) // CAST(SUM(cnt) AS BIGINT)
-        |    AS bits_x1000_per_tok
-        |FROM dt JOIN sup USING (tok) GROUP BY doc_id
+      s"""WITH $duckPplCtes
+        |SELECT doc_id, n_toks, bits, bits_x1000_per_tok FROM ppl
         |ORDER BY doc_id""".stripMargin,
+
+    // CCNet terciles re-derived: integer-score histogram, running-count
+    // cumulation, min-value-reaching-ceil(k n/3) cutoffs, CASE bucket.
+    "perplexity_buckets" ->
+      s"""WITH $duckPplCtes,
+        |h AS (SELECT bits_x1000_per_tok AS pv, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM ppl GROUP BY 1),
+        |t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM h),
+        |cum AS (SELECT pv, SUM(n) OVER (ORDER BY pv) AS c FROM h),
+        |cut1 AS (SELECT MIN(pv) AS v FROM cum, t2 WHERE c >= (t + 2) // 3),
+        |cut2 AS (SELECT MIN(pv) AS v FROM cum, t2 WHERE c >= (2 * t + 2) // 3)
+        |SELECT p.doc_id, p.n_toks, p.bits, p.bits_x1000_per_tok,
+        |  CASE WHEN p.bits_x1000_per_tok <= cut1.v THEN 'head'
+        |       WHEN p.bits_x1000_per_tok <= cut2.v THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM ppl p, cut1, cut2
+        |ORDER BY p.doc_id""".stripMargin,
 
     "text_stats" ->
       """SELECT doc_id,

@@ -265,6 +265,46 @@ object Corpus {
         coalesce(col("__best.__score"), col("__pb.__prior")).as("score_bits"))
   }
 
+  /** CCNet's head/middle/tail quality split (Wenzek et al. 2020,
+    * arXiv:1911.00359 §4.3: rank documents by LM perplexity and cut the
+    * corpus into equal thirds — "head" is the cleanest text, "tail" the
+    * noisiest; pre-training recipes then keep head+middle or reweight).
+    * Perplexity is [[unigramSurprisal]]'s exact integer
+    * `bits_x1000_per_tok`; a doc lands in `head` iff its value is at or
+    * below the first tercile cutoff, `middle` up to the second, `tail`
+    * above.
+    *
+    * The cutoffs are EXACT percentiles computed scale-cleanly: the
+    * per-doc score is a bounded small integer, so its full histogram is
+    * a tiny aggregate (distinct-value-count rows, thousands at most —
+    * never doc-count), cumulated on the driver; the k-th cutoff is the
+    * smallest value whose cumulative count reaches ceil(k·n/3). No
+    * global sort, no approx_percentile nondeterminism — the same
+    * histogram trick replays in any engine. Bucketing is then a
+    * map-side CASE. Empty docs are absent (the [[unigramSurprisal]]
+    * contract — nothing to score). */
+  def perplexityBuckets(df: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val scored = unigramSurprisal(df, idCol, textCol)
+    val hist = scored.groupBy("bits_x1000_per_tok")
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    if (hist.isEmpty) // empty corpus: nothing to rank, nothing to return
+      return scored.withColumn("bucket", lit(null: String))
+    val total = hist.map(_._2).sum
+    def cutoff(target: Long): Long = {
+      var c = 0L
+      hist.find { case (_, n) => c += n; c >= target }
+        .map(_._1).getOrElse(hist.last._1)
+    }
+    val c1 = cutoff((total + 2) / 3)
+    val c2 = cutoff((2 * total + 2) / 3)
+    scored.withColumn("bucket",
+      when(col("bits_x1000_per_tok") <= c1, "head")
+        .when(col("bits_x1000_per_tok") <= c2, "middle")
+        .otherwise("tail"))
+  }
+
   /** Top-k salient terms per document by TF-IDF, with a RATIONAL idf
     * (N/df instead of ln(N/df)) scaled to parts-per-million:
     *

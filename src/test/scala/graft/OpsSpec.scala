@@ -132,6 +132,28 @@ class OpsSpec extends SparkSuite {
     assert(a1("small") < 500000L)
   }
 
+  test("perplexityBuckets: equal terciles, ties share a bucket, head = cleanest") {
+    import spark.implicits._
+    // three planted quality tiers of two docs each: common-word docs
+    // score lowest (head), singleton-vocab docs highest (tail); the two
+    // docs of a tier tie exactly and must land in the SAME bucket
+    val docs = Seq(
+      (1L, "the the the the the the"), (2L, "the the the the the the"),
+      (3L, "mid1 mid1 mid2 mid2 the the"), (4L, "mid1 mid1 mid2 mid2 the the"),
+      (5L, "rare1 rare2 rare3 rare4 rare5 rare6"),
+      (6L, "rare7 rare8 rare9 rare10 rare11 rare12")
+    ).toDF("id", "text")
+    val out = graft.ops.Corpus.perplexityBuckets(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(3), r.getString(4))).toMap
+    assert(out(1L)._2 == "head" && out(2L)._2 == "head",
+      s"common-word docs not head: $out")
+    assert(out(3L)._2 == "middle" && out(4L)._2 == "middle", s"$out")
+    assert(out(5L)._2 == "tail" && out(6L)._2 == "tail", s"$out")
+    assert(out(1L)._1 < out(3L)._1 && out(3L)._1 < out(5L)._1,
+      "scores not ordered by planted noisiness")
+  }
+
   test("NB model persists and reloads: predictions bit-identical") {
     import spark.implicits._
     val docs = Seq(
