@@ -225,4 +225,57 @@ object GraftProperties extends Properties("graft") {
         .filter(col("contaminated")).select("doc_id").as[Long].collect().toSet
       exact.subsetOf(bloom)
   }
+
+  // stripRepeatedLines agrees with the naive reference implementation:
+  // count every line corpus-wide, keep lines at or under the cap, join
+  // survivors in order — for arbitrary multi-line docs including blanks
+  private val lineGen: Gen[String] =
+    Gen.oneOf(Gen.oneOf("shared a", "shared b", ""),
+      Gen.choose(0, 10000).map(n => s"unique line $n"))
+  property("stripRepeatedLines.matchesReference") = Prop.forAll(for {
+    n <- Gen.choose(1, 6)
+    docs <- Gen.listOfN(n, Gen.listOfN(4, lineGen).map(_.mkString("\n")))
+    cap <- Gen.choose(1, 3)
+  } yield (docs, cap)) { case (docs, cap) =>
+    import graft.ops.Corpus
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Corpus.stripRepeatedLines(df, "id", "text", cap)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3)))
+      .toMap
+    val counts = docs.flatMap(_.split("\n", -1)).groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    docs.zipWithIndex.forall { case (t, i) =>
+      val keep = t.split("\n", -1).filter(l => counts(l) <= cap)
+      got(i.toLong) == ((keep.mkString("\n"), keep.length.toLong))
+    }
+  }
+
+  // temperatureShares laws: ppm shares sum to <= 1e6 (integer DIV floor),
+  // alpha=1 is mass-proportional DIV, and weights are the exact
+  // floor(sqrt-product x 1e6) integers
+  property("temperatureShares.exactIntegerLaws") = Prop.forAll(for {
+    n <- Gen.choose(1, 5)
+    masses <- Gen.listOfN(n, Gen.choose(1L, 100000L))
+  } yield masses) { masses =>
+    import graft.ops.Sampling
+    val df = masses.zipWithIndex.flatMap { case (m, i) =>
+      Seq((i.toLong, s"d$i", m)) }.toDF("id", "domain", "chars")
+    (1 to 4).forall { q =>
+      val rows = Sampling.temperatureShares(df, "domain", "chars", q)
+        .collect().map(r => (r.getString(0), r.getDouble(1),
+          r.getLong(2), r.getLong(3)))
+      val wSum = rows.map(_._3).sum
+      val expected = rows.map { case (_, m, _, _) =>
+        val s2 = math.sqrt(m); val s4 = math.sqrt(s2)
+        val p = q match {
+          case 1 => s4; case 2 => s2; case 3 => s2 * s4; case 4 => m
+        }
+        math.floor(p * 1e6).toLong
+      }
+      rows.map(_._3).sameElements(expected) &&
+        rows.map(_._4).sum <= 1000000L &&
+        rows.forall { case (_, _, w, ppm) => ppm == 1000000L * w / wSum }
+    }
+  }
 }
