@@ -1509,6 +1509,66 @@ object SparkEntry {
       s.table(qn).orderBy("source")
     }),
 
+    // STREAMING CURATION GATE: the batch funnel's quality stages applied
+    // to a live document feed — language id, the six content-shape
+    // Gopher rules, the A1.2 line-repetition rules (computed MAP-SIDE
+    // here: dup lines = size(lines) - size(array_distinct(lines)), dup
+    // chars likewise over the distinct array — per-doc expressions need
+    // no aggregate, so the gate is STATELESS), and Bloom decontamination
+    // with the proportional 20% rule (the driver-held bitmap probes
+    // inside a higher-order filter over the shingle array — zero joins,
+    // streaming-legal by construction), then exact dedup against the
+    // static history fingerprint index (stream-static left-outer). Only
+    // the final per-source count aggregate carries state. Oracle: the
+    // same gates derived relationally over the batch table.
+    "stream_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val hist = Seq("src0", "src1", "src2", "src3", "src4")
+      val bitmap = Dedup.bloomBuild(docs.filter(col("doc_id") % 50 === 0),
+        "text", shingleWords = 3, nWords = 1024, k = 3)
+      val index = Dedup.fingerprintIndex(
+        docs.filter(col("source").isin(hist: _*)), "doc_id", "text")
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val g = TextAnalysis.gopherRules(col("text"))
+      val sh = Dedup.wordShingles(col("text"), 3)
+      val flagged = size(filter(sh,
+        x => Dedup.bloomMightContain(x, bitmap, 3))).cast("long")
+      val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
+      val dLines = array_distinct(lines)
+      val sumLen = (a: org.apache.spark.sql.Column) => aggregate(a, lit(0L),
+        (acc, x) => acc + length(x).cast("long"))
+      val nL = size(lines).cast("long")
+      val dL = size(dLines).cast("long")
+      val totC = sumLen(lines)
+      val dC = sumLen(dLines)
+      val gated = src
+        .filter(!col("source").isin(hist: _*))
+        .filter(TextAnalysis.langIdHeuristic(col("text")) === "en")
+        .filter(g.getField("word_count_ok") && g.getField("mean_word_len_ok") &&
+          g.getField("symbol_ratio_ok") && g.getField("bullet_ok") &&
+          g.getField("ellipsis_ok") && g.getField("alpha_word_ok"))
+        .filter((nL - dL) * 10L <= nL * 3L && (totC - dC) * 10L <= totC * 2L)
+        .filter(flagged * 5L < size(sh).cast("long"))
+      val fresh = graft.streaming.StreamIngest.dropIndexedFingerprints(
+        gated, index, "text")
+      val agg = fresh.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+      val qn = "graft_stream_curate"
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("source")
+    }),
+
     // SELF-MAINTAINING streaming dedup: two AvailableNow runs over the
     // same checkpoint (day-1 history feed, then a day-2 feed) — each
     // micro-batch dedups against the persisted fingerprint index, then
@@ -3798,6 +3858,96 @@ object SparkEntry {
       """SELECT source, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // The streaming gate replayed relationally: every stage is a per-doc
+    // predicate over the batch table (the stream delivers each doc
+    // exactly once), so the gates conjunct — langid CASE, the six-rule
+    // Gopher shape subset, line repetition in the equivalent
+    // total-minus-distinct form, the Bloom proportional rule, and the
+    // history-fingerprint anti-join.
+    "stream_curate" ->
+      s"""WITH scb AS MATERIALIZED (
+        |  SELECT doc_id, text, source, n_chars FROM documents
+        |  WHERE source NOT IN ('src0','src1','src2','src3','src4')),
+        |lpred AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['the','and','of','to','a','in','is','that'], t))) AS en,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['el','la','de','que','y','en','los','una'], t))) AS es,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['le','la','de','et','les','des','une','est'], t))) AS fr,
+        |    len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+        |      t -> list_contains(['der','die','und','das','ist','nicht','ein','mit'], t))) AS de,
+        |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]')) AS cjk
+        |  FROM scb),
+        |lid AS (SELECT doc_id,
+        |    (CASE WHEN cjk > 0 THEN 'zh'
+        |          WHEN en > 0 AND en >= es AND en >= fr AND en >= de THEN 'en'
+        |          WHEN es > 0 AND es >= fr AND es >= de THEN 'es'
+        |          WHEN fr > 0 AND fr >= de THEN 'fr'
+        |          WHEN de > 0 THEN 'de'
+        |          ELSE 'und' END) = 'en' AS lang_ok FROM lpred),
+        |${duckGopherCtesFrom("scb", "sc")},
+        |gok AS (SELECT doc_id, ($duckGopherShapeRules) AS gopher_ok FROM scm),
+        |lr AS (SELECT doc_id,
+        |    (len(ls) - len(list_distinct(ls))) * 10 <= len(ls) * 3 AND
+        |    (list_sum(list_transform(ls, x -> length(x))) -
+        |       list_sum(list_transform(list_distinct(ls), x -> length(x)))) * 10
+        |      <= COALESCE(list_sum(list_transform(ls, x -> length(x))), 0) * 2
+        |      AS rep_ok
+        |  FROM (SELECT doc_id,
+        |      list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+        |    FROM scb)),
+        |bsh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM documents WHERE doc_id % 50 = 0),
+        |ks AS (SELECT unnest([0, 1, 2]) AS j),
+        |bpos AS (SELECT DISTINCT
+        |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
+        |      AS BIGINT) % 64512 AS INT) AS pos
+        |  FROM (SELECT DISTINCT unnest(s) AS shg FROM bsh), ks),
+        |wrd AS (SELECT CAST(pos // 63 AS INT) AS w,
+        |    bit_or(1::BIGINT << (pos % 63)) AS bits
+        |  FROM bpos GROUP BY 1),
+        |psh AS (SELECT doc_id AS id,
+        |    list_filter(list_distinct(list_transform(
+        |      range(1, greatest(len(regexp_extract_all(lower(text), '\\S+')) - 1, 2)),
+        |      i -> array_to_string(
+        |        (regexp_extract_all(lower(text), '\\S+'))[i:i+2], ' '))),
+        |      s -> s <> '') AS s
+        |  FROM scb),
+        |trp AS (SELECT id, shg,
+        |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
+        |      AS BIGINT) % 64512 AS INT) AS pos
+        |  FROM (SELECT id, unnest(s) AS shg FROM psh), ks),
+        |tchk AS (SELECT id, shg,
+        |    bool_and(COALESCE((wrd.bits & (1::BIGINT << (trp.pos % 63))) <> 0,
+        |      FALSE)) AS hit
+        |  FROM trp LEFT JOIN wrd ON wrd.w = CAST(trp.pos // 63 AS INT)
+        |  GROUP BY 1, 2),
+        |bstat AS (SELECT t.id, COUNT(DISTINCT shg) FILTER (hit) AS n_flag,
+        |    COUNT(DISTINCT shg) AS n_sh
+        |  FROM tchk t GROUP BY 1),
+        |idxfp AS (SELECT DISTINCT
+        |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |  WHERE source IN ('src0','src1','src2','src3','src4')),
+        |surv AS (SELECT b.source, b.n_chars FROM scb b
+        |  JOIN lid USING (doc_id) JOIN gok USING (doc_id)
+        |  JOIN lr USING (doc_id)
+        |  JOIN bstat s ON b.doc_id = s.id
+        |  LEFT JOIN idxfp x
+        |    ON md5(regexp_replace(lower(b.text), '\\s+', ' ', 'g')) = x.fp
+        |  WHERE lang_ok AND gopher_ok AND rep_ok
+        |    AND s.n_flag * 5 < s.n_sh AND x.fp IS NULL)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // stream rows surviving the static-index anti-join: every doc whose
     // fingerprint is not among the already-processed sources'

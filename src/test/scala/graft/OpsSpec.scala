@@ -82,6 +82,34 @@ class OpsSpec extends SparkSuite {
     assert(bpe(5L) == 0L && bpe(6L) == 0L, s"empty docs n_bpe: $bpe")
   }
 
+  test("map-side line-rep formulation equals the aggregate operator's verdicts") {
+    import spark.implicits._
+    // stream_curate computes the A1.2 rules statelessly as
+    // total-minus-distinct over the lines array; the identity
+    // sum(n_i - 1) == total - distinct must make its verdicts equal
+    // lineRepetitionSignals' grouped ones on every doc shape
+    val docs = Seq(
+      (1L, "x\nx\nx\nlong line here"), (2L, "alpha\nbeta\ngamma"),
+      (3L, "a\n\na"), (4L, "dup dup\ndup dup\ndup dup\ndup dup"),
+      (5L, "one\ntwo\none\ntwo\nthree three three long")
+    ).toDF("id", "text")
+    val agg = graft.ops.Corpus.lineRepetitionSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(4), r.getBoolean(5))).toMap
+    val lines = filter(split(col("text"), "\n"), l => length(l) > 0)
+    val dLines = array_distinct(lines)
+    def sumLen(a: org.apache.spark.sql.Column) =
+      aggregate(a, lit(0L), (acc, x) => acc + length(x).cast("long"))
+    val nL = size(lines).cast("long")
+    val dL = size(dLines).cast("long")
+    val mapSide = docs.select(col("id"),
+        ((nL - dL) * 10L <= nL * 3L).as("lok"),
+        ((sumLen(lines) - sumLen(dLines)) * 10L <= sumLen(lines) * 2L).as("cok"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getBoolean(2))).toMap
+    assert(mapSide == agg, s"map-side $mapSide vs aggregate $agg")
+  }
+
   test("stripRepeatedLines: boilerplate stripped everywhere, order kept, empty-doc row") {
     import spark.implicits._
     val docs = Seq(
