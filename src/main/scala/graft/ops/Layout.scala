@@ -71,9 +71,19 @@ object Layout {
     * independent of [[shardKey]] — ordering by the shard hash itself
     * would sort each shard by the residue structure that chose it.
     * Delegates to hashPriority so the bit-pinned priority formula keeps
-    * exactly one owner. */
-  def shardOrderKey(key: Column): Column =
-    Sampling.hashPriority(concat(lit("ord:"), key.cast("string")))
+    * exactly one owner.
+    *
+    * `epoch` re-seeds the permutation for multi-epoch training (each
+    * epoch streams the corpus in a fresh deterministic order — fixed
+    * visit order across epochs measurably hurts convergence): epoch 0
+    * is the original `ord:` key BIT-FOR-BIT (shuffle_shards' oracle
+    * hash is a frozen contract), epoch e > 0 prefixes `ord:e<e>:` —
+    * independent of both the shard hash and every other epoch. */
+  def shardOrderKey(key: Column, epoch: Long = 0L): Column = {
+    require(epoch >= 0, s"epoch must be >= 0, got $epoch")
+    val pfx = if (epoch == 0L) "ord:" else s"ord:e$epoch:"
+    Sampling.hashPriority(concat(lit(pfx), key.cast("string")))
+  }
 
   /** GLOBAL TRAINING SHUFFLE: assign every row a shard and a dense
     * within-shard position, both deterministic functions of the key — the
@@ -90,9 +100,10 @@ object Layout {
     * window partitions by shard, so no single task sees more than one
     * shard. At 100 TB with numShards sized to ~1–4 GB of rows per shard,
     * each sort fits one executor comfortably. */
-  def assignShards(df: DataFrame, keyCol: String, numShards: Int): DataFrame = {
+  def assignShards(df: DataFrame, keyCol: String, numShards: Int,
+                   epoch: Long = 0L): DataFrame = {
     val w = Window.partitionBy("shard")
-      .orderBy(shardOrderKey(col(keyCol)), col(keyCol))
+      .orderBy(shardOrderKey(col(keyCol), epoch), col(keyCol))
     df.withColumn("shard", shardKey(col(keyCol), numShards))
       .withColumn("shard_pos", row_number().over(w).cast("long") - 1L)
   }

@@ -82,6 +82,29 @@ class OpsSpec extends SparkSuite {
     assert(bpe(5L) == 0L && bpe(6L) == 0L, s"empty docs n_bpe: $bpe")
   }
 
+  test("assignShards epochs: shard stable, permutation fresh per epoch, epoch 0 frozen") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"d$i")).toDF("id", "v")
+    def perm(epoch: Long) = graft.ops.Layout.assignShards(docs, "id", 4, epoch)
+      .select("shard", "shard_pos", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val e0a = perm(0); val e0b = perm(0); val e1 = perm(1); val e2 = perm(2)
+    assert(e0a == e0b, "epoch-0 permutation not stable across runs")
+    // shard membership is epoch-INDEPENDENT (the loader's file layout
+    // never moves); only the within-shard visit order re-seeds
+    def byShard(m: Map[(Long, Long), Long]) =
+      m.groupBy(_._1._1).view.mapValues(_.values.toSet).toMap
+    assert(byShard(e0a) == byShard(e1) && byShard(e1) == byShard(e2))
+    assert(e0a != e1 && e1 != e2 && e0a != e2,
+      "epochs did not produce distinct permutations")
+    // epoch 0 equals the un-parameterized call bit-for-bit (frozen
+    // contract: shuffle_shards' oracle)
+    val legacy = graft.ops.Layout.assignShards(docs, "id", 4)
+      .select("shard", "shard_pos", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(legacy == e0a)
+  }
+
   test("map-side line-rep formulation equals the aggregate operator's verdicts") {
     import spark.implicits._
     // stream_curate computes the A1.2 rules statelessly as
