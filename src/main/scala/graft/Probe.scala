@@ -50,6 +50,28 @@ object Probe {
           partitionBy = Seq("shard")))
         println(s"[funnel] jsonl write: $w")
 
+      // k-means|| seeding at genuinely large k: wall clock + cluster
+      // coverage vs the k sequential scans the farthest-first path would
+      // need (at k=256 that is 256 driver-paced jobs before Lloyd starts)
+      case "kmeanslargek" =>
+        import spark.implicits._
+        val n = if (args.length > 1) args(1).toInt else 20000
+        val k = if (args.length > 2) args(2).toInt else 256
+        val dims = 32
+        val vecs = (0L until n.toLong).map { i =>
+          var h = i * 2654435761L + 99991L
+          (i, Array.tabulate(dims) { _ =>
+            h = h * 6364136223846793005L + 1442695040888963407L
+            ((h >>> 33) % 1000L).toFloat / 100.0f +
+              (if ((i % k) == (h % k)) 5.0f else 0.0f)
+          })
+        }.toDF("vec_id", "embedding")
+        val (cents, secs) = timed(
+          graft.ops.KMeans.fit(vecs, "vec_id", "embedding", k, iters = 2))
+        println(f"[largek] fit n=$n k=$k dims=$dims: $secs%.1fs, " +
+          f"${cents.size} centroids, " +
+          f"members=${cents.map(_.nMembers).sum}")
+
       // BPE merge training + corpus encode at realistic merge depth:
       // synthetic vocabulary large enough that 1000+ rounds don't
       // exhaust, per-round rate compared across depths for flatness

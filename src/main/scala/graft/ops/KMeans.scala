@@ -173,12 +173,17 @@ object KMeans {
         Row(i.toLong, c.toSeq) }: _*),
       StructType(Seq(StructField("__ci", LongType),
         StructField("__cv", ArrayType(DoubleType)))))
-    val wRow = Window.partitionBy("__id")
-      .orderBy(col("__dc"), col("__ci"))
-    val weights = v.join(broadcast(candDf))
-      .select(col("__id"), col("__ci"), sq(col("__v"), col("__cv")).as("__dc"))
-      .withColumn("__rk", row_number().over(wRow)).filter(col("__rk") === 1)
-      .groupBy("__ci").agg(count(lit(1)).as("__w"))
+    // nearest-candidate argmin as a struct-min aggregate, NOT a window:
+    // the (point x candidate) product is the probe's largest relation
+    // (n x ~2k rounds-worth of candidates) and a per-point window would
+    // sort-shuffle all of it; min(struct(d2, ci)) partial-aggregates
+    // map-side down to one row per point before the exchange. Ties by
+    // candidate index, matching the reduction's id-ascending discipline.
+    val weights = v.crossJoin(broadcast(candDf))
+      .select(col("__id"),
+        struct(sq(col("__v"), col("__cv")).as("__dc"), col("__ci")).as("__s"))
+      .groupBy("__id").agg(min(col("__s")).as("__m"))
+      .groupBy(col("__m.__ci").as("__ci")).agg(count(lit(1)).as("__w"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val byWeight = cArr.indices
       .map(i => (i, weights.getOrElse(i.toLong, 0L)))

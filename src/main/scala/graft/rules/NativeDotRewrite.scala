@@ -1,6 +1,6 @@
 package graft.rules
 
-import graft.expressions.DotProduct
+import graft.expressions.{DotProduct, SqDist}
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -38,5 +38,22 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
           if isDoubleArray(l) && isDoubleArray(r) && fin.exprId == finArg.exprId =>
         DotProduct(l, r)
+      // Similarity.sqDist's (x-y)*(x-y) fold — same seed/accumulate
+      // shape, the squared-difference lambda must reference ONE (x, y)
+      // pair on both sides of the multiply
+      case ArrayAggregate(
+            ZipWith(l, r,
+              LambdaFunction(Multiply(
+                Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
+                Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _),
+                _), _, _)),
+            Literal(0.0, DoubleType),
+            LambdaFunction(Add(_: NamedLambdaVariable,
+              _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
+          if isDoubleArray(l) && isDoubleArray(r) &&
+            x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+            fin.exprId == finArg.exprId =>
+        SqDist(l, r)
     }
 }

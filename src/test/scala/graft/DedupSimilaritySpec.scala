@@ -268,6 +268,31 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(expected.forall { case (k, v) => math.abs(out(k) - v) < 1e-9 })
   }
 
+  test("NativeDotRewrite: sqDist idiom optimizes to native SqDist, bit-equal") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = Similarity.asDouble(col("embedding"))
+    val shifted = transform(v, x => x + lit(1.5))
+    val df = emb.select(col("vec_id"),
+      Similarity.sqDist(v, shifted).as("d2"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("sq_dist"),
+      s"expected sq_dist in optimized plan:\n$optimized")
+    assert(!optimized.contains("aggregate(zip_with"))
+    // the native loop folds ascending like the HOF — values BIT-equal to
+    // the driver-side replay of the same fold
+    val rows = emb.limit(3).collect()
+    val expected = rows.map { r =>
+      val xs = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      var s = 0.0
+      xs.foreach { x => val d = x - (x + 1.5); s += d * d }
+      r.getLong(0) -> s
+    }.toMap
+    val out = df.filter(col("vec_id").isin(expected.keys.toSeq: _*))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(expected.forall { case (k, v2) => out(k) == v2 },
+      s"native sqDist drifted from the fold: $out vs $expected")
+  }
+
   test("sampling: deterministic, stratified caps respected, split exhaustive") {
     import graft.ops.Sampling
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "es"))
