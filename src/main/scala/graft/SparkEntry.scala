@@ -1946,6 +1946,46 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // The ROUND-17 operators composed end-to-end (the v2 discipline
+    // applied to this round's additions): C4 inter-doc line strip over
+    // the spliced multi-line corpus → content-shape gate on the CLEANED
+    // text → CCNet perplexity terciles with the tail discarded
+    // (head+middle is the published keep rule) → temperature-derived
+    // (alpha=0.5) shares feeding mixCorpus on cleaned mass. One DuckDB
+    // oracle replays strip, gate, surprisal histogram, cutoffs, shares,
+    // and the kept set; output is the fixed 20-source composition
+    // report, so the funnel can never silently go empty.
+    "curate_corpus_v3" -> ((s, dir) => {
+      val spliced = splicedBoilerplateDocs(s, dir)
+      val stripped = Corpus.stripRepeatedLines(spliced, "doc_id", "text",
+        maxOccurrences = 3)
+      val g = TextAnalysis.gopherRules(col("text_clean"))
+      val cleaned = stripped.filter(col("n_kept") > 0)
+        .filter(g.getField("word_count_ok") && g.getField("mean_word_len_ok") &&
+          g.getField("alpha_word_ok"))
+      val bucketed = Corpus.perplexityBuckets(cleaned, "doc_id", "text_clean")
+        .filter(col("bucket") =!= "tail")
+      val spine = bucketed.select(col("doc_id"))
+        .join(t(s, dir, "documents").select(col("doc_id"), col("source")),
+          "doc_id")
+        .join(cleaned.select(col("doc_id"),
+          length(col("text_clean")).cast("long").as("mass")), "doc_id")
+      val shares = Sampling.temperatureShares(spine, "source", "mass",
+        alphaQuarters = 2)
+      val shareMap = shares.collect()
+        .map(r => r.getString(0) -> r.getLong(3) / 1e6).toMap
+      val mixed = Sampling.mixCorpus(spine, "source", "doc_id", "mass",
+        shareMap, budget = 30000L)
+      shares.select(col("source"), col("share_ppm"))
+        .join(mixed.groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), sum("mass").as("mass_kept")),
+          Seq("source"), "left")
+        .select(col("source"), col("share_ppm"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("mass_kept"), lit(0L)).as("mass_kept"))
+        .orderBy("source")
+    }),
+
     // Corpus curation: multinomial Naive Bayes trained and applied
     // in-engine (the classifier stage a CCNet-style pipeline runs with
     // fasttext) in exact integer bits — floor-log2 via bin-length, no
@@ -2385,31 +2425,35 @@ object SparkEntry {
       |  GROUP BY doc_id)""".stripMargin
 
   /** Shared CTE chain for the exact-integer unigram surprisal (CCNet
-    * perplexity proxy) over documents, ending at `ppl` (doc_id, n_toks,
-    * bits, bits_x1000_per_tok). One owner for the text_perplexity and
-    * perplexity_buckets oracles. */
-  private val duckPplCtes: String =
-    """toks AS (
-      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS tok
-      |  FROM documents),
-      |cnts AS (
-      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY tok),
-      |tot AS (
+    * perplexity proxy) over `rel` (needs doc_id, text), ending at
+    * `{pfx}ppl` (doc_id, n_toks, bits, bits_x1000_per_tok). One owner
+    * for the text_perplexity, perplexity_buckets, and curate_corpus_v3
+    * oracles (the last prefixes the CTE names and scores CLEANED text). */
+  private def duckPplCtesFrom(rel: String, pfx: String = ""): String =
+    s"""${pfx}toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS tok
+      |  FROM $rel),
+      |${pfx}cnts AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM ${pfx}toks
+      |  GROUP BY tok),
+      |${pfx}tot AS (
       |  SELECT CAST(SUM(cnt) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS v
-      |  FROM cnts),
-      |sup AS (
+      |  FROM ${pfx}cnts),
+      |${pfx}sup AS (
       |  SELECT tok,
       |    CAST(length(bin((n + v) // (cnt + 1))) - 1 AS BIGINT) AS b
-      |  FROM cnts, tot),
-      |dt AS (
+      |  FROM ${pfx}cnts, ${pfx}tot),
+      |${pfx}dt AS (
       |  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS cnt
-      |  FROM toks GROUP BY doc_id, tok),
-      |ppl AS (
+      |  FROM ${pfx}toks GROUP BY doc_id, tok),
+      |${pfx}ppl AS (
       |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_toks,
       |    CAST(SUM(cnt * b) AS BIGINT) AS bits,
       |    (1000 * CAST(SUM(cnt * b) AS BIGINT)) // CAST(SUM(cnt) AS BIGINT)
       |      AS bits_x1000_per_tok
-      |  FROM dt JOIN sup USING (tok) GROUP BY doc_id)""".stripMargin
+      |  FROM ${pfx}dt JOIN ${pfx}sup USING (tok) GROUP BY doc_id)""".stripMargin
+
+  private val duckPplCtes: String = duckPplCtesFrom("documents")
 
   /** DuckDB twin of [[splicedBoilerplateDocs]] — CTEs `t`, `sp` ending
     * at (doc_id, text). Shared by the gopher_repetition and
@@ -4677,6 +4721,66 @@ object SparkEntry {
         |  COALESCE(k.n_kept, 0) AS n_kept,
         |  COALESCE(k.mass_kept, 0) AS mass_kept
         |FROM sh LEFT JOIN kept k USING (source)
-        |ORDER BY sh.source""".stripMargin
+        |ORDER BY sh.source""".stripMargin,
+
+    // The round-17 funnel replayed in one chain: C4 strip (corpus-wide
+    // line counts over the spliced fixture), 3-rule shape gate on the
+    // CLEANED text, surprisal histogram + tercile cutoffs with the tail
+    // dropped, sqrt-ppm temperature shares over survivor mass, and the
+    // mix keep set. Stage CTEs MATERIALIZED (the v2 lesson: DuckDB
+    // re-inlines multi-referenced CTEs exponentially).
+    "curate_corpus_v3" ->
+      s"""WITH $duckSplicedCtes,
+        |ln AS (SELECT doc_id,
+        |    unnest(string_split(text, chr(10))) AS l,
+        |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
+        |  FROM sp),
+        |rep AS (SELECT l FROM ln GROUP BY l HAVING COUNT(*) > 3),
+        |kept AS MATERIALIZED (SELECT ln.doc_id,
+        |    CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    array_to_string(list(ln.l ORDER BY ln.pos), chr(10)) AS text_clean
+        |  FROM ln LEFT JOIN rep ON ln.l = rep.l
+        |  WHERE rep.l IS NULL GROUP BY 1),
+        |cl AS MATERIALIZED (SELECT doc_id, text_clean AS text FROM kept
+        |  WHERE n_kept > 0),
+        |${duckGopherCtesFrom("cl", "v3")},
+        |cg AS MATERIALIZED (SELECT cl.doc_id, cl.text FROM cl
+        |  JOIN v3m USING (doc_id)
+        |  WHERE w BETWEEN 50 AND 100000 AND chars >= w * 3
+        |    AND chars <= w * 10 AND alpha * 5 >= w * 4),
+        |${duckPplCtesFrom("cg", "p3")},
+        |p3p AS MATERIALIZED (SELECT * FROM p3ppl),
+        |h AS (SELECT bits_x1000_per_tok AS pv, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM p3p GROUP BY 1),
+        |t2 AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM h),
+        |cum AS (SELECT pv, SUM(n) OVER (ORDER BY pv) AS c FROM h),
+        |cut2 AS (SELECT MIN(pv) AS v FROM cum, t2 WHERE c >= (2 * t + 2) // 3),
+        |spine AS MATERIALIZED (
+        |  SELECT p.doc_id, d.source, CAST(length(cg.text) AS BIGINT) AS mass
+        |  FROM p3p p, cut2
+        |  JOIN documents d ON p.doc_id = d.doc_id
+        |  JOIN cg ON p.doc_id = cg.doc_id
+        |  WHERE p.bits_x1000_per_tok <= cut2.v),
+        |m AS (SELECT source, CAST(SUM(mass) AS DOUBLE) AS dmass
+        |  FROM spine GROUP BY 1),
+        |w2 AS (SELECT source, dmass,
+        |    CAST(floor(sqrt(dmass) * 1e6) AS BIGINT) AS w FROM m),
+        |tw AS (SELECT CAST(SUM(w) AS BIGINT) AS t FROM w2),
+        |sh2 AS (SELECT source, dmass, w, (1000000 * w) // t AS share_ppm
+        |  FROM w2, tw),
+        |frac AS (SELECT source,
+        |    least(CAST(1.0 AS DOUBLE),
+        |          (share_ppm / 1000000.0) * 30000 / dmass) AS kf
+        |  FROM sh2),
+        |mk AS (SELECT s.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |    CAST(SUM(s.mass) AS BIGINT) AS mass_kept
+        |  FROM spine s JOIN frac f USING (source)
+        |  WHERE ${duckHashPriority("s.doc_id")} < f.kf
+        |  GROUP BY 1)
+        |SELECT sh2.source, sh2.share_ppm,
+        |  COALESCE(mk.n_kept, 0) AS n_kept,
+        |  COALESCE(mk.mass_kept, 0) AS mass_kept
+        |FROM sh2 LEFT JOIN mk USING (source)
+        |ORDER BY sh2.source""".stripMargin
   )
 }
