@@ -198,6 +198,39 @@ class PlanSpec extends SparkSuite {
       s"corpus text crosses $textShuffles shuffles (max 1):\n$fmt")
   }
 
+  test("stripRepeatedLines: anti-join on the repeated subset, never cartesian") {
+    val docs = (0L until 50L).map(i =>
+      (i, s"unique $i\nshared line\nalso $i")).toDF("doc_id", "text")
+    val plan = planOf(graft.ops.Corpus.stripRepeatedLines(
+      docs, "doc_id", "text", maxOccurrences = 2))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"line strip degenerated to all-pairs:\n$plan")
+    // the exploded lines must ANTI-join the repeated subset (the filter
+    // direction that lets the small side broadcast at scale) — an inner
+    // join + negation would carry every line through the join
+    assert(plan.contains("LeftAnti"), s"no anti-join in line strip:\n$plan")
+    assert(plan.contains("HashAggregate"), s"line counts not hash-agg:\n$plan")
+  }
+
+  test("perplexityBuckets: bucketing is a map-side CASE over the scored frame") {
+    val docs = (0L until 30L).map(i =>
+      (i, s"tok${i % 5} tok${i % 7} tok$i")).toDF("doc_id", "text")
+    val out = graft.ops.Corpus.perplexityBuckets(docs, "doc_id", "text")
+    val plan = planOf(out)
+    // the tercile cutoffs were already collected from the histogram at
+    // construction; the returned frame must add NO exchange beyond the
+    // surprisal aggregates themselves (same count as the unbucketed
+    // scorer) — a global sort or percentile shuffle here is the
+    // scale-killer this operator exists to avoid
+    val base = planOf(graft.ops.Corpus.unigramSurprisal(docs, "doc_id", "text"))
+    def exchanges(p: String) = "Exchange".r.findAllIn(p).length
+    assert(exchanges(plan) == exchanges(base),
+      s"bucketing added exchanges: ${exchanges(plan)} vs ${exchanges(base)}:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"global sort in bucketing:\n$plan")
+  }
+
   test("naiveBayesClassify: no cartesian on data, hash aggs, broadcast model") {
     import graft.ops.Corpus
     val docs = spark.read.parquet(s"$dir/t")
