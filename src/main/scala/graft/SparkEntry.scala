@@ -1255,6 +1255,22 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // The loader-facing PACK MANIFEST: per (source, bin), the ordered
+    // "doc@offset" placement list — bin_offset comes free from the same
+    // running sum that chose the bin, so a data loader can seek every
+    // document inside its packed sequence without recomputing the pack.
+    "pack_manifest" -> ((s, dir) => {
+      Chunking.packByBudget(t(s, dir, "documents"), Seq("source"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 2048)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("doc_id"), col("bin_offset")))),
+            x => concat(x("doc_id").cast("string"), lit("@"),
+              x("bin_offset").cast("string"))), ",").as("manifest"))
+        .orderBy("source", "bin")
+    }),
+
     // Sketch aggregates: HLL distinct + approx quantiles. The sketch values
     // are engine-specific, so the ORACLED output is the accuracy contract:
     // exact cardinalities (DuckDB recomputes them) plus within-error-bound
@@ -3556,6 +3572,22 @@ object SparkEntry {
         |SELECT source, bin, COUNT(*) AS n_docs,
         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // manifest: bin and offset both from the one exclusive running sum
+    "pack_manifest" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |c AS (SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d),
+        |b AS (SELECT source, doc_id,
+        |    CAST(cum // 2048 AS BIGINT) AS bin,
+        |    CAST(cum - (cum // 2048) * 2048 AS BIGINT) AS off
+        |  FROM c)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        |  string_agg(doc_id || '@' || off, ',' ORDER BY doc_id) AS manifest
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The sketch accuracy contract: exact cardinalities recomputed, bound

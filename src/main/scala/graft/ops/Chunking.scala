@@ -62,10 +62,17 @@ object Chunking {
       .partitionBy(strataCols.map(col): _*)
       .orderBy(col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // bin AND the doc's token offset inside it both derive from ONE
+    // exclusive running sum — bin_offset = cum - bin*budget costs no
+    // second window, and is exactly the seek position a data loader
+    // needs to place each doc inside its packed sequence
     df.select((strataCols.map(col) :+ col(idCol) :+
         tokenCountCol.cast("long").as("__tok")) ++ carryCols.map(col): _*)
+      .withColumn("__cum",
+        coalesce(sum(col("__tok")).over(w), lit(0L)))
       .withColumn("bin",
-        floor(coalesce(sum(col("__tok")).over(w), lit(0L)).cast("double") / budget)
-          .cast("long"))
+        floor(col("__cum").cast("double") / budget).cast("long"))
+      .withColumn("bin_offset", col("__cum") - col("bin") * budget)
+      .drop("__cum")
   }
 }
