@@ -251,6 +251,34 @@ object GraftProperties extends Properties("graft") {
     }
   }
 
+  // perplexityBuckets laws: buckets cover every scored doc, are
+  // score-monotone (every head score <= every middle score <= every
+  // tail score), and the head reaches at least a third of the corpus
+  // (the cutoff rule: smallest value whose cumulative count reaches
+  // ceil(n/3) — ties can only GROW head, never shrink it)
+  property("perplexityBuckets.tercileLaws") = Prop.forAll(for {
+    n <- Gen.choose(3, 12)
+    texts <- Gen.listOfN(n, Gen.choose(1, 6).flatMap(w =>
+      Gen.listOfN(w, Gen.oneOf("the", "a", "rare", "mid", "word"))
+        .map(_.mkString(" "))))
+  } yield texts) { texts =>
+    import graft.ops.Corpus
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val out = Corpus.perplexityBuckets(df, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getString(4)))
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    def maxOf(b: String) = byBucket.get(b).map(_.max)
+    def minOf(b: String) = byBucket.get(b).map(_.min)
+    val mono =
+      maxOf("head").forall(h => minOf("middle").forall(h <= _)) &&
+        maxOf("head").forall(h => minOf("tail").forall(h <= _)) &&
+        maxOf("middle").forall(m => minOf("tail").forall(m <= _))
+    val n = out.length
+    out.length == texts.length && mono &&
+      byBucket.getOrElse("head", Array.empty[Long]).length * 3 >= n
+  }
+
   // temperatureShares laws: ppm shares sum to <= 1e6 (integer DIV floor),
   // alpha=1 is mass-proportional DIV, and weights are the exact
   // floor(sqrt-product x 1e6) integers
