@@ -4716,7 +4716,8 @@ object SparkEntry {
         |    unnest(string_split(text, chr(10))) AS l,
         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
         |  FROM sp),
-        |rep AS (SELECT l FROM ln GROUP BY l HAVING COUNT(*) > 3),
+        |rep AS (SELECT l FROM ln WHERE l <> ''
+        |  GROUP BY l HAVING COUNT(*) > 3),
         |kept AS (SELECT ln.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
         |    array_to_string(list(ln.l ORDER BY ln.pos), chr(10)) AS text_clean
         |  FROM ln LEFT JOIN rep ON ln.l = rep.l
@@ -4767,7 +4768,8 @@ object SparkEntry {
         |    unnest(string_split(text, chr(10))) AS l,
         |    generate_subscripts(string_split(text, chr(10)), 1) AS pos
         |  FROM sp),
-        |rep AS (SELECT l FROM ln GROUP BY l HAVING COUNT(*) > 3),
+        |rep AS (SELECT l FROM ln WHERE l <> ''
+        |  GROUP BY l HAVING COUNT(*) > 3),
         |kept AS MATERIALIZED (SELECT ln.doc_id,
         |    CAST(COUNT(*) AS BIGINT) AS n_kept,
         |    array_to_string(list(ln.l ORDER BY ln.pos), chr(10)) AS text_clean

@@ -202,12 +202,15 @@ object Bpe {
     val batches = merges.sortBy(_.rank).grouped(EncodeBatchSize).toSeq
     var vocabSyms = docWords.select("w").distinct()
       .select(col("w"), symbolize(col("w")).as("__s"))
-    for (batch <- batches) {
+    for ((batch, idx) <- batches.zipWithIndex) {
       vocabSyms = vocabSyms.select(col("w"),
         batch.foldLeft(col("__s")) { (s, m) =>
           applyMergeExpr(s, m.left, m.right)
         }.as("__s"))
-      if (batches.size > 1) vocabSyms = vocabSyms.localCheckpoint()
+      // checkpoint BETWEEN batches only — the last batch's folds flow
+      // straight into the size() projection, so the multi-batch path
+      // never pays a trailing vocabulary-sized materialization
+      if (idx < batches.size - 1) vocabSyms = vocabSyms.localCheckpoint()
     }
     val vocab = vocabSyms
       .select(col("w"), size(col("__s")).cast("long").as("n_syms"))

@@ -114,6 +114,13 @@ object Corpus {
     * comes back with empty text and n_kept = 0 (the downstream length
     * gate is where it dies, with provenance — not a silent drop here).
     *
+    * EMPTY lines are never boilerplate candidates: blank paragraph
+    * separators recur across essentially every real document, so an
+    * unguarded count would push "" over any threshold and strip every
+    * blank line corpus-wide, collapsing paragraph structure — C4-family
+    * line dedup excludes empty lines from the repeated set for exactly
+    * this reason. Blank lines always survive in place.
+    *
     * Scale shape: posexplode → line-keyed count (map-side partial) →
     * the REPEATED subset only (count > max — for real corpora orders of
     * magnitude smaller than distinct lines, and the natural broadcast
@@ -129,7 +136,10 @@ object Corpus {
     require(maxOccurrences >= 1, s"maxOccurrences must be >= 1")
     val lines = df.select(col(idCol),
       posexplode(split(col(textCol), "\n")).as(Seq("__pos", "__l")))
-    val repeated = lines.groupBy("__l")
+    // empty lines filtered BEFORE the count (cheaper) — they can never
+    // enter the repeated set, so the anti-join below always keeps them
+    val repeated = lines.filter(length(col("__l")) > 0)
+      .groupBy("__l")
       .agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxOccurrences)
       .select("__l")
@@ -282,10 +292,21 @@ object Corpus {
     * global sort, no approx_percentile nondeterminism — the same
     * histogram trick replays in any engine. Bucketing is then a
     * map-side CASE. Empty docs are absent (the [[unigramSurprisal]]
-    * contract — nothing to score). */
+    * contract — nothing to score).
+    *
+    * The histogram-size bound holds BECAUSE `bits_x1000_per_tok` is a
+    * quantized small integer (milli-bits/token: surprisal < 63 bits/tok,
+    * so < 63000 distinct values at any corpus size). Swapping in an
+    * unquantized float score would break the bound — re-quantize first.
+    *
+    * The scored frame is localCheckpointed (eager) before the histogram
+    * collect: the surprisal pipeline is corpus-scale (token explode,
+    * corpus-wide counts, per-doc join), and without the cut every
+    * consumer of the returned frame would run it a SECOND time — the
+    * funnel lineage discipline applied at the operator boundary. */
   def perplexityBuckets(df: DataFrame, idCol: String,
                         textCol: String): DataFrame = {
-    val scored = unigramSurprisal(df, idCol, textCol)
+    val scored = unigramSurprisal(df, idCol, textCol).localCheckpoint()
     val hist = scored.groupBy("bits_x1000_per_tok")
       .agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

@@ -145,15 +145,23 @@ object KMeans {
             lit(ell) * col("__d2") / lit(phiD))
           .select(transform(col("__v"), x => round(x, 6)).as("__cv"))
           .localCheckpoint()
-        newCands = drawn
-        cands = cands.unionByName(newCands).localCheckpoint()
-        if (r < rounds)
-          d2 = v.join(d2, "__id")
-            .crossJoin(broadcast(newCands))
-            .groupBy(col("__id"), col("__d2"))
-            .agg(min(sq(col("__v"), col("__cv"))).as("__dn"))
-            .select(col("__id"), least(col("__d2"), col("__dn")).as("__d2"))
-            .localCheckpoint()
+        // a zero-candidate draw (possible on tiny/degenerate inputs where
+        // every hash variate lands above its inclusion threshold) must NOT
+        // touch d2: a crossJoin against the empty frame would aggregate d2
+        // to EMPTY, phi would read 0 forever, and every later round would
+        // silently stop sampling. Keep the previous d2 and move on — the
+        // next round redraws with fresh domain-separated variates.
+        if (!drawn.isEmpty) {
+          newCands = drawn
+          cands = cands.unionByName(newCands).localCheckpoint()
+          if (r < rounds)
+            d2 = v.join(d2, "__id")
+              .crossJoin(broadcast(newCands))
+              .groupBy(col("__id"), col("__d2"))
+              .agg(min(sq(col("__v"), col("__cv"))).as("__dn"))
+              .select(col("__id"), least(col("__d2"), col("__dn")).as("__d2"))
+              .localCheckpoint()
+        }
       }
     }
     // weight candidates by attraction, then reduce driver-side. The

@@ -152,8 +152,13 @@ object Sampling {
     * Domain masses aggregate exactly (DECIMAL(28,9), the mixCorpus
     * discipline); the per-domain table is model-sized (domains are few
     * by definition), collected and shared out on the driver like the
-    * k-means centroid state. Returns (domain, mass, w, share_ppm)
-    * sorted by domain. */
+    * k-means centroid state. That DOMAIN-CARDINALITY assumption is the
+    * operator's contract — mT5 runs 101 languages, real mixes tens of
+    * sources; the collect and the single-partition result frame are
+    * sized to that, exactly like [[mixCorpus]]'s driver-held share map.
+    * A "domain" column with data-scale cardinality (e.g. a URL host hash)
+    * belongs in [[stratifiedSample]]/[[capPerStratum]], not here.
+    * Returns (domain, mass, w, share_ppm) sorted by domain. */
   def temperatureShares(df: DataFrame, domainCol: String, massCol: String,
                         alphaQuarters: Int): DataFrame = {
     require(alphaQuarters >= 1 && alphaQuarters <= 4,

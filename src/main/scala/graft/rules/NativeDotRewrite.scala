@@ -28,19 +28,26 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
+      // the multiply must reference TWO DISTINCT lambda variables — a
+      // degenerate user lambda like (x, y) -> x * x is element-wise
+      // squaring of the LEFT array only, not a dot product, and rewriting
+      // it would silently change results
       case ArrayAggregate(
             ZipWith(l, r,
-              LambdaFunction(Multiply(_: NamedLambdaVariable,
-                _: NamedLambdaVariable, _), _, _)),
+              LambdaFunction(Multiply(m1: NamedLambdaVariable,
+                m2: NamedLambdaVariable, _), _, _)),
             Literal(0.0, DoubleType),
             LambdaFunction(Add(_: NamedLambdaVariable,
               _: NamedLambdaVariable, _), _, _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
-          if isDoubleArray(l) && isDoubleArray(r) && fin.exprId == finArg.exprId =>
+          if isDoubleArray(l) && isDoubleArray(r) &&
+            m1.exprId != m2.exprId && fin.exprId == finArg.exprId =>
         DotProduct(l, r)
       // Similarity.sqDist's (x-y)*(x-y) fold — same seed/accumulate
       // shape, the squared-difference lambda must reference ONE (x, y)
-      // pair on both sides of the multiply
+      // pair — the SAME pair on both sides of the multiply, and x, y
+      // DISTINCT variables ((x - x) * (x - x) is constant zero, not a
+      // squared distance)
       case ArrayAggregate(
             ZipWith(l, r,
               LambdaFunction(Multiply(
@@ -53,6 +60,7 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
           if isDoubleArray(l) && isDoubleArray(r) &&
             x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
+            x1.exprId != y1.exprId &&
             fin.exprId == finArg.exprId =>
         SqDist(l, r)
     }

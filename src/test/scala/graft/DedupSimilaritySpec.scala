@@ -293,6 +293,39 @@ class DedupSimilaritySpec extends SparkSuite {
       s"native sqDist drifted from the fold: $out vs $expected")
   }
 
+  test("NativeDotRewrite: degenerate same-variable lambdas are NOT rewritten") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = Similarity.asDouble(col("embedding"))
+    val shifted = transform(v, x => x + lit(1.5))
+    // (x, y) -> x * x over zip_with: element-wise squaring of the LEFT
+    // array, NOT a dot product — must stay an interpreted fold
+    val sq = emb.select(col("vec_id"),
+      aggregate(zip_with(v, shifted, (x, _) => x * x), lit(0.0),
+        (acc, e) => acc + e).as("s"))
+    val sqPlan = sq.queryExecution.optimizedPlan.toString
+    assert(!sqPlan.contains("dot_product") && !sqPlan.contains("sq_dist"),
+      s"degenerate x*x lambda was miscompiled:\n$sqPlan")
+    // (x, y) -> (x - x) * (x - x): constant zero, NOT a squared distance
+    val zero = emb.select(col("vec_id"),
+      aggregate(zip_with(v, shifted, (x, _) => (x - x) * (x - x)), lit(0.0),
+        (acc, e) => acc + e).as("z"))
+    val zeroPlan = zero.queryExecution.optimizedPlan.toString
+    assert(!zeroPlan.contains("sq_dist") && !zeroPlan.contains("dot_product"),
+      s"degenerate (x-x)*(x-x) lambda was miscompiled:\n$zeroPlan")
+    // and the VALUES confirm the untouched semantics: sum of squares of
+    // the left array, and exactly 0.0
+    val rows = emb.limit(2).collect().map(_.getLong(0))
+    val got = sq.filter(col("vec_id").isin(rows: _*)).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expectSq = emb.filter(col("vec_id").isin(rows: _*)).collect().map { r =>
+      val xs = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      r.getLong(0) -> { var s = 0.0; xs.foreach(x => s += x * x); s }
+    }.toMap
+    assert(rows.forall(k => got(k) == expectSq(k)))
+    assert(zero.filter(col("vec_id").isin(rows: _*)).collect()
+      .forall(_.getDouble(1) == 0.0))
+  }
+
   test("sampling: deterministic, stratified caps respected, split exhaustive") {
     import graft.ops.Sampling
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "es"))

@@ -157,6 +157,20 @@ class OpsSpec extends SparkSuite {
         maxOccurrences = 4)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(lax(4L) == "follow us" && lax(1L).contains("follow us"))
+    // BLANK paragraph separators are never boilerplate: they recur in
+    // every doc here (way over the cap) but must survive in place —
+    // stripping them would collapse paragraph structure corpus-wide
+    val para = Seq(
+      (1L, "para one\n\nspam line\n\npara two"),
+      (2L, "spam line\n\nother text"),
+      (3L, "spam line\n\nthird body"))
+      .toDF("id", "text")
+    val pOut = graft.ops.Corpus.stripRepeatedLines(para, "id", "text",
+        maxOccurrences = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(3))).toMap
+    assert(pOut(1L) == (("para one\n\n\npara two", 4L)), s"$pOut")
+    assert(pOut(2L) == (("\nother text", 2L)), s"$pOut")
+    assert(pOut(3L) == (("\nthird body", 2L)), s"$pOut")
   }
 
   test("temperatureShares: exact ppm weights, flattening toward low-resource domains") {

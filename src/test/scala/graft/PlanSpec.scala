@@ -218,17 +218,18 @@ class PlanSpec extends SparkSuite {
       (i, s"tok${i % 5} tok${i % 7} tok$i")).toDF("doc_id", "text")
     val out = graft.ops.Corpus.perplexityBuckets(docs, "doc_id", "text")
     val plan = planOf(out)
-    // the tercile cutoffs were already collected from the histogram at
-    // construction; the returned frame must add NO exchange beyond the
-    // surprisal aggregates themselves (same count as the unbucketed
-    // scorer) — a global sort or percentile shuffle here is the
-    // scale-killer this operator exists to avoid
-    val base = planOf(graft.ops.Corpus.unigramSurprisal(docs, "doc_id", "text"))
+    // the surprisal pipeline ran ONCE (localCheckpointed before the
+    // histogram collect), so the returned frame is a checkpoint scan plus
+    // the map-side CASE — ZERO exchanges, and in particular no global
+    // sort or percentile shuffle (the scale-killer this operator exists
+    // to avoid) and no re-run of the corpus-scale token aggregation
     def exchanges(p: String) = "Exchange".r.findAllIn(p).length
-    assert(exchanges(plan) == exchanges(base),
-      s"bucketing added exchanges: ${exchanges(plan)} vs ${exchanges(base)}:\n$plan")
+    assert(exchanges(plan) == 0,
+      s"bucketing re-runs or shuffles the scored frame:\n$plan")
     assert(!plan.contains("Exchange rangepartitioning"),
       s"global sort in bucketing:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"scored frame not checkpointed — surprisal would run twice:\n$plan")
   }
 
   test("naiveBayesClassify: no cartesian on data, hash aggs, broadcast model") {

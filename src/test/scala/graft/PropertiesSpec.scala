@@ -227,8 +227,9 @@ object GraftProperties extends Properties("graft") {
   }
 
   // stripRepeatedLines agrees with the naive reference implementation:
-  // count every line corpus-wide, keep lines at or under the cap, join
-  // survivors in order — for arbitrary multi-line docs including blanks
+  // count every NON-EMPTY line corpus-wide, keep lines at or under the
+  // cap, join survivors in order — blanks are never boilerplate
+  // candidates (C4's rule) and always survive in place
   private val lineGen: Gen[String] =
     Gen.oneOf(Gen.oneOf("shared a", "shared b", ""),
       Gen.choose(0, 10000).map(n => s"unique line $n"))
@@ -246,7 +247,7 @@ object GraftProperties extends Properties("graft") {
     val counts = docs.flatMap(_.split("\n", -1)).groupBy(identity)
       .view.mapValues(_.size.toLong).toMap
     docs.zipWithIndex.forall { case (t, i) =>
-      val keep = t.split("\n", -1).filter(l => counts(l) <= cap)
+      val keep = t.split("\n", -1).filter(l => l.isEmpty || counts(l) <= cap)
       got(i.toLong) == ((keep.mkString("\n"), keep.length.toLong))
     }
   }
