@@ -72,6 +72,35 @@ object Probe {
           f"${cents.size} centroids, " +
           f"members=${cents.map(_.nMembers).sum}")
 
+      // k-means|| SEEDING alone at SemDeDup-scale k: exercises the
+      // distributed pre-reduction (candidates > max(2k, 4096) never all
+      // reach the driver — weights computed distributed, TakeOrdered
+      // keeps the cap-bounded heaviest). Lloyd is deliberately excluded:
+      // at k in the thousands assignment belongs to a join/codes design,
+      // not 4096 inlined literal branches.
+      case "seedlargek" =>
+        import spark.implicits._
+        val n = args.lift(1).map(_.toInt).getOrElse(40000)
+        val k = args.lift(2).map(_.toInt).getOrElse(4096)
+        val dims = 32
+        val vecs = (0L until n.toLong).map { i =>
+          var h = i * 2654435761L + 99991L
+          (i, Array.tabulate(dims) { _ =>
+            h = h * 6364136223846793005L + 1442695040888963407L
+            ((h >>> 33) % 1000L).toFloat / 100.0f +
+              (if ((i % k) == (h % k)) 5.0f else 0.0f)
+          })
+        }.toDF("vec_id", "embedding")
+        val v = vecs.select(col("vec_id").as("__id"),
+          graft.ops.Similarity.asDouble(col("embedding")).as("__v"))
+        val cap = math.max(2L * k, 4096L)
+        val (seeds, secs) = timed(graft.ops.KMeans.seedLargeK(v, k))
+        val heapMb = (Runtime.getRuntime.totalMemory() -
+          Runtime.getRuntime.freeMemory()) / (1024 * 1024)
+        println(f"[seedlargek] n=$n k=$k dims=$dims: $secs%.1fs " +
+          f"seeds=${seeds.size} driver_cap=$cap vectors " +
+          f"(~${cap * dims * 8 / (1024 * 1024)} MB) heap_used=${heapMb}MB")
+
       // BPE merge training + corpus encode at realistic merge depth:
       // synthetic vocabulary large enough that 1000+ rounds don't
       // exhaust, per-round rate compared across depths for flatness
@@ -104,6 +133,23 @@ object Probe {
               f"$esecs%.1fs over $enc docs")
           }
         }
+        // batched vs sequential at the same merge budget: driver rounds
+        // (the wall-clock driver), wall clock, and whether the learned
+        // VOCABULARY (the set of merged tokens) came out equal — the
+        // parallel-BPE approximation's empirical cost on this corpus
+        val mb = rounds / 4
+        val ((seqM, seqIters), tSeq) = timed(
+          graft.ops.Bpe.fitCounted(corpus, "text", mb, batchSize = 1))
+        val ((batM, batIters), tBat) = timed(
+          graft.ops.Bpe.fitCounted(corpus, "text", mb, batchSize = 8))
+        val seqVocab = seqM.map(m => m.left + m.right).toSet
+        val batVocab = batM.map(m => m.left + m.right).toSet
+        println(f"[bpedepth] batch: merges=$mb seq_rounds=$seqIters " +
+          f"(${tSeq}%.1fs) batch8_rounds=$batIters (${tBat}%.1fs) " +
+          f"rounds_ratio=${seqIters.toDouble / batIters}%.1fx " +
+          f"time_ratio=${tSeq / tBat}%.1fx " +
+          f"vocab_equal=${seqVocab == batVocab} " +
+          f"vocab_overlap=${(seqVocab & batVocab).size}/${seqVocab.size}")
 
       // construction sub-steps of the funnel, timed independently
       case "funnelsub" =>

@@ -1194,6 +1194,26 @@ object SparkEntry {
         .orderBy("shard", "shard_pos")
     }),
 
+    // MULTI-EPOCH re-seeding: identical shard MEMBERSHIP (epoch never
+    // enters the shard hash — same_shard is computed, not assumed) with
+    // a fresh deterministic within-shard permutation per epoch (epoch 0
+    // is shuffle_shards' bit-frozen 'ord:' key; epoch 1 the
+    // domain-separated 'ord:e1:'). The oracle replays both md5
+    // permutations and pins membership invariance.
+    "shuffle_shards_epoch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val e0 = Layout.assignShards(docs, "doc_id", 8)
+        .select(col("doc_id"), col("shard"), col("shard_pos").as("pos_e0"))
+      val e1 = Layout.assignShards(docs, "doc_id", 8, epoch = 1L)
+        .select(col("doc_id"), col("shard").as("shard_e1"),
+          col("shard_pos").as("pos_e1"))
+      e0.join(e1, "doc_id")
+        .select(col("doc_id"), col("shard"),
+          (col("shard") === col("shard_e1")).as("same_shard"),
+          col("pos_e0"), col("pos_e1"))
+        .orderBy("doc_id")
+    }),
+
     // Text quality: CCNet-style unigram-LM perplexity proxy in exact
     // integer bits (floor-log2 surprisal via bin-string length — no libm
     // anywhere, so the DuckDB oracle matches digit-for-digit).
@@ -1269,6 +1289,21 @@ object SparkEntry {
             x => concat(x("doc_id").cast("string"), lit("@"),
               x("bin_offset").cast("string"))), ",").as("manifest"))
         .orderBy("source", "bin")
+    }),
+
+    // The pack-overflow LOADER CONTRACT made explicit: budget 64 is
+    // smaller than many docs' token counts, so docs genuinely straddle
+    // bin boundaries — each row states its straddle (spans_next_bin)
+    // and the bin its last token lands in (end_bin), the two columns a
+    // fixed-sequence loader needs to read across the boundary instead
+    // of truncating. All from the ONE exclusive running sum.
+    "pack_spans" -> ((s, dir) => {
+      Chunking.packByBudget(t(s, dir, "documents"), Seq("source"), "doc_id",
+          TextAnalysis.tokenCount(col("text")), budget = 64)
+        .select(col("source"), col("doc_id"), col("__tok").as("n_toks"),
+          col("bin"), col("bin_offset"), col("spans_next_bin"),
+          col("end_bin"))
+        .orderBy("source", "doc_id")
     }),
 
     // Sketch aggregates: HLL distinct + approx quantiles. The sketch values
@@ -3590,6 +3625,22 @@ object SparkEntry {
         |  string_agg(doc_id || '@' || off, ',' ORDER BY doc_id) AS manifest
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
+    // straddle contract replayed at budget 64: offset, spans flag, and
+    // last-token bin all from the same exclusive running sum
+    "pack_spans" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    len(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |c AS (SELECT source, doc_id, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM d)
+        |SELECT source, doc_id, CAST(tok AS BIGINT) AS n_toks,
+        |  CAST(cum // 64 AS BIGINT) AS bin,
+        |  CAST(cum - (cum // 64) * 64 AS BIGINT) AS bin_offset,
+        |  (cum - (cum // 64) * 64 + tok > 64) AS spans_next_bin,
+        |  CAST((cum + greatest(tok, 1) - 1) // 64 AS BIGINT) AS end_bin
+        |FROM c ORDER BY source, doc_id""".stripMargin,
+
     // The sketch accuracy contract: exact cardinalities recomputed, bound
     // flags must all be true (a sketch out of bounds flips one to false).
     "sketch_approx" ->
@@ -3791,6 +3842,29 @@ object SparkEntry {
         |    AS BIGINT) - 1 AS shard_pos,
         |  doc_id
         |FROM k ORDER BY shard, shard_pos""".stripMargin,
+
+    // both epochs' permutations replayed ('ord:' vs 'ord:e1:' domain
+    // separation); shard membership is epoch-invariant by construction,
+    // so the oracle pins same_shard TRUE — an epoch leak into the shard
+    // hash on the Spark side would flip it and mismatch
+    "shuffle_shards_epoch" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 8 AS shard,
+        |    CAST(concat('0x', substring(md5(concat('ord:',
+        |      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) / power(16, 12)
+        |      AS ord0,
+        |    CAST(concat('0x', substring(md5(concat('ord:e1:',
+        |      CAST(doc_id AS VARCHAR))), 1, 12)) AS BIGINT) / power(16, 12)
+        |      AS ord1
+        |  FROM documents)
+        |SELECT doc_id, shard, TRUE AS same_shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord0, doc_id)
+        |    AS BIGINT) - 1 AS pos_e0,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY ord1, doc_id)
+        |    AS BIGINT) - 1 AS pos_e1
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "text_perplexity" ->
       s"""WITH $duckPplCtes

@@ -95,15 +95,49 @@ object Bpe {
     * the right shape only while the VOCABULARY is too big to hold. */
   private val FitCheckpointEvery = 8
 
+  /** Upper bound on merges applied per projection (fit batches AND
+    * encode batches): the measured Spark-4 driver-recursion headroom —
+    * ColumnNode→expression conversion StackOverflows near ~64 nested
+    * aggregate folds, so one projection stays well inside it. */
+  val MaxMergeBatch = 16
+
   /** Learn `rounds` merges over the whitespace vocabulary of `textCol`.
     * One corpus-scale aggregate (the word count), then vocabulary-table
     * work only; the word table is persisted across rounds so round r
     * does not replay rounds 1..r-1 against the corpus, and the evolving
-    * symbol table is materialized every [[FitCheckpointEvery]] rounds so
+    * symbol table is materialized every [[FitCheckpointEvery]] merges so
     * per-round cost stays flat to realistic merge depths (real
-    * tokenizers run 30k-100k merges). */
-  def fit(corpus: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+    * tokenizers run 30k-100k merges).
+    *
+    * `batchSize` (default 1 = the published sequential algorithm,
+    * bit-frozen — every shipped oracle runs it) batches NON-CONFLICTING
+    * merges per driver round, the classic parallel-BPE trick that breaks
+    * the sequential-round wall clock (~0.38 s/driver round measured —
+    * 30k merges ≈ 3 h at batch 1): one pair-count aggregate ranks the
+    * top candidates by (count desc, left, right), then a deterministic
+    * greedy accepts up to batchSize pairs whose symbol TRIOS
+    * {left, right, left+right} are pairwise disjoint, and applies them
+    * in one projection. Disjointness guarantees the accepted pairs'
+    * counts are unaffected by each other's application (so the fold
+    * order within the projection cannot change the result); the
+    * remaining divergence from sequential BPE is the textbook
+    * parallel-BPE approximation — a pair CREATED by an earlier in-batch
+    * merge could in principle out-count a later in-batch pick, which a
+    * sequential fit would have noticed after its recount. Ranks stay
+    * deterministic (assigned in acceptance order) and batchSize = 1
+    * reproduces the sequential merge list exactly. */
+  def fit(corpus: DataFrame, textCol: String, rounds: Int,
+          batchSize: Int = 1): Seq[Merge] =
+    fitCounted(corpus, textCol, rounds, batchSize)._1
+
+  /** [[fit]] plus the number of DRIVER ROUNDS it ran (pair-count
+    * aggregate + collect cycles) — the quantity batching exists to
+    * shrink, published by the depth probe. */
+  def fitCounted(corpus: DataFrame, textCol: String, rounds: Int,
+                 batchSize: Int = 1): (Seq[Merge], Int) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(batchSize >= 1 && batchSize <= MaxMergeBatch,
+      s"batchSize must be in 1..$MaxMergeBatch, got $batchSize")
     val words = corpus
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
@@ -112,25 +146,47 @@ object Bpe {
       var syms = words.select(col("n"), symbolize(col("w")).as("s"))
       val merges = Seq.newBuilder[Merge]
       var r = 1
+      var iters = 0
+      var sinceCheckpoint = 0
       var exhausted = false
       while (r <= rounds && !exhausted) {
+        val want = math.min(batchSize, rounds - r + 1)
+        // oversample the candidate list 4x so conflict-filtering can
+        // still fill the batch; collect stays O(batch), never O(vocab)
         val top = syms
           .select(col("n"), explode(adjacentPairs(col("s"))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
           .agg(sum("n").as("cnt"))
           .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
+          .limit(if (want == 1) 1 else want * 4).collect()
+        iters += 1
         if (top.isEmpty) exhausted = true // every word fully merged
         else {
-          val row = top.head
-          val (l, rt, cnt) = (row.getString(0), row.getString(1), row.getLong(2))
-          merges += Merge(r, l, rt, cnt)
-          syms = syms.select(col("n"), applyMergeExpr(col("s"), l, rt).as("s"))
-          if (r % FitCheckpointEvery == 0) syms = syms.localCheckpoint()
-          r += 1
+          val used = collection.mutable.Set.empty[String]
+          val accepted = collection.mutable.ArrayBuffer.empty[Merge]
+          for (row <- top if accepted.size < want) {
+            val (l, rt, cnt) =
+              (row.getString(0), row.getString(1), row.getLong(2))
+            val trio = Seq(l, rt, l + rt)
+            if (trio.forall(s => !used.contains(s))) {
+              accepted += Merge(r + accepted.size, l, rt, cnt)
+              used ++= trio
+            }
+          }
+          merges ++= accepted
+          syms = syms.select(col("n"),
+            accepted.foldLeft(col("s")) { (s, m) =>
+              applyMergeExpr(s, m.left, m.right)
+            }.as("s"))
+          r += accepted.size
+          sinceCheckpoint += accepted.size
+          if (sinceCheckpoint >= FitCheckpointEvery) {
+            syms = syms.localCheckpoint()
+            sinceCheckpoint = 0
+          }
         }
       }
-      merges.result()
+      (merges.result(), iters)
     } finally { words.unpersist(); () }
   }
 

@@ -53,7 +53,23 @@ object Chunking {
     * shuffle (the stratum-partitioned window), no global order.
     * `carryCols` are passed through untouched (e.g. the doc id and source
     * when packing a sharded layout ordered by `shard_pos`), so a composed
-    * pipeline does not need a join to recover them afterwards. */
+    * pipeline does not need a join to recover them afterwards.
+    *
+    * LOADER CONTRACT (bin-boundary semantics): documents are assigned
+    * WHOLE — a doc whose tokens run past its bin's budget is NOT split
+    * here, so a bin is not guaranteed to hold ≤ budget tokens of its
+    * member docs. The output states the overflow explicitly:
+    * `spans_next_bin` is true iff `bin_offset + tokens > budget`, and
+    * `end_bin` is the bin the doc's LAST token lands in (= `bin` for
+    * non-straddling and zero-token docs). A loader emitting fixed
+    * `budget`-token sequences either (a) pre-chunks oversized docs
+    * through [[chunkByTokens]] with chunkSize = budget BEFORE packing —
+    * then no doc exceeds the budget and every `spans_next_bin` is the
+    * sub-budget straddle it must continue reading across — or (b) reads
+    * a straddling doc's tokens across bins `bin..end_bin`, taking
+    * `budget - bin_offset` tokens from the first and `budget` per full
+    * middle bin. Either way the columns carry everything the seek needs;
+    * nothing is silently truncated. */
   def packByBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
                    tokenCountCol: Column, budget: Int,
                    carryCols: Seq[String] = Nil): DataFrame = {
@@ -73,6 +89,14 @@ object Chunking {
       .withColumn("bin",
         floor(col("__cum").cast("double") / budget).cast("long"))
       .withColumn("bin_offset", col("__cum") - col("bin") * budget)
+      // the straddle markers — still the SAME running sum, no new window.
+      // greatest(tok, 1) pins a zero-token doc's end_bin to its own bin
+      // (floor((cum - 1)/budget) would step it back across a boundary)
+      .withColumn("spans_next_bin",
+        col("bin_offset") + col("__tok") > budget)
+      .withColumn("end_bin",
+        floor((col("__cum") + greatest(col("__tok"), lit(1L)) - 1L)
+          .cast("double") / budget).cast("long"))
       .drop("__cum")
   }
 }

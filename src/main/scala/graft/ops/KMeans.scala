@@ -107,14 +107,24 @@ object KMeans {
     * (broadcast) NEW candidates only, with the running d² carried in a
     * per-point frame (localCheckpointed per round — the lineage lesson
     * from the curation funnel); the final weighting pass is one scan
-    * against all candidates. Driver state is the candidate set
-    * (~2k·rounds vectors — the paper's own premise is that this is
-    * small next to n; at k=50k×768 dims budget ~2-3 GB driver heap or
-    * run the reduction distributed). Fewer than k distinct candidates
-    * (tiny inputs) degrade to returning them all — clusters starve out
-    * in Lloyd exactly like duplicate-point farthest-first. */
+    * against all candidates. Driver state is BOUNDED at
+    * max(2k, 4096) vectors (`candidateCap`): when the drawn candidate
+    * set exceeds the cap, the attraction weights are computed
+    * DISTRIBUTED (per-vector struct-min argmin — map-side partial, the
+    * same shape as the exact path's) and only the top-cap candidates by
+    * (weight desc, vector asc) reach the driver via a TakeOrdered —
+    * the weight-proportional deterministic pre-reduction the k-means‖
+    * paper's reclustering step allows (dropped candidates are the
+    * lightest, exactly the ones the weighted greedy would pick last).
+    * At SemDeDup's paper k = 50k × 768 dims that is ~100k vectors
+    * (~600 MB) instead of the unreduced ~500k (~3 GB). Below the cap
+    * the original exact path runs unchanged (every existing probe and
+    * hash is frozen). Fewer than k distinct candidates (tiny inputs)
+    * degrade to returning them all — clusters starve out in Lloyd
+    * exactly like duplicate-point farthest-first. */
   def seedLargeK(vIn: DataFrame, k: Int, rounds: Int = 5,
-                 oversample: Double = 2.0): Seq[Centroid] = {
+                 oversample: Double = 2.0,
+                 candidateCap: Long = -1L): Seq[Centroid] = {
     require(k >= 1 && rounds >= 1)
     val v = vIn.localCheckpoint()
     val firstRow = v
@@ -164,35 +174,72 @@ object KMeans {
         }
       }
     }
+    val lexOrd = scala.math.Ordering.Implicits
+      .seqOrdering[Seq, Double](Ordering.Double.TotalOrdering)
+    val cap = if (candidateCap > 0) candidateCap else math.max(2L * k, 4096L)
+    val distinctCands = cands.distinct().localCheckpoint()
+    val nCands = distinctCands.count()
     // weight candidates by attraction, then reduce driver-side. The
     // collect's partition order is NOT deterministic — canonicalize by
     // sorting the distinct candidate vectors lexicographically before
     // assigning indices, or every downstream tie-break would float.
-    val cArr = cands.distinct()
-      .collect().map(_.getSeq[Double](0).toArray)
-      .sortBy(_.toSeq)(scala.math.Ordering.Implicits.seqOrdering)
     def d2To(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val candDf = v.sparkSession.createDataFrame(
-      java.util.Arrays.asList(cArr.zipWithIndex.map { case (c, i) =>
-        Row(i.toLong, c.toSeq) }: _*),
-      StructType(Seq(StructField("__ci", LongType),
-        StructField("__cv", ArrayType(DoubleType)))))
-    // nearest-candidate argmin as a struct-min aggregate, NOT a window:
-    // the (point x candidate) product is the probe's largest relation
-    // (n x ~2k rounds-worth of candidates) and a per-point window would
-    // sort-shuffle all of it; min(struct(d2, ci)) partial-aggregates
-    // map-side down to one row per point before the exchange. Ties by
-    // candidate index, matching the reduction's id-ascending discipline.
-    val weights = v.crossJoin(broadcast(candDf))
-      .select(col("__id"),
-        struct(sq(col("__v"), col("__cv")).as("__dc"), col("__ci")).as("__s"))
-      .groupBy("__id").agg(min(col("__s")).as("__m"))
-      .groupBy(col("__m.__ci").as("__ci")).agg(count(lit(1)).as("__w"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reduced: (Array[Array[Double]], Map[Long, Long]) =
+      if (nCands <= cap) {
+        // exact path (bit-frozen): every candidate reaches the driver
+        val arr = distinctCands
+          .collect().map(_.getSeq[Double](0).toArray)
+          .sortBy(_.toSeq)(lexOrd)
+        val candDf = v.sparkSession.createDataFrame(
+          java.util.Arrays.asList(arr.zipWithIndex.map { case (c, i) =>
+            Row(i.toLong, c.toSeq) }: _*),
+          StructType(Seq(StructField("__ci", LongType),
+            StructField("__cv", ArrayType(DoubleType)))))
+        // nearest-candidate argmin as a struct-min aggregate, NOT a
+        // window: the (point x candidate) product is the probe's largest
+        // relation (n x ~2k rounds-worth of candidates) and a per-point
+        // window would sort-shuffle all of it; min(struct(d2, ci))
+        // partial-aggregates map-side down to one row per point before
+        // the exchange. Ties by candidate index, matching the
+        // reduction's id-ascending discipline.
+        val w = v.crossJoin(broadcast(candDf))
+          .select(col("__id"),
+            struct(sq(col("__v"), col("__cv")).as("__dc"), col("__ci"))
+              .as("__s"))
+          .groupBy("__id").agg(min(col("__s")).as("__m"))
+          .groupBy(col("__m.__ci").as("__ci")).agg(count(lit(1)).as("__w"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        (arr, w)
+      } else {
+        // DISTRIBUTED pre-reduction: same per-point struct-min argmin,
+        // keyed by the candidate VECTOR itself (d² ties break on the
+        // lex-smaller vector — identical semantics to the index
+        // tie-break, whose indices ascend in lex order); a left join
+        // keeps zero-attraction candidates rankable, and the
+        // (weight desc, vector asc) orderBy+limit is a TakeOrdered —
+        // partial top-cap per partition, only cap rows ever reach the
+        // driver. The greedy then runs on the cap-bounded rest.
+        val nearest = v.crossJoin(broadcast(distinctCands))
+          .select(col("__id"),
+            struct(sq(col("__v"), col("__cv")).as("__dc"), col("__cv"))
+              .as("__s"))
+          .groupBy("__id").agg(min(col("__s")).as("__m"))
+          .groupBy(col("__m.__cv").as("__cv")).agg(count(lit(1)).as("__w"))
+        val rows = distinctCands.join(nearest, Seq("__cv"), "left")
+          .select(col("__cv"), coalesce(col("__w"), lit(0L)).as("__w"))
+          .orderBy(col("__w").desc, col("__cv"))
+          .limit(cap.toInt)
+          .collect()
+          .map(r => (r.getSeq[Double](0).toArray, r.getLong(1)))
+          .sortBy(_._1.toSeq)(lexOrd)
+        (rows.map(_._1),
+          rows.indices.map(i => i.toLong -> rows(i)._2).toMap)
+      }
+    val (cArr, weights) = reduced
     val byWeight = cArr.indices
       .map(i => (i, weights.getOrElse(i.toLong, 0L)))
       .sortBy { case (i, w) => (-w, i) }

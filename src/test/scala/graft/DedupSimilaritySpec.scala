@@ -73,6 +73,21 @@ class DedupSimilaritySpec extends SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // a: cumsum-excl 0,100,200 -> bins 0,0,1; b: 0 -> bin 0
     assert(out == Set(("a", 1L, 0L), ("a", 2L, 0L), ("a", 3L, 1L), ("b", 1L, 0L)))
+    // straddle contract: doc 2 starts at offset 100 with 100 tokens in a
+    // 150 budget -> spans into bin 1 (end_bin 1); doc 1 fits; doc 3
+    // starts exactly at a boundary (offset 50 of bin 1) and fits; a
+    // zero-token doc never spans and ends in its own bin
+    val spans = Chunking.packByBudget(
+        d.union(Seq(("b", 2L, "")).toDF("source", "doc_id", "text")),
+        Seq("source"), "doc_id",
+        TextAnalysis.tokenCount(col("text")), budget = 150)
+      .select("source", "doc_id", "bin_offset", "spans_next_bin", "end_bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getBoolean(3), r.getLong(4)))).toMap
+    assert(spans(("a", 1L)) == ((0L, false, 0L)))
+    assert(spans(("a", 2L)) == ((100L, true, 1L)), s"$spans")
+    assert(spans(("a", 3L)) == ((50L, false, 1L)))
+    assert(spans(("b", 2L)) == ((50L, false, 0L)), s"$spans")
   }
 
   test("clusterPairs: transitive chains collapse to the min-id rep") {

@@ -283,6 +283,50 @@ class OpsSpec extends SparkSuite {
     store.overwrite("merges", Bpe.mergesDF(spark, ms), maxFiles = 1)
     assert(Bpe.fromDF(store.read("merges")) == ms)
   }
+
+  test("bpe: batched fit — batch 1 frozen, disjoint batch exact, fewer rounds") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    // exact-batching fixture: the top two pairs (a,b)x9 and (c,d)x8 are
+    // symbol-disjoint and every pair CREATED by merging either (the
+    // contexts vary: x_y vs z_w, p_q vs r_s) has count <= 5, so ONE
+    // batched round must reproduce two sequential rounds merge-for-merge
+    // including the counts
+    val text = (Seq.fill(5)("xaby") ++ Seq.fill(4)("zabw") ++
+      Seq.fill(5)("pcdq") ++ Seq.fill(3)("rcds")).mkString(" ")
+    val df = Seq((1L, text)).toDF("id", "text")
+    val (seqM, seqIters) = Bpe.fitCounted(df, "text", rounds = 2)
+    val (batM, batIters) = Bpe.fitCounted(df, "text", rounds = 2, batchSize = 2)
+    assert(seqM == batM, s"batched diverged: $batM vs $seqM")
+    assert(seqM.map(m => (m.left, m.right, m.n)) ==
+      Seq(("a", "b", 9L), ("c", "d", 8L)))
+    assert(seqIters == 2 && batIters == 1,
+      s"driver rounds: seq=$seqIters bat=$batIters")
+    // batch 1 through the same code path IS the published sequential
+    // algorithm — the Sennrich fixture's frozen merge list
+    val sennrich = Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("id", "text")
+    assert(Bpe.fit(sennrich, "text", 5, batchSize = 1) ==
+      Bpe.fit(sennrich, "text", 5))
+    // batched fit is deterministic, ranks contiguous in acceptance
+    // order, and every round's accepted trios are pairwise disjoint
+    val b4 = Bpe.fit(sennrich, "text", 5, batchSize = 4)
+    assert(b4 == Bpe.fit(sennrich, "text", 5, batchSize = 4))
+    assert(b4.map(_.rank) == (1 to b4.size), s"ranks not contiguous: $b4")
+    assert(b4.size == 5)
+    // the batch path never learns a pair whose symbols were produced or
+    // consumed by an EARLIER merge of the same round: replaying the
+    // batched list with encodedLengths must agree with encodeExpr
+    val probe = Seq((1L, "low lowest newest"), (2L, "widest wider"))
+      .toDF("id", "text")
+    val viaExpr = probe
+      .select(col("id"), size(Bpe.encodeExpr(col("text"), b4)).cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaVocab = Bpe.encodedLengths(probe, "id", "text", b4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaVocab, s"$viaExpr vs $viaVocab")
+  }
   import spark.implicits._
 
   // ------------------------------------------------------------ F1 monthly
