@@ -134,22 +134,78 @@ object Probe {
           }
         }
         // batched vs sequential at the same merge budget: driver rounds
-        // (the wall-clock driver), wall clock, and whether the learned
-        // VOCABULARY (the set of merged tokens) came out equal — the
-        // parallel-BPE approximation's empirical cost on this corpus
+        // (the wall-clock driver), wall clock, and the learned merge
+        // LIST vs sequential — strict mode must come out IDENTICAL (the
+        // empirical check of the prefix proof); non-strict shows the
+        // classic approximation's drift on this worst-case (near-tied
+        // counts) corpus
         val mb = rounds / 4
         val ((seqM, seqIters), tSeq) = timed(
           graft.ops.Bpe.fitCounted(corpus, "text", mb, batchSize = 1))
-        val ((batM, batIters), tBat) = timed(
-          graft.ops.Bpe.fitCounted(corpus, "text", mb, batchSize = 8))
-        val seqVocab = seqM.map(m => m.left + m.right).toSet
-        val batVocab = batM.map(m => m.left + m.right).toSet
-        println(f"[bpedepth] batch: merges=$mb seq_rounds=$seqIters " +
-          f"(${tSeq}%.1fs) batch8_rounds=$batIters (${tBat}%.1fs) " +
-          f"rounds_ratio=${seqIters.toDouble / batIters}%.1fx " +
-          f"time_ratio=${tSeq / tBat}%.1fx " +
-          f"vocab_equal=${seqVocab == batVocab} " +
-          f"vocab_overlap=${(seqVocab & batVocab).size}/${seqVocab.size}")
+        for (strict <- Seq(true, false)) {
+          val ((batM, batIters), tBat) = timed(graft.ops.Bpe.fitCounted(
+            corpus, "text", mb, batchSize = 8, strict = strict))
+          val seqVocab = seqM.map(m => m.left + m.right).toSet
+          val batVocab = batM.map(m => m.left + m.right).toSet
+          println(f"[bpedepth] batch strict=$strict: merges=$mb " +
+            f"seq_rounds=$seqIters (${tSeq}%.1fs) " +
+            f"batch8_rounds=$batIters (${tBat}%.1fs) " +
+            f"rounds_ratio=${seqIters.toDouble / batIters}%.1fx " +
+            f"time_ratio=${tSeq / tBat}%.1fx " +
+            f"merges_equal=${batM == seqM} " +
+            f"vocab_overlap=${(seqVocab & batVocab).size}/${seqVocab.size}")
+        }
+
+      // the in-memory trainer vs the distributed rounds: byte-identity
+      // at a shared depth, then fitLocal alone at real tokenizer depths
+      // (the path that closes the 30k-merge sequential-round ceiling
+      // whenever the word table fits driver memory)
+      case "bpelocal" =>
+        import spark.implicits._
+        val nWords = args.lift(1).map(_.toInt).getOrElse(20000)
+        val deep = args.lift(2).map(_.toInt).getOrElse(30000)
+        val words = (0 until nWords).map { i =>
+          var h = i.toLong * 2654435761L + 12345L
+          (0 until 10).map { _ =>
+            h = h * 6364136223846793005L + 1442695040888963407L
+            ('a' + math.floorMod(h >>> 33, 26L).toInt).toChar
+          }.mkString
+        }
+        val corpus = words.toDF("text")
+        val (dist, tD) = timed(graft.ops.Bpe.fit(corpus, "text", 250))
+        val (loc, tL) = timed(graft.ops.Bpe.fitLocal(corpus, "text", 250))
+        println(f"[bpelocal] n=$nWords merges=250: distributed $tD%.1fs, " +
+          f"local $tL%.1fs (${tD / tL}%.0fx), identical=${dist == loc}")
+        for (d <- Seq(1000, 5000, deep)) {
+          val (ms, t) = timed(graft.ops.Bpe.fitLocal(corpus, "text", d))
+          println(f"[bpelocal] fitLocal merges=$d: $t%.1fs " +
+            f"(learned ${ms.size}; distributed-round estimate " +
+            f"${d * 0.37 / 60}%.0f min)")
+        }
+
+      // strict batching on NATURAL text (the testdata documents corpus):
+      // Zipfian pair counts separate cleanly, so provably-exact batches
+      // actually fill — the round-reduction a real tokenizer fit gets
+      // with zero vocabulary drift
+      case "bpebatch" =>
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+        val mb = if (args.length > 2) args(2).toInt else 64
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val ((seqM, seqIters), tSeq) = timed(
+          graft.ops.Bpe.fitCounted(docs, "text", mb, batchSize = 1))
+        for ((strict, bs) <- Seq((true, 8), (true, 16), (false, 8))) {
+          val ((batM, batIters), tBat) = timed(graft.ops.Bpe.fitCounted(
+            docs, "text", mb, batchSize = bs, strict = strict))
+          val seqVocab = seqM.map(m => m.left + m.right).toSet
+          val batVocab = batM.map(m => m.left + m.right).toSet
+          println(f"[bpebatch] dir=$dir merges=$mb strict=$strict bs=$bs: " +
+            f"seq_rounds=$seqIters (${tSeq}%.1fs) " +
+            f"batch_rounds=$batIters (${tBat}%.1fs) " +
+            f"rounds_ratio=${seqIters.toDouble / batIters}%.1fx " +
+            f"time_ratio=${tSeq / tBat}%.1fx " +
+            f"merges_equal=${batM == seqM} " +
+            f"vocab_overlap=${(seqVocab & batVocab).size}/${seqVocab.size}")
+        }
 
       // construction sub-steps of the funnel, timed independently
       case "funnelsub" =>

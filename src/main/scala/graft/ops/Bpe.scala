@@ -110,31 +110,54 @@ object Bpe {
     * tokenizers run 30k-100k merges).
     *
     * `batchSize` (default 1 = the published sequential algorithm,
-    * bit-frozen — every shipped oracle runs it) batches NON-CONFLICTING
-    * merges per driver round, the classic parallel-BPE trick that breaks
-    * the sequential-round wall clock (~0.38 s/driver round measured —
-    * 30k merges ≈ 3 h at batch 1): one pair-count aggregate ranks the
-    * top candidates by (count desc, left, right), then a deterministic
-    * greedy accepts up to batchSize pairs whose symbol TRIOS
-    * {left, right, left+right} are pairwise disjoint, and applies them
-    * in one projection. Disjointness guarantees the accepted pairs'
-    * counts are unaffected by each other's application (so the fold
-    * order within the projection cannot change the result); the
-    * remaining divergence from sequential BPE is the textbook
-    * parallel-BPE approximation — a pair CREATED by an earlier in-batch
-    * merge could in principle out-count a later in-batch pick, which a
-    * sequential fit would have noticed after its recount. Ranks stay
-    * deterministic (assigned in acceptance order) and batchSize = 1
-    * reproduces the sequential merge list exactly. */
+    * bit-frozen — every shipped oracle runs it) batches merges per
+    * driver round, the parallel-BPE trick that breaks the
+    * sequential-round wall clock (~0.38 s/driver round measured —
+    * 30k merges ≈ 3 h at batch 1). Two batch disciplines:
+    *
+    * STRICT (default): SPECULATE-AND-VERIFY — the result is EXACTLY the
+    * sequential merge list at any batchSize, with the sequential
+    * counts. Per round: (1) one pair-count aggregate ranks candidates
+    * and a deterministic greedy SPECULATES up to batchSize pairs with
+    * pairwise-disjoint {left, right, merged} trios (disjointness makes
+    * the chained in-projection application order-free); (2) ONE
+    * verification job computes, for every intermediate state
+    * state_i = syms after speculated merges 1..i, the true
+    * (count desc, left, right) argmax pair — a union of per-state
+    * top-1 aggregates over the vocabulary table, all in a single
+    * driver roundtrip; (3) the accepted batch is the longest prefix
+    * whose every speculated merge IS its own state's argmax, recorded
+    * with the VERIFIED count. By induction each accepted merge is
+    * precisely what the sequential fit would have chosen at that
+    * round — equality is structural, not probabilistic (and the depth
+    * probe re-checks it empirically). Misspeculation (genuinely
+    * ambiguous counts, conflicts whose recount reorders the ranking)
+    * just shortens the prefix — progress is always ≥ 1 merge per
+    * round, and a fully-ambiguous corpus honestly degrades to ~2
+    * roundtrips per merge (that ambiguity is real sequential
+    * dependence, not overhead).
+    *
+    * NON-STRICT (`strict = false`): the classic approximate batching —
+    * the speculated batch is applied UNVERIFIED. Maximum round
+    * reduction (one roundtrip per batch), but a pair created by an
+    * earlier in-batch merge can out-count a later pick that the
+    * sequential fit would have preferred after its recount; the
+    * learned vocabulary can drift from the sequential one (measured by
+    * the probe). Still fully deterministic.
+    *
+    * Ranks are assigned in acceptance order; batchSize = 1 reproduces
+    * the sequential merge list exactly in either mode. */
   def fit(corpus: DataFrame, textCol: String, rounds: Int,
-          batchSize: Int = 1): Seq[Merge] =
-    fitCounted(corpus, textCol, rounds, batchSize)._1
+          batchSize: Int = 1, strict: Boolean = true): Seq[Merge] =
+    fitCounted(corpus, textCol, rounds, batchSize, strict)._1
 
-  /** [[fit]] plus the number of DRIVER ROUNDS it ran (pair-count
-    * aggregate + collect cycles) — the quantity batching exists to
-    * shrink, published by the depth probe. */
+  /** [[fit]] plus the number of DRIVER ROUNDTRIPS it ran (collect
+    * cycles: pair-count rounds AND verification jobs both count — each
+    * is one driver-paced job latency, the quantity batching exists to
+    * shrink), published by the depth probe. */
   def fitCounted(corpus: DataFrame, textCol: String, rounds: Int,
-                 batchSize: Int = 1): (Seq[Merge], Int) = {
+                 batchSize: Int = 1,
+                 strict: Boolean = true): (Seq[Merge], Int) = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     require(batchSize >= 1 && batchSize <= MaxMergeBatch,
       s"batchSize must be in 1..$MaxMergeBatch, got $batchSize")
@@ -151,8 +174,8 @@ object Bpe {
       var exhausted = false
       while (r <= rounds && !exhausted) {
         val want = math.min(batchSize, rounds - r + 1)
-        // oversample the candidate list 4x so conflict-filtering can
-        // still fill the batch; collect stays O(batch), never O(vocab)
+        // oversample the candidate list 4x so batch filtering can still
+        // fill the batch; collect stays O(batch), never O(vocab)
         val top = syms
           .select(col("n"), explode(adjacentPairs(col("s"))).as("p"))
           .groupBy(col("p.l").as("l"), col("p.r").as("r"))
@@ -162,17 +185,71 @@ object Bpe {
         iters += 1
         if (top.isEmpty) exhausted = true // every word fully merged
         else {
+          // deterministic disjoint-skip greedy: the speculated batch
+          // (and, non-strict, the applied one)
           val used = collection.mutable.Set.empty[String]
-          val accepted = collection.mutable.ArrayBuffer.empty[Merge]
-          for (row <- top if accepted.size < want) {
+          val spec = collection.mutable.ArrayBuffer.empty[Merge]
+          for (row <- top if spec.size < want) {
             val (l, rt, cnt) =
               (row.getString(0), row.getString(1), row.getLong(2))
             val trio = Seq(l, rt, l + rt)
             if (trio.forall(s => !used.contains(s))) {
-              accepted += Merge(r + accepted.size, l, rt, cnt)
+              spec += Merge(r + spec.size, l, rt, cnt)
               used ++= trio
             }
           }
+          val accepted: Seq[Merge] =
+            if (!strict || spec.size == 1) spec.toSeq
+            else {
+              // ONE verification job: the true argmax pair of every
+              // intermediate state (chained folds over the persisted
+              // vocabulary table, per-state top-1 aggregates unioned) --
+              // each branch nests <= batchSize <= MaxMergeBatch folds,
+              // inside the measured driver-recursion headroom
+              val stateTops = (1 until spec.size).map { i =>
+                val si = spec.take(i).foldLeft(col("s")) { (s, m) =>
+                  applyMergeExpr(s, m.left, m.right)
+                }
+                syms.select(col("n"), explode(adjacentPairs(si)).as("p"))
+                  .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+                  .agg(sum("n").as("cnt"))
+                  .orderBy(col("cnt").desc, col("l"), col("r"))
+                  .limit(1)
+                  .select(lit(i).as("i"), col("l"), col("r"), col("cnt"))
+              }.reduce(_.unionAll(_)).collect()
+                .map(row => row.getInt(0) ->
+                  ((row.getString(1), row.getString(2), row.getLong(3))))
+                .toMap
+              iters += 1
+              // accept the longest prefix whose every speculated merge
+              // IS its own state's argmax -- recorded with the VERIFIED
+              // count (an in-batch conflict may have shrunk it;
+              // sequential would record the shrunk value)
+              val out = collection.mutable.ArrayBuffer(spec.head)
+              var p = 1
+              var ok = true
+              while (ok && p < spec.size) {
+                stateTops.get(p) match {
+                  case Some((l, rt, cnt))
+                      if l == spec(p).left && rt == spec(p).right =>
+                    out += Merge(spec(p).rank, l, rt, cnt)
+                    p += 1
+                  case _ => ok = false
+                }
+              }
+              // on misspeculation, the failing state's verified argmax
+              // IS the true next sequential merge (state_p is exact: it
+              // was built from the accepted prefix) -- accept it too, so
+              // a verification roundtrip always advances by prefix + 1
+              // and the strict path can never fall behind sequential
+              if (!ok && p < spec.size && out.size == p &&
+                  r + p <= rounds) {
+                stateTops.get(p).foreach { case (l, rt, cnt) =>
+                  out += Merge(r + p, l, rt, cnt)
+                }
+              }
+              out.toSeq
+            }
           merges ++= accepted
           syms = syms.select(col("n"),
             accepted.foldLeft(col("s")) { (s, m) =>
@@ -188,6 +265,130 @@ object Bpe {
       }
       (merges.result(), iters)
     } finally { words.unpersist(); () }
+  }
+
+  /** UTF-8-bytewise string order — EXACTLY how Spark's UTF8String and
+    * DuckDB's default binary collation compare, and therefore how the
+    * distributed fit's (left, right) tie-break orders. JVM
+    * String.compareTo is UTF-16 code-unit order, which DIVERGES for
+    * code points ≥ U+E000 vs supplementary planes — the in-memory fit
+    * must not introduce an engine-mismatched tie order. */
+  private val Utf8Order: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** One merge applied to a word's symbol list, leftmost-first
+    * non-overlapping — the driver-side twin of [[applyMergeExpr]]'s
+    * sentinel fold (the equivalence [[fitLocal]]'s byte-identity rests
+    * on, pinned by spec). */
+  private def applyMergeLocal(s: Array[String], l: String,
+                              r: String): Array[String] = {
+    val out = collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+        out += l + r; i += 2
+      } else { out += s(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  /** The classic IN-MEMORY BPE trainer (Sennrich's published loop with
+    * incremental pair-count maintenance) — the path that actually
+    * closes the 30k-merge wall-clock ceiling whenever the word table
+    * fits driver memory, which for real corpora it almost always does:
+    * the corpus-scale work is ONE Spark aggregate (the same distinct
+    * word count [[fit]] starts from — vocabulary-sized, megabytes for
+    * millions of distinct words), collected once; every merge round
+    * then runs at memory speed with no per-round job latency at all.
+    *
+    * BYTE-IDENTICAL to [[fit]] by construction, not by luck:
+    *   - pair statistics follow the same get_stats convention (all
+    *     adjacent index pairs, overlap included — words are subtracted
+    *     and re-added whole around a merge, so overlap self-corrects);
+    *   - the argmax breaks count ties by (left, right) in UTF-8 BYTE
+    *     order ([[Utf8Order]] — JVM string order would silently diverge
+    *     from Spark/DuckDB binary collation on non-ASCII symbols);
+    *   - merge application is the same leftmost-first non-overlapping
+    *     scan ([[applyMergeLocal]] ≡ the sentinel fold);
+    *   - the argmax lives in a TreeSet ordered (count desc, left,
+    *     right) with remove-reinsert maintenance, so every round's
+    *     winner is exactly the sequential one.
+    * A spec pins list equality against [[fit]] on the worked example
+    * and mixed-corpus fixtures; the depth probe re-checks at 250
+    * merges on the 20k-word corpus and publishes the wall-clock at
+    * real tokenizer depths. Use [[fit]]'s distributed rounds only when
+    * the VOCABULARY itself exceeds driver memory. */
+  def fitLocal(corpus: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wordRows = corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect()
+    val words = wordRows.map(_.getString(0).split("").toSeq :+ EndOfWord)
+      .map(_.toArray)
+    val wCnt = wordRows.map(_.getLong(1))
+    // pair -> weighted count, pair -> word indices containing it
+    val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+    val pairWords = collection.mutable
+      .Map.empty[(String, String), collection.mutable.Set[Int]]
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      var i = 0
+      while (i + 1 < s.length) {
+        val p = (s(i), s(i + 1))
+        val c = pairCnt.getOrElse(p, 0L) + sign * wCnt(wi)
+        if (c == 0L) { pairCnt.remove(p); () } else pairCnt(p) = c
+        if (sign > 0)
+          pairWords.getOrElseUpdate(p,
+            collection.mutable.Set.empty[Int]) += wi
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+    // ordered view for O(log P) argmax: (count desc, left, right) in
+    // UTF-8 byte order — the exact distributed tie-break
+    implicit val ord: Ordering[(Long, String, String)] =
+      Ordering.Tuple3(Ordering.Long.reverse, Utf8Order, Utf8Order)
+    val ranked = collection.mutable.TreeSet.empty[(Long, String, String)]
+    pairCnt.foreach { case ((l, r), c) => ranked += ((c, l, r)) }
+    def resync(p: (String, String), before: Option[Long]): Unit = {
+      before.foreach(c => ranked -= ((c, p._1, p._2)))
+      pairCnt.get(p).foreach(c => ranked += ((c, p._1, p._2)))
+    }
+    val merges = Seq.newBuilder[Merge]
+    var r = 1
+    while (r <= rounds && ranked.nonEmpty) {
+      val (cnt, l, rt) = ranked.head
+      merges += Merge(r, l, rt, cnt)
+      val affected = pairWords.getOrElse((l, rt), Set.empty[Int]).toArray
+      for (wi <- affected) {
+        // subtract the whole word's pairs, apply, re-add: overlap-safe
+        // and exactly get_stats on the new state
+        val touched = collection.mutable.Map.empty[(String, String), Long]
+        def snap(s: Array[String]): Unit = {
+          var i = 0
+          while (i + 1 < s.length) {
+            val p = (s(i), s(i + 1))
+            if (!touched.contains(p))
+              touched(p) = pairCnt.getOrElse(p, 0L)
+            i += 1
+          }
+        }
+        snap(words(wi))
+        addWord(wi, -1L)
+        words(wi) = applyMergeLocal(words(wi), l, rt)
+        snap(words(wi))
+        addWord(wi, 1L)
+        touched.foreach { case (p, before) =>
+          if (before == 0L) resync(p, None)
+          else resync(p, Some(before))
+        }
+      }
+      r += 1
+    }
+    merges.result()
   }
 
   /** The learned merge list as a flat DataFrame — the persist/audit

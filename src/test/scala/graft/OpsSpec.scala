@@ -287,11 +287,12 @@ class OpsSpec extends SparkSuite {
   test("bpe: batched fit — batch 1 frozen, disjoint batch exact, fewer rounds") {
     import graft.ops.Bpe
     import spark.implicits._
-    // exact-batching fixture: the top two pairs (a,b)x9 and (c,d)x8 are
-    // symbol-disjoint and every pair CREATED by merging either (the
-    // contexts vary: x_y vs z_w, p_q vs r_s) has count <= 5, so ONE
-    // batched round must reproduce two sequential rounds merge-for-merge
-    // including the counts
+    // speculate-and-verify fixture: the top two pairs (a,b)x9 and
+    // (c,d)x8 are symbol-disjoint and every pair CREATED by merging
+    // either (the contexts vary: x_y vs z_w, p_q vs r_s) has count
+    // <= 5, so the speculated 2-batch VERIFIES fully — one pair round
+    // plus one verification roundtrip reproduces two sequential rounds
+    // merge-for-merge including the (verified) counts
     val text = (Seq.fill(5)("xaby") ++ Seq.fill(4)("zabw") ++
       Seq.fill(5)("pcdq") ++ Seq.fill(3)("rcds")).mkString(" ")
     val df = Seq((1L, text)).toDF("id", "text")
@@ -300,32 +301,69 @@ class OpsSpec extends SparkSuite {
     assert(seqM == batM, s"batched diverged: $batM vs $seqM")
     assert(seqM.map(m => (m.left, m.right, m.n)) ==
       Seq(("a", "b", 9L), ("c", "d", 8L)))
-    assert(seqIters == 2 && batIters == 1,
-      s"driver rounds: seq=$seqIters bat=$batIters")
+    assert(seqIters == 2 && batIters == 2,
+      s"driver roundtrips: seq=$seqIters bat=$batIters")
     // batch 1 through the same code path IS the published sequential
     // algorithm — the Sennrich fixture's frozen merge list
     val sennrich = Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
       Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
       .toDF("id", "text")
-    assert(Bpe.fit(sennrich, "text", 5, batchSize = 1) ==
-      Bpe.fit(sennrich, "text", 5))
-    // batched fit is deterministic, ranks contiguous in acceptance
-    // order, and every round's accepted trios are pairwise disjoint
+    val sequential = Bpe.fit(sennrich, "text", 5)
+    assert(Bpe.fit(sennrich, "text", 5, batchSize = 1) == sequential)
+    // STRICT batching is sequential-equal at ANY batch size: on this
+    // fixture the round-1 runner-up (s,t) conflicts with (e,s), so the
+    // strict batch stops at one merge per round and the full merge list
+    // comes out byte-identical to the sequential one
     val b4 = Bpe.fit(sennrich, "text", 5, batchSize = 4)
+    assert(b4 == sequential, s"strict batch diverged: $b4 vs $sequential")
     assert(b4 == Bpe.fit(sennrich, "text", 5, batchSize = 4))
     assert(b4.map(_.rank) == (1 to b4.size), s"ranks not contiguous: $b4")
-    assert(b4.size == 5)
-    // the batch path never learns a pair whose symbols were produced or
-    // consumed by an EARLIER merge of the same round: replaying the
-    // batched list with encodedLengths must agree with encodeExpr
+    // NON-strict batching (skip conflicts, no created-pair bound) takes
+    // bigger batches but may drift from the sequential vocabulary — on
+    // this fixture it provably does ((t,</w>) is batched before the
+    // recount could reveal (es,t)); still deterministic and contiguous
+    val loose = Bpe.fit(sennrich, "text", 5, batchSize = 4, strict = false)
+    assert(loose == Bpe.fit(sennrich, "text", 5, batchSize = 4,
+      strict = false))
+    assert(loose.map(_.rank) == (1 to loose.size))
+    assert(loose != sequential,
+      "expected the approximate mode to diverge on the Sennrich fixture")
+    // replaying a batched list with encodedLengths must agree with the
+    // per-occurrence encodeExpr fold for BOTH modes
     val probe = Seq((1L, "low lowest newest"), (2L, "widest wider"))
       .toDF("id", "text")
-    val viaExpr = probe
-      .select(col("id"), size(Bpe.encodeExpr(col("text"), b4)).cast("long"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val viaVocab = Bpe.encodedLengths(probe, "id", "text", b4)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(viaExpr == viaVocab, s"$viaExpr vs $viaVocab")
+    for (ms2 <- Seq(b4, loose)) {
+      val viaExpr = probe
+        .select(col("id"), size(Bpe.encodeExpr(col("text"), ms2)).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaVocab = Bpe.encodedLengths(probe, "id", "text", ms2)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaExpr == viaVocab, s"$viaExpr vs $viaVocab")
+    }
+  }
+
+  test("bpe: fitLocal is merge-for-merge identical to the distributed fit") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    // the worked example, a tie-heavy multi-doc corpus (near-equal
+    // counts exercise the (left, right) tie-break), and a corpus whose
+    // merges CHAIN (es -> est -> est</w>) and re-create pairs — fitLocal
+    // must reproduce the distributed sequential list exactly, counts
+    // included, at several depths
+    val fixtures = Seq(
+      Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+        Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" "))),
+      Seq((1L, "aa ab ba bb aa ab ba bb aa"), (2L, "abab baba abba baab"),
+        (3L, "a b ab ba")),
+      Seq((1L, "xaby zabw pcdq rcds xaby pcdq"), (2L, "the the them theme"),
+        (3L, "sing singing ringing ring")))
+    for (fx <- fixtures; rounds <- Seq(3, 8)) {
+      val df = fx.toDF("id", "text")
+      val dist = Bpe.fit(df, "text", rounds)
+      val local = Bpe.fitLocal(df, "text", rounds)
+      assert(local == dist,
+        s"fitLocal diverged at rounds=$rounds on $fx:\n$local\nvs\n$dist")
+    }
   }
   import spark.implicits._
 
