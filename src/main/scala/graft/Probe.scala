@@ -226,8 +226,9 @@ object Probe {
         val repOk = Corpus.lineRepetitionSignals(mapGate, "doc_id", "text")
           .filter(col("dup_line_ok") && col("dup_char_ok")).select("doc_id")
         println(s"[sub] repOk=${timed(repOk.count())}")
-        val (bitmap, tb) = timed(Dedup.bloomBuild(
-          docs.filter(col("doc_id") % 50 === 0), "text", 3, 1024, 3))
+        val (bitmap, tb) = timed(Dedup.bloomBuildAuto(
+          docs.filter(col("doc_id") % 50 === 0), "text", 3, 3))
+        println(s"[sub] bloom words=${bitmap.length}")
         println(s"[sub] bloomBuild: $tb")
         val nsh = mapGate.select(col("doc_id"),
           size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_sh"))

@@ -854,15 +854,17 @@ object SparkEntry {
     }),
 
     // LLM dedup: Bloom-filter decontamination — the scale path for
-    // benchmark sets too big to broadcast raw. The (1024*63)-bit filter
-    // is built over benchmark shingles with a word-keyed bit_or
-    // aggregate, held on the driver (8 KB), and probed map-side: zero
-    // joins on the corpus. Deterministic md5-window positions make even
-    // the false positives engine-replayable.
+    // benchmark sets too big to broadcast raw. The filter is SIZED TO
+    // THE BENCHMARK (16 bits/shingle, 1024-word floor — the 100x probe
+    // showed a fixed bitmap saturating to fp≈1), built over benchmark
+    // shingles with a word-keyed bit_or aggregate, held on the driver,
+    // and probed map-side: zero joins on the corpus. Deterministic
+    // md5-window positions make even the false positives
+    // engine-replayable; the oracle replays the sizing too.
     "bloom_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val bitmap = Dedup.bloomBuild(docs.filter(col("doc_id") % 50 === 0),
-        "text", shingleWords = 3, nWords = 1024, k = 3)
+      val bitmap = Dedup.bloomBuildAuto(docs.filter(col("doc_id") % 50 === 0),
+        "text", shingleWords = 3, k = 3)
       Dedup.decontaminateBloom(docs.filter(col("doc_id") % 50 =!= 0),
           "doc_id", "text", shingleWords = 3, bitmap, k = 3)
         .orderBy("doc_id")
@@ -1576,8 +1578,8 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val docs = t(s, dir, "documents")
       val hist = Seq("src0", "src1", "src2", "src3", "src4")
-      val bitmap = Dedup.bloomBuild(docs.filter(col("doc_id") % 50 === 0),
-        "text", shingleWords = 3, nWords = 1024, k = 3)
+      val bitmap = Dedup.bloomBuildAuto(docs.filter(col("doc_id") % 50 === 0),
+        "text", shingleWords = 3, k = 3)
       val index = Dedup.fingerprintIndex(
         docs.filter(col("source").isin(hist: _*)), "doc_id", "text")
       val docSchema = StructType(Seq(
@@ -2277,9 +2279,13 @@ object SparkEntry {
         .filter(col("dup_line_ok") && col("dup_char_ok"))
         .select("doc_id")
       // stage 4: Bloom decontamination vs the doc_id%50==0 benchmark,
-      // keep iff flagged shingles < 20% of the doc's distinct shingles
-      val bitmap = Dedup.bloomBuild(docs.filter(col("doc_id") % 50 === 0),
-        "text", shingleWords = 3, nWords = 1024, k = 3)
+      // keep iff flagged shingles < 20% of the doc's distinct shingles.
+      // The bitmap is benchmark-sized (bloomBuildAuto): the 100x probe
+      // showed the old fixed 1024 words saturating to fp~1, which
+      // emptied this stage — the funnel would silently discard the
+      // entire corpus at scale
+      val bitmap = Dedup.bloomBuildAuto(docs.filter(col("doc_id") % 50 === 0),
+        "text", shingleWords = 3, k = 3)
       val nsh = mapGate.select(col("doc_id"),
         size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_sh"))
       val bloomOk = Dedup.decontaminateBloom(mapGate, "doc_id", "text",
@@ -3695,9 +3701,11 @@ object SparkEntry {
         |FROM (SELECT id FROM sh WHERE id % 50 <> 0) t2
         |LEFT JOIN hits h ON t2.id = h.id ORDER BY 1""".stripMargin,
 
-    // Bloom decontamination re-derived bit for bit: same shingles, k=3
-    // md5-window positions mod 64512, 63-bit words built with bit_or,
-    // probe requires all 3 bits set (bool_and over a word join).
+    // Bloom decontamination re-derived bit for bit: same shingles, the
+    // same benchmark-sized modulus (63 * max(1024, ceil(16n/63)) — the
+    // bm CTE replays bloomAutoWords), k=3 md5-window positions, 63-bit
+    // words built with bit_or, probe requires all 3 bits set (bool_and
+    // over a word join).
     "bloom_decontaminate" ->
       """WITH sh AS (SELECT doc_id AS id,
         |    list_filter(list_distinct(list_transform(
@@ -3707,16 +3715,18 @@ object SparkEntry {
         |      s -> s <> '') AS s
         |  FROM documents),
         |ks AS (SELECT unnest([0, 1, 2]) AS j),
-        |bpos AS (SELECT DISTINCT
+|bm AS (SELECT 63 * GREATEST(1024, (COUNT(*) * 16 + 62) // 63) AS m
+        |  FROM (SELECT id, unnest(s) AS shg FROM sh WHERE id % 50 = 0)),
+                |bpos AS (SELECT DISTINCT
         |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
-        |      AS BIGINT) % 64512 AS INT) AS pos
+        |      AS BIGINT) % (SELECT m FROM bm) AS INT) AS pos
         |  FROM (SELECT DISTINCT unnest(s) AS shg FROM sh WHERE id % 50 = 0), ks),
         |wrd AS (SELECT CAST(pos // 63 AS INT) AS w,
         |    bit_or(1::BIGINT << (pos % 63)) AS bits
         |  FROM bpos GROUP BY 1),
         |trp AS (SELECT id, shg,
         |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
-        |      AS BIGINT) % 64512 AS INT) AS pos
+        |      AS BIGINT) % (SELECT m FROM bm) AS INT) AS pos
         |  FROM (SELECT id, unnest(s) AS shg FROM sh WHERE id % 50 <> 0), ks),
         |tchk AS (SELECT id, shg,
         |    bool_and(COALESCE((wrd.bits & (1::BIGINT << (trp.pos % 63))) <> 0,
@@ -4057,9 +4067,11 @@ object SparkEntry {
         |      s -> s <> '') AS s
         |  FROM documents WHERE doc_id % 50 = 0),
         |ks AS (SELECT unnest([0, 1, 2]) AS j),
-        |bpos AS (SELECT DISTINCT
+|bm AS (SELECT 63 * GREATEST(1024, (COUNT(*) * 16 + 62) // 63) AS m
+        |  FROM (SELECT id, unnest(s) AS shg FROM bsh)),
+                |bpos AS (SELECT DISTINCT
         |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
-        |      AS BIGINT) % 64512 AS INT) AS pos
+        |      AS BIGINT) % (SELECT m FROM bm) AS INT) AS pos
         |  FROM (SELECT DISTINCT unnest(s) AS shg FROM bsh), ks),
         |wrd AS (SELECT CAST(pos // 63 AS INT) AS w,
         |    bit_or(1::BIGINT << (pos % 63)) AS bits
@@ -4073,7 +4085,7 @@ object SparkEntry {
         |  FROM scb),
         |trp AS (SELECT id, shg,
         |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
-        |      AS BIGINT) % 64512 AS INT) AS pos
+        |      AS BIGINT) % (SELECT m FROM bm) AS INT) AS pos
         |  FROM (SELECT id, unnest(s) AS shg FROM psh), ks),
         |tchk AS (SELECT id, shg,
         |    bool_and(COALESCE((wrd.bits & (1::BIGINT << (trp.pos % 63))) <> 0,
@@ -4656,9 +4668,11 @@ object SparkEntry {
         |      s -> s <> '') AS s
         |  FROM documents WHERE doc_id % 50 = 0),
         |ks AS (SELECT unnest([0, 1, 2]) AS j),
-        |bpos AS (SELECT DISTINCT
+|bm AS (SELECT 63 * GREATEST(1024, (COUNT(*) * 16 + 62) // 63) AS m
+        |  FROM (SELECT id, unnest(s) AS shg FROM bsh)),
+                |bpos AS (SELECT DISTINCT
         |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
-        |      AS BIGINT) % 64512 AS INT) AS pos
+        |      AS BIGINT) % (SELECT m FROM bm) AS INT) AS pos
         |  FROM (SELECT DISTINCT unnest(s) AS shg FROM bsh), ks),
         |wrd AS (SELECT CAST(pos // 63 AS INT) AS w,
         |    bit_or(1::BIGINT << (pos % 63)) AS bits
@@ -4672,7 +4686,7 @@ object SparkEntry {
         |  FROM g1),
         |trp AS (SELECT id, shg,
         |    CAST(CAST(concat('0x', substring(md5(shg), 1 + 8 * j, 8))
-        |      AS BIGINT) % 64512 AS INT) AS pos
+        |      AS BIGINT) % (SELECT m FROM bm) AS INT) AS pos
         |  FROM (SELECT id, unnest(s) AS shg FROM psh), ks),
         |tchk AS (SELECT id, shg,
         |    bool_and(COALESCE((wrd.bits & (1::BIGINT << (trp.pos % 63))) <> 0,

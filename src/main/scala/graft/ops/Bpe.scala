@@ -111,9 +111,19 @@ object Bpe {
     *
     * `batchSize` (default 1 = the published sequential algorithm,
     * bit-frozen — every shipped oracle runs it) batches merges per
-    * driver round, the parallel-BPE trick that breaks the
-    * sequential-round wall clock (~0.38 s/driver round measured —
-    * 30k merges ≈ 3 h at batch 1). Two batch disciplines:
+    * driver round (~0.38 s/driver roundtrip measured — 30k merges ≈ 3 h
+    * at batch 1). KNOW THE HIERARCHY, measured on the 20k-word probe
+    * corpus: [[fitLocal]] is the real ceiling-closer whenever the word
+    * table fits driver memory (30k merges in ~7 s, byte-identical);
+    * batching below exists for the vocabulary-exceeds-driver case, and
+    * its two disciplines trade differently — strict preserves
+    * exactness and wins only where counts separate cleanly (natural
+    * Zipfian text), while on tie-heavy corpora its verification jobs
+    * cost more wall clock than they save in roundtrips (measured 1.8×
+    * fewer roundtrips, ~5× more wall on the uniform-random corpus);
+    * non-strict is the raw-throughput mode (7.4× fewer roundtrips,
+    * 5.7× wall) at measured vocabulary drift (177/250 overlap there,
+    * 43/64 on sf0.01 text). Two batch disciplines:
     *
     * STRICT (default): SPECULATE-AND-VERIFY — the result is EXACTLY the
     * sequential merge list at any batchSize, with the sequential

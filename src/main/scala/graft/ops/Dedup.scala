@@ -155,6 +155,39 @@ object Dedup {
     arr
   }
 
+  /** Word count for a Bloom filter sized to its INSERT count: 16 bits
+    * per inserted shingle (at k = 3 that is a ~0.5% false-positive
+    * rate), floored at 1024 words (the classic 8 KB driver bitmap).
+    * Integer-exact — `max(1024, ceil(16·n / 63))` in any engine — so an
+    * oracle replays the size, and deliberately NOT a power-of-two snap
+    * (nothing in the position arithmetic needs one).
+    *
+    * This sizing is what keeps the decontamination gate meaningful at
+    * scale: a FIXED bitmap saturates as the benchmark grows — measured
+    * on the 100× probe corpus, the old hard-coded 1024 words hit a
+    * false-positive rate near 1.0 and the funnel's bloom stage passed 1
+    * of 20,059 documents. `n` may safely overcount distinct shingles
+    * (e.g. Σ per-doc distinct) — the filter just comes out larger. */
+  def bloomAutoWords(nShingleInserts: Long, bitsPerShingle: Int = 16): Int = {
+    require(nShingleInserts >= 0 && bitsPerShingle >= 1)
+    math.max(1024L, (nShingleInserts * bitsPerShingle +
+      (BloomBitsPerWord - 1)) / BloomBitsPerWord).toInt
+  }
+
+  /** [[bloomBuild]] with [[bloomAutoWords]] sizing from the benchmark's
+    * own shingle count — one extra count job (benchmark-sized, tiny
+    * next to the corpus the bitmap will probe). Returns the bitmap;
+    * its length IS the sizing, so probes need no extra plumbing. */
+  def bloomBuildAuto(benchmark: DataFrame, textCol: String,
+                     shingleWords: Int, k: Int,
+                     bitsPerShingle: Int = 16): Array[Long] = {
+    val n = benchmark
+      .select(explode(wordShingles(col(textCol), shingleWords)).as("sh"))
+      .count()
+    bloomBuild(benchmark, textCol, shingleWords,
+      bloomAutoWords(n, bitsPerShingle), k)
+  }
+
   /** Membership probe as a pure map-side expression over the bitmap
     * literal: possibly-present iff ALL k position bits are set. False
     * positives at the standard (1 - e^(-kn/m))^k rate; false negatives

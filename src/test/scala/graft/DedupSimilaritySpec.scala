@@ -638,6 +638,34 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(!flagged(11L) && !flagged(12L))
   }
 
+  test("bloomAutoWords: floor at 1024, then linear in inserts — no saturation") {
+    import graft.ops.Dedup
+    // the sizing law: max(1024, ceil(16n/63)) words, integer-exact
+    assert(Dedup.bloomAutoWords(0L) == 1024)
+    assert(Dedup.bloomAutoWords(4032L) == 1024)      // 16*4032/63 = 1024
+    assert(Dedup.bloomAutoWords(4033L) == 1025)      // first step past floor
+    assert(Dedup.bloomAutoWords(63000L) == 16000)    // 16*63000/63
+    assert(Dedup.bloomAutoWords(63001L) == 16001)    // ceil, not floor
+    // bloomBuildAuto sizes from the benchmark itself: a benchmark big
+    // enough to saturate the old fixed bitmap gets a proportionally
+    // larger one, and the measured fp rate on clean probes stays low
+    // (the 100x-probe failure mode: fixed 1024 words, fp -> 1)
+    val bigBench = (0L until 2000L).map(i =>
+      (i, s"bench entry alpha$i beta$i gamma$i delta$i epsilon$i zeta$i"))
+      .toDF("doc_id", "text")
+    val bitmap = Dedup.bloomBuildAuto(bigBench, "text", shingleWords = 3,
+      k = 3)
+    assert(bitmap.length > 1024,
+      s"auto sizing kept the floor at ${bitmap.length} words")
+    val clean = (0L until 500L).map(i =>
+      (i + 10000L, s"clean probe text nu$i xi$i omicron$i pi$i rho$i sigma$i"))
+      .toDF("doc_id", "text")
+    val flaggedN = Dedup.decontaminateBloom(clean, "doc_id", "text", 3,
+      bitmap, k = 3).filter(col("contaminated")).count()
+    assert(flaggedN <= 25, // ~5% of 500 — far from saturation's 100%
+      s"auto-sized bloom still over-flagging: $flaggedN of 500 clean docs")
+  }
+
   test("semDedup: less-typical twin survives, exact ties break by id") {
     import graft.ops.KMeans
     // one small blob containing two planted near-dup pairs, plus a far
