@@ -215,21 +215,31 @@ object KMeans {
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
         (arr, w)
       } else {
-        // DISTRIBUTED pre-reduction: same per-point struct-min argmin,
-        // keyed by the candidate VECTOR itself (d² ties break on the
-        // lex-smaller vector — identical semantics to the index
-        // tie-break, whose indices ascend in lex order); a left join
-        // keeps zero-attraction candidates rankable, and the
-        // (weight desc, vector asc) orderBy+limit is a TakeOrdered —
-        // partial top-cap per partition, only cap rows ever reach the
-        // driver. The greedy then runs on the cap-bounded rest.
-        val nearest = v.crossJoin(broadcast(distinctCands))
+        // DISTRIBUTED pre-reduction. Candidates first get DENSE indices
+        // in lexicographic vector order — a single-partition window,
+        // bounded by the CANDIDATE count (~2k·rounds), never the data —
+        // because the per-point argmin must aggregate min over
+        // struct(double, long): a struct carrying the vector itself is
+        // not hash-aggregable (array-typed buffer → SortAggregate) and
+        // measurably sort-spills the whole point × candidate relation.
+        // With the long index the argmin partial-aggregates map-side,
+        // ties break on the lex-ascending index (identical semantics to
+        // the exact path); a left join keeps zero-attraction candidates
+        // rankable, and the (weight desc, vector asc) orderBy+limit is
+        // a TakeOrdered — partial top-cap per partition, only cap rows
+        // ever reach the driver. The greedy then runs on those.
+        val candIdx = distinctCands
+          .withColumn("__ci", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("__cv")))
+            .cast("long") - 1L)
+          .localCheckpoint()
+        val nearest = v.crossJoin(broadcast(candIdx))
           .select(col("__id"),
-            struct(sq(col("__v"), col("__cv")).as("__dc"), col("__cv"))
+            struct(sq(col("__v"), col("__cv")).as("__dc"), col("__ci"))
               .as("__s"))
           .groupBy("__id").agg(min(col("__s")).as("__m"))
-          .groupBy(col("__m.__cv").as("__cv")).agg(count(lit(1)).as("__w"))
-        val rows = distinctCands.join(nearest, Seq("__cv"), "left")
+          .groupBy(col("__m.__ci").as("__ci")).agg(count(lit(1)).as("__w"))
+        val rows = candIdx.join(nearest, Seq("__ci"), "left")
           .select(col("__cv"), coalesce(col("__w"), lit(0L)).as("__w"))
           .orderBy(col("__w").desc, col("__cv"))
           .limit(cap.toInt)
