@@ -1976,6 +1976,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ExactSubstr-style duplicated-SPAN dedup (Lee et al. 2021) at ANY
+    // alignment: 16-token hash windows slide over the spliced corpus
+    // (the x6 footers are 24 periodic tokens — window-coverable at
+    // several alignments), duplicated windows keep their minimum
+    // (doc, pos) occurrence, every other covered token is stripped and
+    // the doc rebuilt in order. The oracle replays windows, canonical
+    // election, coverage, and the rebuilt text digest.
+    "dedup_substring" -> ((s, dir) => {
+      Dedup.stripDuplicatedSpans(splicedBoilerplateDocs(s, dir),
+          "doc_id", "text", windowTokens = 16)
+        .select(col("doc_id"), col("n_toks"), col("n_dup_toks"),
+          col("dup_frac"),
+          length(col("text_clean")).cast("long").as("len_clean"),
+          md5(col("text_clean")).as("fp_clean"))
+        .orderBy("doc_id")
+    }),
+
     // mT5/XLM-R temperature mixing: shares DERIVED from the corpus at
     // alpha = 0.5 (iterated-sqrt exact-integer ppm — no libm pow), fed
     // straight into mixCorpus. Low-resource sources get upweighted
@@ -4816,6 +4833,49 @@ object SparkEntry {
         |  CAST(length(COALESCE(k.text_clean, '')) AS BIGINT) AS len_clean,
         |  md5(COALESCE(k.text_clean, '')) AS fp_clean
         |FROM sp s LEFT JOIN kept k USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // ExactSubstr windows re-derived: 16-token sliding md5 windows over
+    // the spliced corpus, per-hash count + (doc, pos) canonical via
+    // window functions, coverage union, ordered token rebuild.
+    "dedup_substring" ->
+      s"""WITH $duckSplicedCtes,
+        |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+        |  FROM sp),
+        |wpos AS (SELECT doc_id, t,
+        |    CAST(unnest(range(1, len(t) - 14)) AS INT) AS pos FROM tk),
+        |win AS (SELECT doc_id, pos,
+        |    md5(array_to_string(t[pos:pos + 15], ' ')) AS h FROM wpos),
+        |dw AS (SELECT doc_id, pos, h,
+        |    COUNT(*) OVER (PARTITION BY h) AS c,
+        |    ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+        |  FROM win),
+        |covj AS (SELECT doc_id, pos, unnest(range(0, 16)) AS j
+        |  FROM dw WHERE c > 1 AND rn > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS p FROM covj),
+        |tokp AS (SELECT doc_id, t,
+        |    CAST(unnest(range(1, len(t) + 1)) AS INT) AS p FROM tk),
+        |tok AS (SELECT doc_id, p, t[p] AS tok FROM tokp),
+        |reb AS (SELECT tok.doc_id,
+        |    array_to_string(list(tok.tok ORDER BY tok.p), ' ') AS text_clean
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL GROUP BY 1),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |  FROM cov GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(len(regexp_extract_all(lower(s.text), '\\S+')) AS BIGINT)
+        |    AS n_toks,
+        |  COALESCE(st.n_dup, 0) AS n_dup_toks,
+        |  CASE WHEN len(regexp_extract_all(lower(s.text), '\\S+')) > 0
+        |    THEN round(COALESCE(st.n_dup, 0) /
+        |      CAST(len(regexp_extract_all(lower(s.text), '\\S+')) AS DOUBLE), 6)
+        |    END AS dup_frac,
+        |  CAST(length(COALESCE(reb.text_clean, '')) AS BIGINT) AS len_clean,
+        |  md5(COALESCE(reb.text_clean, '')) AS fp_clean
+        |FROM sp s
+        |LEFT JOIN st ON s.doc_id = st.doc_id
+        |LEFT JOIN reb ON s.doc_id = reb.doc_id
         |ORDER BY s.doc_id""".stripMargin,
 
     // Temperature shares re-derived: sqrt (IEEE-exact on both engines)

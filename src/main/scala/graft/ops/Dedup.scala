@@ -619,6 +619,87 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Exact duplicated-SPAN dedup at ANY alignment — the sliding-window
+    * re-expression of Lee et al. 2021's suffix-array ExactSubstr
+    * (arXiv:2107.06499: token spans of at least `windowTokens` occurring
+    * more than once in the corpus are duplicated training text; every
+    * occurrence but the first is removed). [[segmentDedup]] approximates
+    * this with DISJOINT tiles and therefore misses the same passage at a
+    * shifted offset; here a hash window slides over every token
+    * position, so a duplicated span of any length ≥ windowTokens is
+    * covered by duplicated windows at every offset inside it, alignment
+    * be damned.
+    *
+    * Rule (deterministic, engine-replayable): for each distinct window
+    * hash occurring more than once, the canonical occurrence is the
+    * minimum (doc, pos); every token position covered by a
+    * NON-canonical duplicated window is a duplicated token. Output per
+    * input doc: token counts, duplicated-token count and fraction, and
+    * the document rebuilt from its surviving tokens in order
+    * (lowercased token stream — the [[graft.ops.TextAnalysis.tokens]]
+    * normalization, same as every dedup operator here).
+    *
+    * Scale shape: window construction is per-row array ops; what
+    * shuffles is (id, pos, 32-char hash) — one row per token position,
+    * independent of windowTokens (the W× blowup is map-side CPU only).
+    * Duplicated hashes come from a map-side-partial hash aggregate; the
+    * canonical struct-min runs ONLY on the duplicated subset (true
+    * duplication-sized — a SortAggregate there is candidate-bounded,
+    * never corpus-bounded); coverage explodes W positions per
+    * non-canonical duplicated window only; the rebuild is the
+    * stripRepeatedLines shape (anti-join + one doc-keyed reassembly).
+    * No all-pairs term anywhere. The suffix array remains the right
+    * tool when windowTokens must be "any length ≥ 50" EXACTLY at
+    * minimal memory; the window form trades a fixed granularity for
+    * pure equi-join/aggregate Spark semantics. */
+  def stripDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           windowTokens: Int = 16): DataFrame = {
+    require(windowTokens >= 2,
+      s"windowTokens must be >= 2, got $windowTokens")
+    val w = windowTokens
+    val toksDf = df.select(col(idCol),
+      TextAnalysis.tokens(col(textCol)).as("__t"))
+    val wins = toksDf
+      .where(size(col("__t")) >= w)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - (w - 1)),
+        i => struct(i.as("p"),
+          md5(array_join(slice(col("__t"), i, lit(w)), " ")).as("h"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.p").as("__pos"), col("__w.h").as("__h"))
+    val dupH = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1).select("__h")
+    val dupWins = wins.join(dupH, Seq("__h"))
+    val canon = dupWins.groupBy("__h")
+      .agg(min(struct(col(idCol).as("i"), col("__pos").as("p"))).as("__cn"))
+    val nonCanon = dupWins.join(canon, Seq("__h"))
+      .filter(!(col(idCol) === col("__cn.i") && col("__pos") === col("__cn.p")))
+    val covered = nonCanon
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__p"))
+      .distinct()
+    val tokStream = toksDf
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__p0", "__tok")))
+      .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"))
+    val rebuilt = tokStream.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(idCol)
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("__tok")))),
+        s => s("__tok")), " ").as("text_clean"))
+    val stats = covered.groupBy(idCol)
+      .agg(count(lit(1)).as("n_dup_toks"))
+    df.select(col(idCol),
+        size(TextAnalysis.tokens(col(textCol))).cast("long").as("n_toks"))
+      .join(stats, Seq(idCol), "left")
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_toks"),
+        coalesce(col("n_dup_toks"), lit(0L)).as("n_dup_toks"),
+        when(col("n_toks") > 0,
+          round(coalesce(col("n_dup_toks"), lit(0L)) / col("n_toks"), 6))
+          .as("dup_frac"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
   // -------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over word tokens, represented as FOUR 16-bit quarter

@@ -90,6 +90,42 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(spans(("b", 2L)) == ((50L, false, 0L)), s"$spans")
   }
 
+  test("stripDuplicatedSpans: any-alignment dup spans stripped, first kept") {
+    import graft.ops.Dedup
+    // a 6-token passage duplicated across three docs at DIFFERENT
+    // offsets (the alignment segmentDedup's disjoint tiling misses);
+    // window = 4 tokens, so every duplicated span position is covered
+    val passage = "shared passage tokens appear twice verbatim"
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma delta"),       // canonical (min id)
+      (2L, s"$passage completely other tail words"),  // offset 0
+      (3L, s"x y z w $passage"),                      // offset 4
+      (4L, "nothing duplicated here at all today ok") // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripDuplicatedSpans(docs, "doc_id", "text",
+        windowTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(4)))).toMap
+    // doc 1 holds the canonical occurrence of every passage window ->
+    // fully intact; docs 2 and 3 lose exactly the 6 passage tokens
+    assert(out(1L) == ((10L, 0L, s"alpha beta $passage gamma delta")),
+      s"${out(1L)}")
+    assert(out(2L) == ((10L, 6L, "completely other tail words")),
+      s"${out(2L)}")
+    assert(out(3L) == ((10L, 6L, "x y z w")), s"${out(3L)}")
+    assert(out(4L) == ((7L, 0L, "nothing duplicated here at all today ok")))
+    // determinism
+    val again = Dedup.stripDuplicatedSpans(docs, "doc_id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(4)).toMap
+    assert(again == out.view.mapValues(_._3).toMap)
+    // a doc shorter than the window yields no windows and survives whole
+    val tiny = Dedup.stripDuplicatedSpans(
+        Seq((9L, "just two")).toDF("doc_id", "text"), "doc_id", "text", 4)
+      .collect().head
+    assert(tiny.getLong(1) == 2L && tiny.getLong(2) == 0L &&
+      tiny.getString(4) == "just two")
+  }
+
   test("clusterPairs: transitive chains collapse to the min-id rep") {
     // chain 1-2-3 (1~2, 2~3 but no 1~3 edge) plus isolated pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("idA", "idB")

@@ -213,6 +213,24 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("HashAggregate"), s"line counts not hash-agg:\n$plan")
   }
 
+  test("stripDuplicatedSpans: equi-joins + anti-join rebuild, never cartesian") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"alpha beta shared passage tokens appear twice verbatim u$i v$i"))
+      .toDF("doc_id", "text")
+    val plan = planOf(graft.ops.Dedup.stripDuplicatedSpans(
+      docs, "doc_id", "text", windowTokens = 4))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup degenerated to all-pairs:\n$plan")
+    // the corpus token stream must ANTI-join the covered-position set
+    // (candidate-bounded small side), and the window-hash counting must
+    // be a hash aggregate (map-side partial over the corpus windows);
+    // the canonical struct-min may be a SortAggregate but only on the
+    // duplicated subset
+    assert(plan.contains("LeftAnti"), s"no anti-join rebuild:\n$plan")
+    assert(plan.contains("HashAggregate"), s"window counts not hash-agg:\n$plan")
+  }
+
   test("perplexityBuckets: bucketing is a map-side CASE over the scored frame") {
     val docs = (0L until 30L).map(i =>
       (i, s"tok${i % 5} tok${i % 7} tok$i")).toDF("doc_id", "text")
