@@ -1993,6 +1993,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The INCREMENTAL span-dedup mode: even doc_ids are the persisted
+    // history (their window-hash index is all that participates — text
+    // never re-read), odd doc_ids are the incoming batch; any incoming
+    // span whose window hash exists in history is stripped. History is
+    // canonical by definition, so no election — the daily-batch
+    // operating shape of dedup_substring, the triad sibling of
+    // dedup_incremental / dedup_minhash_incremental.
+    "dedup_substring_incremental" -> ((s, dir) => {
+      val spliced = splicedBoilerplateDocs(s, dir)
+      val index = Dedup.windowHashIndex(
+        spliced.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        windowTokens = 16)
+      Dedup.stripSpansAgainstIndex(spliced.filter(col("doc_id") % 2 =!= 0),
+          index, "doc_id", "text", windowTokens = 16)
+        .select(col("doc_id"), col("n_toks"), col("n_dup_toks"),
+          col("dup_frac"),
+          length(col("text_clean")).cast("long").as("len_clean"),
+          md5(col("text_clean")).as("fp_clean"))
+        .orderBy("doc_id")
+    }),
+
     // mT5/XLM-R temperature mixing: shares DERIVED from the corpus at
     // alpha = 0.5 (iterated-sqrt exact-integer ppm — no libm pow), fed
     // straight into mixCorpus. Low-resource sources get upweighted
@@ -4876,6 +4897,50 @@ object SparkEntry {
         |FROM sp s
         |LEFT JOIN st ON s.doc_id = st.doc_id
         |LEFT JOIN reb ON s.doc_id = reb.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
+
+    // Incremental span strip re-derived: history (even ids) window
+    // hashes as the index, incoming (odd ids) windows semi-joined to
+    // it, coverage union, ordered token rebuild — no canonical
+    // election (history precedes the batch by definition).
+    "dedup_substring_incremental" ->
+      s"""WITH $duckSplicedCtes,
+        |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+        |  FROM sp),
+        |wpos AS (SELECT doc_id, t,
+        |    CAST(unnest(range(1, len(t) - 14)) AS INT) AS pos FROM tk),
+        |win AS (SELECT doc_id, pos,
+        |    md5(array_to_string(t[pos:pos + 15], ' ')) AS h FROM wpos),
+        |idx AS (SELECT DISTINCT h FROM win WHERE doc_id % 2 = 0),
+        |hits AS (SELECT w.doc_id, w.pos FROM win w JOIN idx USING (h)
+        |  WHERE w.doc_id % 2 <> 0),
+        |covj AS (SELECT doc_id, pos, unnest(range(0, 16)) AS j FROM hits),
+        |cov AS (SELECT DISTINCT doc_id, pos + j AS p FROM covj),
+        |tokp AS (SELECT doc_id, t,
+        |    CAST(unnest(range(1, len(t) + 1)) AS INT) AS p FROM tk
+        |  WHERE doc_id % 2 <> 0),
+        |tok AS (SELECT doc_id, p, t[p] AS tok FROM tokp),
+        |reb AS (SELECT tok.doc_id,
+        |    array_to_string(list(tok.tok ORDER BY tok.p), ' ') AS text_clean
+        |  FROM tok LEFT JOIN cov
+        |    ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+        |  WHERE cov.p IS NULL GROUP BY 1),
+        |st AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        |  FROM cov GROUP BY 1)
+        |SELECT s.doc_id,
+        |  CAST(len(regexp_extract_all(lower(s.text), '\\S+')) AS BIGINT)
+        |    AS n_toks,
+        |  COALESCE(st.n_dup, 0) AS n_dup_toks,
+        |  CASE WHEN len(regexp_extract_all(lower(s.text), '\\S+')) > 0
+        |    THEN round(COALESCE(st.n_dup, 0) /
+        |      CAST(len(regexp_extract_all(lower(s.text), '\\S+')) AS DOUBLE), 6)
+        |    END AS dup_frac,
+        |  CAST(length(COALESCE(reb.text_clean, '')) AS BIGINT) AS len_clean,
+        |  md5(COALESCE(reb.text_clean, '')) AS fp_clean
+        |FROM sp s
+        |LEFT JOIN st ON s.doc_id = st.doc_id
+        |LEFT JOIN reb ON s.doc_id = reb.doc_id
+        |WHERE s.doc_id % 2 <> 0
         |ORDER BY s.doc_id""".stripMargin,
 
     // Temperature shares re-derived: sqrt (IEEE-exact on both engines)

@@ -657,16 +657,7 @@ object Dedup {
     require(windowTokens >= 2,
       s"windowTokens must be >= 2, got $windowTokens")
     val w = windowTokens
-    val toksDf = df.select(col(idCol),
-      TextAnalysis.tokens(col(textCol)).as("__t"))
-    val wins = toksDf
-      .where(size(col("__t")) >= w)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("__t")) - (w - 1)),
-        i => struct(i.as("p"),
-          md5(array_join(slice(col("__t"), i, lit(w)), " ")).as("h"))))
-        .as("__w"))
-      .select(col(idCol), col("__w.p").as("__pos"), col("__w.h").as("__h"))
+    val wins = slidingWindows(df, idCol, textCol, w)
     val dupH = wins.groupBy("__h").agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1).select("__h")
     val dupWins = wins.join(dupH, Seq("__h"))
@@ -678,8 +669,73 @@ object Dedup {
       .select(col(idCol),
         explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__p"))
       .distinct()
-    val tokStream = toksDf
-      .select(col(idCol), posexplode(col("__t")).as(Seq("__p0", "__tok")))
+    rebuildMinusCovered(df, idCol, textCol, covered)
+  }
+
+  /** The persisted window-hash index rows for a batch — (h, id, pos) per
+    * sliding window, the [[fingerprintIndex]]/[[minhashIndex]] sibling
+    * for SPAN-level dedup: an incremental pipeline appends these so
+    * later batches strip spans already present anywhere in history
+    * without re-reading historical text. ~32 bytes + (id, pos) per
+    * token position; store bucketed on h to prune the probe join. */
+  def windowHashIndex(df: DataFrame, idCol: String, textCol: String,
+                      windowTokens: Int = 16): DataFrame =
+    slidingWindows(df, idCol, textCol, windowTokens)
+      .select(col("__h").as("h"), col(idCol), col("__pos").as("pos"))
+
+  /** INCREMENTAL duplicated-span strip: every token of `incoming`
+    * covered by a window whose hash exists in a persisted
+    * [[windowHashIndex]] is duplicated HISTORY text and stripped —
+    * history is canonical by definition (every historical occurrence
+    * precedes the batch), so no canonical election is needed here.
+    * Within-batch duplication is deliberately out of scope (run
+    * [[stripDuplicatedSpans]] over the batch for it — the two compose,
+    * same as dedupAgainstIndex vs exactDedup).
+    *
+    * Scale shape: the incoming batch's (id, pos, hash) rows equi-join
+    * the index's DISTINCT hashes (semi-join — the index side carries no
+    * payload into the probe); coverage explodes W positions per HIT
+    * window only; rebuild is the established anti-join shape. History
+    * text is never touched. */
+  def stripSpansAgainstIndex(incoming: DataFrame, index: DataFrame,
+                             idCol: String, textCol: String,
+                             windowTokens: Int = 16): DataFrame = {
+    val w = windowTokens
+    val wins = slidingWindows(incoming, idCol, textCol, w)
+    val hits = wins.join(index.select(col("h").as("__h")).distinct(),
+      Seq("__h"), "left_semi")
+    val covered = hits
+      .select(col(idCol),
+        explode(sequence(col("__pos"), col("__pos") + (w - 1))).as("__p"))
+      .distinct()
+    rebuildMinusCovered(incoming, idCol, textCol, covered)
+  }
+
+  /** Sliding windowTokens-token md5 windows per document as
+    * (idCol, __pos, __h) — per-row array ops, one output row per token
+    * position, W-independent shuffle payload. */
+  private def slidingWindows(df: DataFrame, idCol: String, textCol: String,
+                             w: Int): DataFrame =
+    df.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= w)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("__t")) - (w - 1)),
+        i => struct(i.as("p"),
+          md5(array_join(slice(col("__t"), i, lit(w)), " ")).as("h"))))
+        .as("__w"))
+      .select(col(idCol), col("__w.p").as("__pos"), col("__w.h").as("__h"))
+
+  /** Rebuild each doc from the tokens NOT in `covered` (idCol, __p) —
+    * the shared tail of both span-strip forms: anti-join + one
+    * doc-keyed ordered reassembly, spine-joined so every input doc
+    * keeps a row. Output: (id, n_toks, n_dup_toks, dup_frac,
+    * text_clean) over the lowercased token stream. */
+  private def rebuildMinusCovered(df: DataFrame, idCol: String,
+                                  textCol: String,
+                                  covered: DataFrame): DataFrame = {
+    val tokStream = df
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol)))
+        .as(Seq("__p0", "__tok")))
       .select(col(idCol), (col("__p0") + 1).as("__p"), col("__tok"))
     val rebuilt = tokStream.join(covered, Seq(idCol, "__p"), "left_anti")
       .groupBy(idCol)

@@ -126,6 +126,34 @@ class DedupSimilaritySpec extends SparkSuite {
       tiny.getString(4) == "just two")
   }
 
+  test("stripSpansAgainstIndex: history spans stripped, batch-internal kept") {
+    import graft.ops.Dedup
+    val passage = "shared passage tokens appear twice verbatim"
+    val history = Seq((1L, s"intro words $passage closing bits"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, s"fresh start $passage and beyond"),  // history span at offset 2
+      (11L, "batch only duplicated chunk of text here"),
+      (12L, "batch only duplicated chunk of text here"), // dup WITHIN batch
+      (13L, "nothing shared with anyone at all")
+    ).toDF("doc_id", "text")
+    val index = Dedup.windowHashIndex(history, "doc_id", "text",
+      windowTokens = 4)
+    // index carries one row per token position of history
+    assert(index.columns.toSeq == Seq("h", "doc_id", "pos"))
+    val out = Dedup.stripSpansAgainstIndex(batch, index, "doc_id", "text",
+        windowTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(4)))).toMap
+    // the historical passage is stripped wherever it lands in the batch
+    assert(out(10L) == ((6L, "fresh start and beyond")), s"${out(10L)}")
+    // WITHIN-batch duplication is out of scope for the incremental form
+    // (compose with stripDuplicatedSpans over the batch for it)
+    assert(out(11L) == ((0L, "batch only duplicated chunk of text here")))
+    assert(out(12L) == ((0L, "batch only duplicated chunk of text here")))
+    assert(out(13L) == ((0L, "nothing shared with anyone at all")))
+  }
+
   test("clusterPairs: transitive chains collapse to the min-id rep") {
     // chain 1-2-3 (1~2, 2~3 but no 1~3 edge) plus isolated pair 7-9
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("idA", "idB")
