@@ -2208,6 +2208,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Tokenizer-aware PACKING end-to-end: the merges come from the
+    // IN-MEMORY trainer (fitLocal — the 30k-merge-ceiling path; its
+    // byte-identity to the distributed fit is hash-pinned here because
+    // the oracle replays the DISTRIBUTED rounds), the corpus encodes
+    // through the vocabulary join, and the resulting BPE lengths drive
+    // per-source budget packing — the last mile before a data loader.
+    "bpe_pack" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ms = Bpe.fitLocal(docs, "text", rounds = 6)
+      val lens = Bpe.encodedLengths(docs, "doc_id", "text", ms)
+      val withSrc = docs.select(col("doc_id"), col("source"))
+        .join(lens, "doc_id")
+      Chunking.packByBudget(withSrc, Seq("source"), "doc_id",
+          col("n_bpe"), budget = 512)
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("__tok").as("sum_bpe"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("source", "bin")
+    }),
+
     // The COMPOSED curation funnel an LLM data pipeline actually runs:
     // language gate -> quality gate -> exact dedup -> MinHash near-dup
     // drop, reported as per-source survivor counts at every stage. Each
@@ -4597,6 +4617,27 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n_bpe
         |FROM d JOIN s6 USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the full tokenizer->pack chain: the DISTRIBUTED merge rounds are
+    // replayed (pinning fitLocal == fit at the hash level), encoded
+    // lengths re-derived, then the same exclusive-running-sum packing
+    // as pack_docs at the 512-BPE-token budget
+    "bpe_pack" ->
+      s"""WITH ${duckBpeCtes(6)},
+        |d AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+        |  FROM documents),
+        |enc0 AS (SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n_bpe
+        |  FROM d JOIN s6 USING (w) GROUP BY doc_id),
+        |enc AS (SELECT dd.doc_id, dd.source, COALESCE(e.n_bpe, 0) AS n_bpe
+        |  FROM documents dd LEFT JOIN enc0 e USING (doc_id)),
+        |b AS (SELECT source, doc_id, n_bpe,
+        |  CAST(COALESCE(SUM(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512
+        |    AS BIGINT) AS bin FROM enc)
+        |SELECT source, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // The full funnel re-derived relationally: langid CASE + quality
     // predicate, row_number exact dedup, and the shared MinHash pair CTE
