@@ -156,6 +156,34 @@ object Probe {
             f"vocab_overlap=${(seqVocab & batVocab).size}/${seqVocab.size}")
         }
 
+      // SemDeDup's cost lever measured: the within-cluster self-join
+      // mass is Σ|cluster|², so k must grow with the corpus — this
+      // probe fits k = 8/32/64 on the same embeddings (64 crosses the
+      // k-means|| dispatch) and publishes pair mass + wall clock, the
+      // evidence behind the "k ∝ n" deployment rule
+      case "semdedupk" =>
+        import graft.ops.{KMeans, Similarity}
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+        val nRows = emb.count()
+        for (k <- Seq(8, 32, 64)) {
+          val (cents, tFit) = timed(
+            KMeans.fit(emb, "vec_id", "embedding", k, iters = 2))
+          val sizes = emb.select(KMeans.assignExpr(
+              Similarity.asDouble(col("embedding")), cents).as("c"))
+            .groupBy("c").count().collect().map(_.getLong(1))
+          val pairMass = sizes.map(s => s * s).sum
+          val (surv, tD) = timed {
+            val f = KMeans.semDedup(emb, "vec_id", "embedding", cents,
+              0.3, materialize = true)
+            val c = f.count(); f.unpersist(false); c
+          }
+          println(f"[semdedupk] n=$nRows k=$k (${cents.size} live): " +
+            f"fit=$tFit%.1fs pair_mass=$pairMass " +
+            f"(${pairMass.toDouble / (nRows * nRows)}%.3f of n^2) " +
+            f"dedup=$tD%.1fs survivors=$surv")
+        }
+
       // the in-memory trainer vs the distributed rounds: byte-identity
       // at a shared depth, then fitLocal alone at real tokenizer depths
       // (the path that closes the 30k-merge sequential-round ceiling

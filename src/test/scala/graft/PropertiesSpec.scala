@@ -226,6 +226,45 @@ object GraftProperties extends Properties("graft") {
       exact.subsetOf(bloom)
   }
 
+  // stripDuplicatedSpans agrees with the naive reference: all sliding
+  // windows, duplicated hash -> keep only the min (doc, pos) occurrence,
+  // strip every position a non-canonical duplicated window covers,
+  // rebuild in order — over tiny-vocab docs where window collisions are
+  // plentiful (periodic text, cross-doc repeats, within-doc repeats)
+  property("stripDuplicatedSpans.matchesReference") = Prop.forAll(for {
+    n <- Gen.choose(1, 5)
+    w <- Gen.choose(2, 3)
+    docs <- Gen.listOfN(n, Gen.choose(0, 8).flatMap(k =>
+      Gen.listOfN(k, Gen.oneOf("aa", "bb", "cc")).map(_.mkString(" "))))
+  } yield (docs, w)) { case (docs, w) =>
+    import graft.ops.Dedup
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val got = Dedup.stripDuplicatedSpans(df, "id", "text", w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(4))))
+      .toMap
+    // reference
+    val toks = docs.map(_.split("\\s+").filter(_.nonEmpty))
+    val wins = for {
+      (t, d) <- toks.zipWithIndex
+      p <- 1 to t.length - w + 1
+    } yield ((d.toLong, p), t.slice(p - 1, p - 1 + w).mkString(" "))
+    val byKey = wins.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    val covered = byKey.values.filter(_.size > 1).flatMap { occs =>
+      val canon = occs.min
+      occs.filter(_ != canon).flatMap { case (d, p) =>
+        (p until p + w).map(d -> _)
+      }
+    }.toSet
+    toks.zipWithIndex.forall { case (t, d) =>
+      val keep = t.zipWithIndex.collect {
+        case (tok, i) if !covered.contains((d.toLong, i + 1)) => tok
+      }
+      val nd = t.indices.count(i => covered.contains((d.toLong, i + 1)))
+      got(d.toLong) == ((nd.toLong, keep.mkString(" ")))
+    }
+  }
+
   // stripRepeatedLines agrees with the naive reference implementation:
   // count every NON-EMPTY line corpus-wide, keep lines at or under the
   // cap, join survivors in order — blanks are never boilerplate
