@@ -1961,6 +1961,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The COMPLETE Gopher A1.2 n-gram repetition table (Rae Table A1):
+    // top-{2,3,4}-gram and dup-{5..10}-gram fractions with the nine
+    // published thresholds and the combined any-signal verdict, over
+    // the spliced corpus (the x6 footers trip the dup family). Oracle
+    // replays all nine signal columns and verdicts.
+    "gopher_ngram_full" -> ((s, dir) => {
+      Corpus.gopherNgramSignals(splicedBoilerplateDocs(s, dir),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // C4-style INTER-document line dedup (boilerplate strip): the spliced
     // footer lines repeat across ~40% of docs and get removed from every
     // one; body lines survive unless the small vocabulary genuinely
@@ -4896,6 +4907,53 @@ object SparkEntry {
         |  md5(COALESCE(k.text_clean, '')) AS fp_clean
         |FROM sp s LEFT JOIN kept k USING (doc_id)
         |ORDER BY s.doc_id""".stripMargin,
+
+    // Full Gopher A1.2 table re-derived: all nine tagged n-gram
+    // streams, per-(doc, n) max/total/dup roll-up, conditional pivot,
+    // integer-cross-multiplied verdicts (expressions generated from
+    // the same threshold table the Spark side uses).
+    "gopher_ngram_full" -> {
+      val ns = 2 to 10
+      val topThr = Map(2 -> 20, 3 -> 18, 4 -> 16)
+      val dupThr = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+      def kind(n: Int) = if (n <= 4) "top" else "dup"
+      def stat(n: Int) = if (n <= 4) "mx" else "dup"
+      def thr(n: Int) = if (n <= 4) topThr(n) else dupThr(n)
+      val fracCols = ns.map(n =>
+        s"""round(MAX(CASE WHEN n = $n THEN ${stat(n)} END) /
+           |    CAST(MAX(CASE WHEN n = $n THEN tot END) AS DOUBLE), 6)
+           |    AS ${kind(n)}${n}gram_frac""".stripMargin)
+      val okCols = ns.map(n =>
+        s"""COALESCE(MAX(CASE WHEN n = $n THEN ${stat(n)} END), 0) * 100 <=
+           |    COALESCE(MAX(CASE WHEN n = $n THEN tot END), 0) * ${thr(n)}
+           |    AS ${kind(n)}${n}gram_ok""".stripMargin)
+      val outOks = ns.map(n =>
+        s"COALESCE(pv.${kind(n)}${n}gram_ok, TRUE) AS ${kind(n)}${n}gram_ok")
+      val allOk = ns.map(n => s"COALESCE(pv.${kind(n)}${n}gram_ok, TRUE)")
+        .mkString(" AND ")
+      s"""WITH $duckSplicedCtes,
+        |tk AS (SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS t
+        |  FROM sp),
+        |nn AS (SELECT unnest(range(2, 11)) AS n),
+        |gp AS (SELECT doc_id, t, n,
+        |    CAST(unnest(range(1, len(t) - n + 2)) AS INT) AS i FROM tk, nn),
+        |gg AS (SELECT doc_id, n, array_to_string(t[i:i + n - 1], ' ') AS g
+        |  FROM gp),
+        |gc AS (SELECT doc_id, n, g, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM gg GROUP BY 1, 2, 3),
+        |st AS (SELECT doc_id, n, MAX(c) AS mx, CAST(SUM(c) AS BIGINT) AS tot,
+        |    CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+        |  FROM gc GROUP BY 1, 2),
+        |pv AS (SELECT doc_id,
+        |  ${(fracCols ++ okCols).mkString(",\n|  ")}
+        |  FROM st GROUP BY 1)
+        |SELECT s.doc_id,
+        |  ${ns.map(n => s"pv.${kind(n)}${n}gram_frac").mkString(", ")},
+        |  ${outOks.mkString(",\n|  ")},
+        |  ($allOk) AS rep_all_ok
+        |FROM sp s LEFT JOIN pv USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin
+    },
 
     // ExactSubstr windows re-derived: 16-token sliding md5 windows over
     // the spliced corpus, per-hash count + (doc, pos) canonical via

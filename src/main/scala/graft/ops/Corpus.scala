@@ -60,6 +60,66 @@ object Corpus {
     top2.join(dup3, idCol)
   }
 
+  /** The COMPLETE Gopher n-gram repetition table (Rae et al. 2021,
+    * App. A1.2, Table A1): per document, the TOP-n-gram fraction for
+    * n = 2, 3, 4 (occurrences of the single most frequent n-gram over
+    * total n-grams; thresholds 0.20 / 0.18 / 0.16) and the
+    * DUP-n-gram fraction for n = 5..10 (occurrences of n-grams seen
+    * more than once, over total; thresholds 0.15 / 0.14 / 0.13 / 0.12 /
+    * 0.11 / 0.10). [[repetitionSignals]] keeps the classic 2/3 pair;
+    * this emits all nine signals plus their verdicts and the combined
+    * `rep_all_ok` (Gopher discards a doc if ANY signal exceeds its
+    * threshold). Verdicts are integer cross-multiplications
+    * (`stat·100 ≤ total·thr100`), fractions rounded to 6 digits.
+    *
+    * Scale shape: ONE tagged explode of all nine n-gram streams (the
+    * 2..10 windows are built per-row — the Σn ≈ 54-token-per-position
+    * concat cost is map-side CPU, which is what computing the published
+    * table costs anywhere), then three hash aggregates — (id, n, gram)
+    * count, (id, n) roll-up, (id) conditional pivot — all map-side
+    * partial; the only join is the doc-id spine (every input doc keeps
+    * a row; a doc with fewer than n tokens has no n-grams and its
+    * verdict is vacuously TRUE with a NULL fraction). */
+  def gopherNgramSignals(df: DataFrame, idCol: String,
+                         textCol: String): DataFrame = {
+    val ns = 2 to 10
+    val topThr = Map(2 -> 20, 3 -> 18, 4 -> 16)
+    val dupThr = Map(5 -> 15, 6 -> 14, 7 -> 13, 8 -> 12, 9 -> 11, 10 -> 10)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val tagged = flatten(array(ns.map(n =>
+      transform(ngrams(toks, n),
+        g => struct(lit(n).as("n"), g.as("g")))): _*))
+    val perGram = df
+      .select(col(idCol), explode(tagged).as("__x"))
+      .select(col(idCol), col("__x.n").as("__n"), col("__x.g").as("__g"))
+      .groupBy(col(idCol), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val perN = perGram.groupBy(col(idCol), col("__n"))
+      .agg(max("__c").as("__mx"), sum("__c").as("__tot"),
+        sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup"))
+    def statFor(n: Int, c: String) = max(when(col("__n") === n, col(c)))
+    def kindOf(n: Int) = if (n <= 4) "top" else "dup"
+    val sigCols = ns.flatMap { n =>
+      val stat = if (n <= 4) "__mx" else "__dup"
+      val thr = if (n <= 4) topThr(n) else dupThr(n)
+      Seq(
+        round(statFor(n, stat) / statFor(n, "__tot"), 6)
+          .as(s"${kindOf(n)}${n}gram_frac"),
+        (coalesce(statFor(n, stat), lit(0L)) * 100 <=
+          coalesce(statFor(n, "__tot"), lit(0L)) * thr)
+          .as(s"${kindOf(n)}${n}gram_ok"))
+    }
+    val sig = perN.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+    val okNames = ns.map(n => s"${kindOf(n)}${n}gram_ok")
+    val outCols = col(idCol) +:
+      (ns.map(n => col(s"${kindOf(n)}${n}gram_frac")) ++
+        okNames.map(c => coalesce(col(c), lit(true)).as(c)) :+
+        okNames.map(c => coalesce(col(c), lit(true)))
+          .reduce(_ && _).as("rep_all_ok"))
+    df.select(col(idCol)).join(sig, Seq(idCol), "left")
+      .select(outCols: _*)
+  }
+
   /** Gopher line-repetition signals (Rae et al. 2021, App. A1.2 — the
     * LINE-level complement of [[repetitionSignals]]'s n-gram rules):
     * per document,

@@ -173,6 +173,39 @@ class OpsSpec extends SparkSuite {
     assert(pOut(3L) == (("\nthird body", 2L)), s"$pOut")
   }
 
+  test("gopherNgramSignals: full A1.2 table, worked stats, vacuous short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a"),                         // pure repetition
+      (2L, "one two"),                             // only a 2-gram exists
+      (3L, (1 to 30).map("t" + _).mkString(" ")))  // long, fully diverse
+      .toDF("id", "text")
+    val rows = graft.ops.Corpus.gopherNgramSignals(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    def f(id: Long, c: String): Any = rows(id).getAs[Any](c)
+    // doc 1: 5 identical 2-grams -> top2 = 1.0 (fails 0.20); both
+    // 5-grams identical -> dup5 = 1.0 (fails 0.15); the single 6-gram
+    // occurs once -> dup6 = 0.0 (passes); no 7-grams -> NULL + vacuous
+    assert(f(1L, "top2gram_frac") == 1.0 && f(1L, "top2gram_ok") == false)
+    assert(f(1L, "dup5gram_frac") == 1.0 && f(1L, "dup5gram_ok") == false)
+    assert(f(1L, "dup6gram_frac") == 0.0 && f(1L, "dup6gram_ok") == true)
+    assert(f(1L, "dup7gram_frac") == null && f(1L, "dup7gram_ok") == true)
+    assert(f(1L, "rep_all_ok") == false)
+    // doc 2: its one 2-gram IS the top gram (frac 1.0 — the published
+    // fractions trivially fail degenerate short docs; Gopher gates on
+    // word count first, which gopherRules covers); 5..10 vacuous
+    assert(f(2L, "top2gram_frac") == 1.0 && f(2L, "top2gram_ok") == false)
+    assert(f(2L, "dup10gram_frac") == null && f(2L, "dup10gram_ok") == true)
+    assert(f(2L, "rep_all_ok") == false)
+    // doc 3: 29 distinct 2-grams -> top2 = 1/29, every signal passes
+    assert(f(3L, "top2gram_frac") == 0.034483 && f(3L, "top2gram_ok") == true)
+    assert((2 to 10).forall { n =>
+      val kind = if (n <= 4) "top" else "dup"
+      f(3L, s"$kind${n}gram_ok") == true
+    })
+    assert(f(3L, "rep_all_ok") == true)
+  }
+
   test("temperatureShares: exact ppm weights, flattening toward low-resource domains") {
     import spark.implicits._
     val docs = Seq.tabulate(90)(i => (i.toLong, "big", 100L)) ++
