@@ -120,7 +120,8 @@ object Probe {
         println(s"[bpedepth] vocabulary: ${words.distinct.size} distinct " +
           s"of $nWords generated")
         val corpus = words.toDF("text")
-        for (r <- Seq(rounds / 4, rounds)) {
+        val batchOnly = args.lift(3).contains("batchonly")
+        for (r <- Seq(rounds / 4, rounds) if !batchOnly) {
           val (ms, secs) = timed(graft.ops.Bpe.fit(corpus, "text", r))
           println(f"[bpedepth] fit rounds=$r: $secs%.1fs " +
             f"(${secs / r}%.3f s/round, learned ${ms.size})")

@@ -101,6 +101,15 @@ object Bpe {
     * aggregate folds, so one projection stays well inside it. */
   val MaxMergeBatch = 16
 
+  /** First re-probe interval (in merges) after the cost controller
+    * parks strict speculation: batch mode is retried once per interval
+    * (the vocabulary evolves, so batching can become profitable again)
+    * and the interval DOUBLES on each consecutive unprofitable probe up
+    * to [[ReProbeMax]] — so a corpus where verification never pays
+    * converges to ~zero probe overhead instead of a fixed tax. */
+  val ReProbeInitial = 16
+  val ReProbeMax = 128
+
   /** Learn `rounds` merges over the whitespace vocabulary of `textCol`.
     * One corpus-scale aggregate (the word count), then vocabulary-table
     * work only; the word table is persisted across rounds so round r
@@ -117,13 +126,15 @@ object Bpe {
     * table fits driver memory (30k merges in ~7 s, byte-identical);
     * batching below exists for the vocabulary-exceeds-driver case, and
     * its two disciplines trade differently — strict preserves
-    * exactness and wins only where counts separate cleanly (natural
-    * Zipfian text), while on tie-heavy corpora its verification jobs
-    * cost more wall clock than they save in roundtrips (measured 1.8×
-    * fewer roundtrips, ~5× more wall on the uniform-random corpus);
-    * non-strict is the raw-throughput mode (7.4× fewer roundtrips,
-    * 5.7× wall) at measured vocabulary drift (177/250 overlap there,
-    * 43/64 on sf0.01 text). Two batch disciplines:
+    * exactness and lets the cost controller decide per-corpus whether
+    * verification pays (measured: 1.2-1.4× wall on sf0.01 text where
+    * the single-aggregate verification wins; 0.7× on the tie-heavy
+    * uniform 20k corpus where the controller parks and pays only
+    * backed-off probe rounds — 0.2× before the controller, when every
+    * batch paid a vocab-heavy verify job); non-strict is the
+    * raw-throughput mode (7.4× fewer roundtrips, 5.8× wall) at
+    * measured vocabulary drift (177/250 overlap there, 43/64 on
+    * sf0.01 text). Two batch disciplines:
     *
     * STRICT (default): SPECULATE-AND-VERIFY — the result is EXACTLY the
     * sequential merge list at any batchSize, with the sequential
@@ -143,9 +154,19 @@ object Bpe {
     * probe re-checks it empirically). Misspeculation (genuinely
     * ambiguous counts, conflicts whose recount reorders the ranking)
     * just shortens the prefix — progress is always ≥ 1 merge per
-    * round, and a fully-ambiguous corpus honestly degrades to ~2
-    * roundtrips per merge (that ambiguity is real sequential
-    * dependence, not overhead).
+    * round — and the SCHEDULE adapts to measured cost: each round is
+    * timed, per-merge cost EMAs of batch vs plain rounds steer the
+    * loop (batch while it measures cheaper; park to plain rounds when
+    * it doesn't; re-probe batch once per exponentially-backed-off
+    * interval, [[ReProbeInitial]]..[[ReProbeMax]] merges, since pair
+    * statistics drift as the vocabulary evolves). So a corpus where
+    * verification is vocab-heavy relative to plain rounds pays a few
+    * probe rounds instead of a verification job per batch — and a
+    * cluster regime where roundtrip latency dominates discovers that
+    * batching pays, per-corpus, instead of guessing. The merge LIST is
+    * timing-independent either way; only roundtrip count varies
+    * ([[fitLocal]] remains the actual answer when the vocabulary fits
+    * the driver).
     *
     * NON-STRICT (`strict = false`): the classic approximate batching —
     * the speculated batch is applied UNVERIFIED. Maximum round
@@ -182,8 +203,41 @@ object Bpe {
       var iters = 0
       var sinceCheckpoint = 0
       var exhausted = false
+      // COST-ADAPTIVE speculation (strict mode): the honest economics
+      // are wall clock per MERGE, not batch acceptance — a verification
+      // job that accepts 3-4 merges can still cost 20x a plain
+      // pair-count round (measured on the uniform 20k probe corpus,
+      // where chained-fold verification is vocab-heavy while plain
+      // rounds are cheap). Each round is timed; exponential moving
+      // averages of per-merge cost in BATCH mode vs PLAIN mode steer
+      // the schedule: batch while it measures cheaper, park to plain
+      // rounds when it doesn't, and re-probe batch once per
+      // exponentially-backed-off interval ([[ReProbeInitial]] ..
+      // [[ReProbeMax]] merges) because pair statistics drift as the
+      // vocabulary evolves. The merge LIST is unaffected (strict always
+      // equals sequential) — only the roundtrip schedule adapts to the
+      // measured machine, which is the point: batching exists for
+      // regimes where roundtrip latency dominates vocabulary-table
+      // compute, and the controller discovers per-corpus whether it is
+      // in one instead of guessing.
+      var emaPlain = -1.0 // ns per merge, plain rounds
+      var emaBatch = -1.0 // ns per merge, batch rounds
+      var parked = false
+      var reProbeIn = 0
+      var reProbeInterval = ReProbeInitial
+      var roundIdx = 0
       while (r <= rounds && !exhausted) {
-        val want = math.min(batchSize, rounds - r + 1)
+        val wantBase = math.min(batchSize, rounds - r + 1)
+        val probing = strict && parked && reProbeIn <= 0
+        // schedule: round 0 is discarded warmup (first job pays scan +
+        // persist + JIT — pricing it would poison either EMA), rounds
+        // 1-2 run plain to bootstrap emaPlain, then batch until parked
+        val pricingPlain = strict && batchSize > 1 &&
+          roundIdx >= 1 && roundIdx <= 2
+        val want =
+          if (pricingPlain || (strict && parked && !probing)) 1
+          else wantBase
+        val t0 = System.nanoTime()
         // oversample the candidate list 4x so batch filtering can still
         // fill the batch; collect stays O(batch), never O(vocab)
         val top = syms
@@ -211,25 +265,36 @@ object Bpe {
           val accepted: Seq[Merge] =
             if (!strict || spec.size == 1) spec.toSeq
             else {
-              // ONE verification job: the true argmax pair of every
-              // intermediate state (chained folds over the persisted
-              // vocabulary table, per-state top-1 aggregates unioned) --
-              // each branch nests <= batchSize <= MaxMergeBatch folds,
-              // inside the measured driver-recursion headroom
-              val stateTops = (1 until spec.size).map { i =>
+              // ONE verification job, ONE aggregate: every intermediate
+              // state's pair stream is built map-side (chained folds —
+              // each branch nests <= batchSize folds, inside the
+              // measured driver-recursion headroom) and exploded TAGGED
+              // with its state index, so one (i, l, r) count plus one
+              // per-state argmin over struct(-cnt, l, r) replaces the
+              // per-state aggregate union (which paid ~2 shuffle stages
+              // PER state — the dominant cost at small vocab scale).
+              // min(struct(-cnt, l, r)) == (max count, then min left,
+              // min right) — exactly the sequential tie-break.
+              val tagged = (1 until spec.size).map { i =>
                 val si = spec.take(i).foldLeft(col("s")) { (s, m) =>
                   applyMergeExpr(s, m.left, m.right)
                 }
-                syms.select(col("n"), explode(adjacentPairs(si)).as("p"))
-                  .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-                  .agg(sum("n").as("cnt"))
-                  .orderBy(col("cnt").desc, col("l"), col("r"))
-                  .limit(1)
-                  .select(lit(i).as("i"), col("l"), col("r"), col("cnt"))
-              }.reduce(_.unionAll(_)).collect()
-                .map(row => row.getInt(0) ->
-                  ((row.getString(1), row.getString(2), row.getLong(3))))
-                .toMap
+                struct(lit(i).as("i"), adjacentPairs(si).as("ps"))
+              }
+              val stateTops = syms
+                .select(col("n"), explode(array(tagged: _*)).as("st"))
+                .select(col("n"), col("st.i").as("i"),
+                  explode(col("st.ps")).as("p"))
+                .groupBy(col("i"), col("p.l").as("l"), col("p.r").as("r"))
+                .agg(sum("n").as("cnt"))
+                .groupBy("i")
+                .agg(min(struct((-col("cnt")).as("nc"), col("l"), col("r")))
+                  .as("m"))
+                .collect().map { row =>
+                  val m = row.getStruct(1)
+                  row.getInt(0) ->
+                    ((m.getString(1), m.getString(2), -m.getLong(0)))
+                }.toMap
               iters += 1
               // accept the longest prefix whose every speculated merge
               // IS its own state's argmax -- recorded with the VERIFIED
@@ -261,6 +326,33 @@ object Bpe {
               out.toSeq
             }
           merges ++= accepted
+          if (strict && batchSize > 1 && roundIdx >= 1) {
+            val perMerge = (System.nanoTime() - t0).toDouble /
+              math.max(accepted.size, 1)
+            def ema(prev: Double) =
+              if (prev < 0) perMerge else 0.5 * prev + 0.5 * perMerge
+            if (want > 1) emaBatch = ema(emaBatch)
+            else emaPlain = ema(emaPlain) // pricing, parked, or clamped
+            if (!parked) {
+              // park once batch measures costlier per merge than plain
+              if (emaPlain >= 0 && emaBatch >= 0 && emaBatch > emaPlain) {
+                parked = true
+                reProbeIn = reProbeInterval
+              }
+            } else if (probing) {
+              // the probe round just refreshed emaBatch: unpark if it
+              // now beats plain, else back off the next probe
+              if (emaBatch <= emaPlain) {
+                parked = false
+                reProbeInterval = ReProbeInitial
+              } else {
+                reProbeInterval =
+                  math.min(reProbeInterval * 2, ReProbeMax)
+                reProbeIn = reProbeInterval
+              }
+            } else reProbeIn -= accepted.size
+          }
+          roundIdx += 1
           syms = syms.select(col("n"),
             accepted.foldLeft(col("s")) { (s, m) =>
               applyMergeExpr(s, m.left, m.right)
