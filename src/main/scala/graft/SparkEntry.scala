@@ -2239,6 +2239,28 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // WordPiece merge training (Schuster & Nakajima 2012; Wu et al.
+    // 2016; the BERT/HuggingFace trainer): BPE's vocabulary-table loop
+    // with the likelihood-ratio argmax score = cnt(l,r)/(cnt(l)cnt(r)),
+    // quantized to exact integer e9 so the oracle replays every round
+    // digit-for-digit — pair stats, symbol stats, score, tie-break,
+    // '##'-absorbing merge, fold application.
+    "wordpiece_merges" -> ((s, dir) => {
+      val ms = WordPiece.fit(t(s, dir, "documents"), "text", rounds = 6)
+      WordPiece.mergesDF(s, ms).orderBy("rank")
+    }),
+
+    // BERT's MaxMatch (greedy longest-match-first) encode at corpus
+    // scale: the per-word fold runs once per DISTINCT word against the
+    // trained vocabulary; each doc row carries its WordPiece token
+    // count and an md5 digest of the token stream in document order.
+    "wordpiece_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ms = WordPiece.fit(docs, "text", rounds = 6)
+      WordPiece.encodeDigest(docs, "doc_id", "text",
+        WordPiece.vocabulary(docs, "text", ms)).orderBy("doc_id")
+    }),
+
     // The COMPOSED curation funnel an LLM data pipeline actually runs:
     // language gate -> quality gate -> exact dedup -> MinHash near-dup
     // drop, reported as per-source survivor counts at every stage. Each
@@ -2684,6 +2706,67 @@ object SparkEntry {
         |  FROM $prev, m$r m)""".stripMargin
     }
     sb.toString
+  }
+
+  /** DuckDB replay of WordPiece.fit(rounds) over the documents
+    * vocabulary — duckBpeCtes' shape with the likelihood-ratio argmax:
+    * per round, pair counts wp{r}, symbol counts wsc{r}, the winning
+    * merge wm{r} scored by the exact integer
+    * floor(cnt * 1e9 / (cl * cr)) in HUGEINT (matching Spark's
+    * DECIMAL(38,0) `div` digit-for-digit), ties broken (cnt desc, l,
+    * r); the merged token absorbs the right symbol's '##'; the fold is
+    * the same sentinel-seeded list_reduce as BPE with the explicit
+    * merged string. Exhaustion dummy ('', '', -1) as in duckBpeCtes. */
+  private def duckWpCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """wtoks AS (SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS w
+        |  FROM documents),
+        |wwc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM wtoks GROUP BY 1),
+        |w0 AS (SELECT w, n, list_transform(regexp_extract_all(w, '.'),
+        |  (c, i) -> CASE WHEN i = 1 THEN c ELSE '##' || c END) AS s FROM wwc)"""
+        .stripMargin)
+    for (r <- 1 to rounds) {
+      val prev = s"w${r - 1}"
+      sb ++= s""",
+        |wp$r AS (SELECT p.l AS l, p.r AS r, SUM(n) AS cnt
+        |  FROM (SELECT n, unnest(list_transform(range(1, len(s)),
+        |    i -> {'l': s[i], 'r': s[i + 1]})) AS p FROM $prev)
+        |  GROUP BY 1, 2),
+        |wsc$r AS (SELECT t, SUM(n) AS c
+        |  FROM (SELECT n, unnest(s) AS t FROM $prev) GROUP BY 1),
+        |wm$r AS (SELECT * FROM (
+        |    SELECT p.l, p.r, p.cnt,
+        |      CAST((CAST(p.cnt AS HUGEINT) * 1000000000) //
+        |        (CAST(cl.c AS HUGEINT) * CAST(cr.c AS HUGEINT)) AS BIGINT)
+        |        AS score,
+        |      p.l || (CASE WHEN p.r[1:2] = '##' THEN p.r[3:] ELSE p.r END)
+        |        AS merged
+        |    FROM wp$r p JOIN wsc$r cl ON p.l = cl.t
+        |      JOIN wsc$r cr ON p.r = cr.t
+        |    UNION ALL SELECT '', '', CAST(-1 AS BIGINT),
+        |      CAST(-1 AS BIGINT), '')
+        |  ORDER BY score DESC, cnt DESC, l, r LIMIT 1),
+        |w$r AS (SELECT w, n, list_reduce(
+        |    list_prepend([' '], list_transform(s, x -> [x])),
+        |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l
+        |        AND x[1] = m.r
+        |      THEN acc[:-2] || [m.merged] ELSE acc || x END)[2:] AS s
+        |  FROM $prev, wm$r m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** One MaxMatch probe arm at candidate length `lLen` for the
+    * wordpiece_encode oracle: the cursor lives in acc[1] (VARCHAR), a
+    * match advances it by the MATCHED length (substr clamps at the
+    * word end in both engines) and appends the candidate. */
+  private def duckWpArm(lLen: Int): String = {
+    val p = "CAST(acc[1] AS INT)"
+    val sub = s"w[$p:$p + ${lLen - 1}]"
+    val cand = s"CASE WHEN acc[1] = '1' THEN $sub ELSE '##' || $sub END"
+    s"""CASE WHEN list_contains(vs, $cand)
+       |      THEN [CAST($p + len($sub) AS VARCHAR)] || acc[2:] || [$cand]
+       |      END""".stripMargin
   }
 
   /** DuckDB replay of KMeans.pqFit(m=4, k=16, iters=1) over embeddings:
@@ -4649,6 +4732,57 @@ object SparkEntry {
         |  CAST(SUM(n_bpe) AS BIGINT) AS sum_bpe,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // every WordPiece round re-derived: pair stats, symbol stats, the
+    // integer-e9 likelihood score, tie-break, '##'-absorbing merge
+    "wordpiece_merges" ->
+      s"""WITH ${duckWpCtes(6)}
+        |SELECT * FROM (
+        |  ${(1 to 6).map(r =>
+             s"""SELECT CAST($r AS INT) AS rank, l AS "left", r AS "right",
+        |    merged, score AS score_e9, CAST(cnt AS BIGINT) AS n
+        |    FROM wm$r WHERE l <> ''""").mkString("\n|  UNION ALL\n|  ")}
+        |) ORDER BY rank""".stripMargin,
+
+    // MaxMatch replayed as a cursor fold per distinct word: vocabulary
+    // = w0 alphabet + the six merged tokens; candidate lengths probed
+    // 24..1 (the same cap constant as the Spark side); '!' cursor =
+    // the whole word failed to [UNK]
+    "wordpiece_encode" ->
+      s"""WITH ${duckWpCtes(6)},
+        |wvoc AS (SELECT DISTINCT t AS tok
+        |    FROM (SELECT unnest(s) AS t FROM w0)
+        |  ${(1 to 6).map(r =>
+             s"UNION SELECT merged FROM wm$r WHERE l <> ''").mkString("\n|  ")}),
+        |wvl AS (SELECT list(tok ORDER BY tok) AS vs FROM wvoc),
+        |dwp AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |wdist AS (SELECT DISTINCT w FROM dwp),
+        |wencw AS (SELECT w, list_reduce(
+        |    list_prepend(['1'], list_transform(range(1, len(w) + 1),
+        |      i -> [CAST(i AS VARCHAR)])),
+        |    (acc, x) -> CASE
+        |      WHEN acc[1] = '!' OR CAST(x[1] AS INT) <> CAST(acc[1] AS INT)
+        |        THEN acc
+        |      ELSE COALESCE(
+        |    ${(WordPiece.MaxTokenChars to 1 by -1)
+             .map(duckWpArm).mkString(",\n|    ")},
+        |        ['!'])
+        |    END) AS st FROM wdist, wvl),
+        |wenc AS (SELECT w,
+        |    CASE WHEN st[1] = '!' THEN ['[UNK]'] ELSE st[2:] END AS ts
+        |  FROM wencw),
+        |wperdoc AS (SELECT doc_id, CAST(SUM(len(ts)) AS BIGINT) AS n_wp,
+        |    md5(string_agg(array_to_string(ts, ' '), ' ' ORDER BY pos))
+        |      AS wp_md5
+        |  FROM dwp JOIN wenc USING (w) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_wp, 0) AS n_wp,
+        |  COALESCE(p.wp_md5, md5('')) AS wp_md5
+        |FROM documents d LEFT JOIN wperdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     // The full funnel re-derived relationally: langid CASE + quality
     // predicate, row_number exact dedup, and the shared MinHash pair CTE

@@ -68,8 +68,15 @@ object Bpe {
     * made a 258 MB task binary at 16 chained merges, and ~2^60 killed
     * the driver's column conversion outright near 64. With the single
     * reference the tree grows linearly in merges. */
-  def applyMergeExpr(syms: Column, left: String, right: String): Column = {
-    val merged = left + right
+  def applyMergeExpr(syms: Column, left: String, right: String): Column =
+    applyMergeExprAs(syms, left, right, left + right)
+
+  /** [[applyMergeExpr]] with an explicit merged token — WordPiece's
+    * merge strips the continuation prefix from the right symbol
+    * ("a" + "##b" -> "ab"), so the merged string is not always the
+    * plain concatenation. */
+  def applyMergeExprAs(syms: Column, left: String, right: String,
+                       merged: String): Column = {
     val folded = aggregate(syms, array(lit(Sentinel)),
       (acc, x) =>
         when(element_at(acc, -1) === lit(left) && x === lit(right),

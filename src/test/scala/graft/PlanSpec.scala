@@ -274,4 +274,23 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastExchange"),
       s"model/priors not broadcast:\n$plan")
   }
+
+  test("wordpiece encode: fold per distinct word, equi-join back, no cartesian") {
+    import graft.ops.WordPiece
+    val docs = (0L until 60L).map(i => (i, s"alpha bravo w$i alpha"))
+      .toDF("doc_id", "text")
+    val vocab = Seq("a", "l", "p", "h", "b", "r", "v", "o", "w", "0",
+      "##a", "##l", "##p", "##h", "##b", "##r", "##v", "##o", "##0",
+      "alpha", "##ravo")
+    val plan = planOf(WordPiece.encodeDigest(docs, "doc_id", "text", vocab))
+    // the MaxMatch fold must run on the DISTINCT word table (a hash
+    // aggregate dedups words before any fold output is joined), the
+    // occurrence join must be an equi-join on the word key, and nothing
+    // may degenerate to all-pairs — the corpus text itself never folds
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"wordpiece encode degenerated to all-pairs:\n$plan")
+    assert(plan.contains("HashAggregate"),
+      s"no hash aggregate (distinct words / per-doc agg):\n$plan")
+  }
 }
