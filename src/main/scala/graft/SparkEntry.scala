@@ -2261,6 +2261,23 @@ object SparkEntry {
         WordPiece.vocabulary(docs, "text", ms)).orderBy("doc_id")
     }),
 
+    // Unigram LM tokenizer training (Kudo 2018 / SentencePiece, the
+    // hard-EM variant — Viterbi E-steps keep every step exact integer
+    // so the oracle replays it): substring seeding, one EM round,
+    // prune to chars + top multi-char pieces, integer milli-bit costs.
+    "unigram_fit" -> ((s, dir) => {
+      val ps = Unigram.fit(t(s, dir, "documents"), "text")
+      Unigram.piecesDF(s, ps).orderBy("rank")
+    }),
+
+    // Viterbi encode at corpus scale against the trained vocabulary:
+    // per-doc token count + md5 digest of the ordered token stream.
+    "unigram_encode" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ps = Unigram.fit(docs, "text")
+      Unigram.encodeDigest(docs, "doc_id", "text", ps).orderBy("doc_id")
+    }),
+
     // The COMPOSED curation funnel an LLM data pipeline actually runs:
     // language gate -> quality gate -> exact dedup -> MinHash near-dup
     // drop, reported as per-source survivor counts at every stage. Each
@@ -2768,6 +2785,87 @@ object SparkEntry {
        |      THEN [CAST($p + len($sub) AS VARCHAR)] || acc[2:] || [$cand]
        |      END""".stripMargin
   }
+
+  /** The fixed-point floor(1024*log2(x)) of Unigram.mb1024 as a DuckDB
+    * expression over `x` (textual; x must be a BIGINT >= 1): exponent
+    * from the binary digit count, ten square-and-shift rounds for the
+    * fraction — the exact integer rounds the Scala twin runs. */
+  private def duckMb1024(x: String): String =
+    s"""((length(bin($x)) - 1) * 1024 + list_reduce(
+       |  list_prepend([CASE WHEN length(bin($x)) - 1 > 30
+       |      THEN $x >> (length(bin($x)) - 1 - 30)
+       |      ELSE $x << (30 - (length(bin($x)) - 1)) END,
+       |    CAST(0 AS BIGINT)],
+       |    list_transform(range(1, 11), i -> [CAST(i AS BIGINT),
+       |      CAST(0 AS BIGINT)])),
+       |  (acc, e) -> CASE WHEN (acc[1] * acc[1]) >> 30 >= 2147483648
+       |    THEN [((acc[1] * acc[1]) >> 30) >> 1, acc[2] * 2 + 1]
+       |    ELSE [(acc[1] * acc[1]) >> 30, acc[2] * 2] END)[2])""".stripMargin
+
+  /** One Viterbi DP arm (piece length `l`) for the unigram oracle:
+    * the element x carries the position in its c field; the candidate
+    * extends the best state l characters back by the piece ending at
+    * the position, when that piece is in the cost map `cm`. */
+  private def duckViterbiArm(l: Int): String = {
+    val p = "CAST(x[1].c AS INT)"
+    val piece = s"w[$p - ${l - 1}:$p]"
+    val prev = s"acc[$p - $l + 1]"
+    s"""CASE WHEN x[1].c >= $l AND cm[$piece][1] IS NOT NULL
+       |        AND $prev IS NOT NULL
+       |      THEN {'c': $prev.c + cm[$piece][1],
+       |            't': $prev.t || [$piece]} END""".stripMargin
+  }
+
+  /** The full Viterbi fold over a word column `w` against the
+    * cross-joined cost map `cm`: a DP state list of (cost, tokens)
+    * structs, candidates filtered non-null and argmin'd by struct
+    * order — exactly Unigram.viterbiTokens' least() tie-break. */
+  private def duckViterbiFold: String =
+    s"""list_reduce(
+       |  list_prepend([{'c': CAST(0 AS BIGINT), 't': CAST([] AS VARCHAR[])}],
+       |    list_transform(range(1, len(w) + 1),
+       |      i -> [{'c': CAST(i AS BIGINT), 't': CAST([] AS VARCHAR[])}])),
+       |  (acc, x) -> acc || [list_sort(list_filter([
+       |    ${(1 to graft.ops.Unigram.MaxPieceChars)
+              .map(duckViterbiArm).mkString(",\n|    ")}
+       |  ], z -> z IS NOT NULL))[1]])""".stripMargin
+
+  /** DuckDB replay of Unigram.fit over the documents vocabulary:
+    * substring seeding (all chars + top-256 longer pieces), seed costs
+    * via [[duckMb1024]], one hard-EM round (Viterbi re-count), pruning
+    * (chars + top-128 by EM count), final Laplace costs. Ends with
+    * `ukept`/`utot1` holding the kept pieces and totals. */
+  private def duckUnigramCtes: String =
+    s"""utoks AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+       |  FROM documents),
+       |uwc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM utoks GROUP BY 1),
+       |usub AS (SELECT piece, SUM(n) AS cnt FROM (
+       |    SELECT n, unnest(flatten(list_transform(range(1, len(w) + 1),
+       |      p -> list_transform(range(1,
+       |          least(${graft.ops.Unigram.MaxPieceChars}, len(w) - p + 1) + 1),
+       |        l -> w[p:p + l - 1])))) AS piece
+       |    FROM uwc) GROUP BY 1),
+       |uchars AS (SELECT piece, cnt FROM usub WHERE len(piece) = 1),
+       |umulti AS (SELECT piece, cnt FROM usub WHERE len(piece) > 1
+       |  ORDER BY cnt DESC, piece LIMIT ${graft.ops.Unigram.SeedMultiPieces}),
+       |useed AS (SELECT * FROM uchars UNION ALL SELECT * FROM umulti),
+       |utot0 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+       |    CAST(COUNT(*) AS BIGINT) AS v FROM useed),
+       |ucost0 AS (SELECT piece,
+       |    ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")} AS cost
+       |  FROM useed, utot0),
+       |ucm0 AS (SELECT MAP(list(piece ORDER BY piece),
+       |    list(cost ORDER BY piece)) AS cm FROM ucost0),
+       |uvit AS (SELECT w, n, $duckViterbiFold AS st FROM uwc, ucm0),
+       |uem AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+       |    SELECT n, unnest(st[len(st)].t) AS piece FROM uvit) GROUP BY 1),
+       |ukeptc AS (SELECT c.piece, COALESCE(e.cnt, 0) AS cnt
+       |  FROM uchars c LEFT JOIN uem e USING (piece)),
+       |ukeptm AS (SELECT piece, cnt FROM uem WHERE len(piece) > 1
+       |  ORDER BY cnt DESC, piece LIMIT ${graft.ops.Unigram.VocabMultiPieces}),
+       |ukept AS (SELECT * FROM ukeptc UNION ALL SELECT * FROM ukeptm),
+       |utot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+       |    CAST(COUNT(*) AS BIGINT) AS v FROM ukept)""".stripMargin
 
   /** DuckDB replay of KMeans.pqFit(m=4, k=16, iters=1) over embeddings:
     * four sliced views v0..v3 (16 dims each), a `p{s}_`-prefixed
@@ -4782,6 +4880,44 @@ object SparkEntry {
         |SELECT d.doc_id, COALESCE(p.n_wp, 0) AS n_wp,
         |  COALESCE(p.wp_md5, md5('')) AS wp_md5
         |FROM documents d LEFT JOIN wperdoc p USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // the full unigram training replayed: seeding, seed costs, the
+    // hard-EM Viterbi re-count, pruning, final Laplace costs + ranks
+    "unigram_fit" ->
+      s"""WITH $duckUnigramCtes
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
+        |    AS rank,
+        |  piece, CAST(cnt AS BIGINT) AS n,
+        |  ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")}
+        |    AS cost_mb
+        |FROM ukept, utot1
+        |ORDER BY rank""".stripMargin,
+
+    // encode = the same Viterbi fold against the FINAL costs, digested
+    // per doc in document order
+    "unigram_encode" ->
+      s"""WITH $duckUnigramCtes,
+        |ucost1 AS (SELECT piece,
+        |    ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")} AS cost
+        |  FROM ukept, utot1),
+        |ucm1 AS (SELECT MAP(list(piece ORDER BY piece),
+        |    list(cost ORDER BY piece)) AS cm FROM ucost1),
+        |udwp AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
+        |    generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1)
+        |      AS pos
+        |  FROM documents),
+        |udist AS (SELECT DISTINCT w FROM udwp),
+        |uencw AS (SELECT w, $duckViterbiFold AS st FROM udist, ucm1),
+        |uenc AS (SELECT w, st[len(st)].t AS ts FROM uencw),
+        |uperdoc AS (SELECT doc_id, CAST(SUM(len(ts)) AS BIGINT) AS n_uni,
+        |    md5(string_agg(array_to_string(ts, ' '), ' ' ORDER BY pos))
+        |      AS uni_md5
+        |  FROM udwp JOIN uenc USING (w) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(p.n_uni, 0) AS n_uni,
+        |  COALESCE(p.uni_md5, md5('')) AS uni_md5
+        |FROM documents d LEFT JOIN uperdoc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
     // The full funnel re-derived relationally: langid CASE + quality

@@ -382,7 +382,7 @@ object Bpe {
     * String.compareTo is UTF-16 code-unit order, which DIVERGES for
     * code points ≥ U+E000 vs supplementary planes — the in-memory fit
     * must not introduce an engine-mismatched tie order. */
-  private val Utf8Order: Ordering[String] = (a: String, b: String) =>
+  private[ops] val Utf8Order: Ordering[String] = (a: String, b: String) =>
     java.util.Arrays.compareUnsigned(
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -1,0 +1,193 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram language-model tokenizer (Kudo 2018, "Subword
+  * Regularization", arXiv:1804.10959 — the SentencePiece unigram
+  * algorithm), completing the engine's subword-tokenizer triad next to
+  * [[Bpe]] and [[WordPiece]]:
+  *
+  *   1. SEED a candidate vocabulary from the most frequent substrings
+  *      (every substring of length 1..[[MaxPieceChars]] over the
+  *      weighted distinct-word table; ALL single characters kept for
+  *      coverage plus the top [[SeedMultiPieces]] longer pieces).
+  *   2. EM over segmentations: the E-step segments every distinct word
+  *      with the current piece costs and re-counts pieces from the
+  *      winning segmentations; the M-step re-derives costs from the
+  *      counts. This is the HARD-EM (Viterbi) variant — Kudo's
+  *      published E-step sums expected counts over ALL segmentations
+  *      with float forward-backward, which no cross-engine oracle can
+  *      replay bit-exactly; Viterbi counts keep every step exact
+  *      integer arithmetic (the trade is documented, not hidden; the
+  *      same algorithm family SentencePiece exposes for final
+  *      segmentation).
+  *   3. PRUNE to the target vocabulary: all single characters (full
+  *      coverage, as SentencePiece requires) plus the top
+  *      [[VocabMultiPieces]] longer pieces by EM count.
+  *
+  * Determinism / oracle replay: piece costs are integer "milli-bits",
+  * cost(p) = mb1024(N + V) − mb1024(cnt_p + 1) with Laplace smoothing
+  * (the engine's established surprisal convention), where mb1024(x) is
+  * a FIXED-POINT floor(1024·log2 x): exponent from the binary digit
+  * count, a 10-round square-and-shift fraction over a 30-bit mantissa
+  * — every operation integer, so Scala, Spark and DuckDB compute the
+  * same digits (a float log2 differs in the last ulp across libms and
+  * would flip Viterbi argmins). Viterbi ties break by the
+  * lexicographically least (cost, token-list) pair in binary string
+  * order — identical struct/list ordering in Spark and DuckDB.
+  *
+  * Scale shape: the corpus is touched once (the distinct-word count);
+  * seeding and E-steps are hash aggregates over the vocabulary-sized
+  * word table; every collect is model-sized (the seed and the piece
+  * counts, bounded by seed size); the Viterbi fold runs once per
+  * DISTINCT word. Encoding is the [[TokenDigest]] shape — the corpus
+  * text never folds and never shuffles.
+  */
+object Unigram {
+
+  /** One vocabulary piece: rank, the piece, its (weighted, hard-EM)
+    * count, and its integer milli-bit cost. */
+  final case class Piece(rank: Int, piece: String, n: Long, costMb: Long)
+
+  /** Longest candidate piece, in characters. */
+  val MaxPieceChars = 6
+
+  /** Multi-character pieces kept at seeding (plus all single chars). */
+  val SeedMultiPieces = 256
+
+  /** Multi-character pieces kept after EM pruning (plus all chars). */
+  val VocabMultiPieces = 128
+
+  /** Fixed-point floor(1024 * log2(x)) for x >= 1: exponent e =
+    * bit-length − 1, then ten square-and-shift rounds on the 30-bit
+    * normalized mantissa emit the 10 fraction bits. Pure integer ops —
+    * the DuckDB oracle replays the identical rounds. */
+  def mb1024(x: Long): Long = {
+    require(x >= 1, s"mb1024 domain is x >= 1, got $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e > 30) x >> (e - 30) else x << (30 - e)
+    var frac = 0L
+    var i = 0
+    while (i < 10) {
+      m = (m * m) >> 30
+      if (m >= 2147483648L) { frac = frac * 2 + 1; m >>= 1 }
+      else frac = frac * 2
+      i += 1
+    }
+    e.toLong * 1024 + frac
+  }
+
+  /** Laplace-smoothed milli-bit cost of a piece with count `cnt` in a
+    * vocabulary of `v` pieces totalling `total` occurrences. */
+  def costMb(cnt: Long, total: Long, v: Long): Long =
+    mb1024(total + v) - mb1024(cnt + 1)
+
+  /** All substrings of length 1..[[MaxPieceChars]] of a word. */
+  def substrings(word: Column): Column =
+    flatten(transform(sequence(lit(1), length(word)), p =>
+      transform(sequence(lit(1), least(lit(MaxPieceChars),
+          length(word) - p + 1)),
+        l => word.substr(p, l))))
+
+  /** Viterbi (min-cost) segmentation of one word against driver-held
+    * piece costs: a DP fold over character positions — the state list
+    * carries, per position, the best (cost, tokens) struct; candidates
+    * at position i are the vocabulary pieces ending there (length
+    * 1..[[MaxPieceChars]]); ties break by the least (cost, tokens)
+    * struct. Every character must be in the vocabulary (guaranteed for
+    * the training corpus by seeding/pruning coverage) — an unreachable
+    * position would surface as a null state, not a silent skip. */
+  def viterbiTokens(word: Column, costs: Map[String, Long]): Column = {
+    val keys = costs.keys.toArray.sortWith(Bpe.Utf8Order.lt)
+    val vals = keys.map(costs)
+    val cmap = map_from_arrays(lit(keys), lit(vals))
+    val zero = array(struct(lit(0L).as("c"),
+      array().cast("array<string>").as("t")))
+    val folded = aggregate(sequence(lit(1), length(word)), zero,
+      (acc, i) => {
+        val cands = (1 to MaxPieceChars).map { l =>
+          val piece = word.substr(i - l + 1, lit(l))
+          val c = try_element_at(cmap, piece)
+          val prev = element_at(acc, i - l + 1)
+          when(i >= l && c.isNotNull && prev.isNotNull,
+            struct((prev.getField("c") + c).as("c"),
+              concat(prev.getField("t"), array(piece)).as("t")))
+        }
+        concat(acc, array(least(cands: _*)))
+      })
+    element_at(folded, -1).getField("t")
+  }
+
+  /** Hard-EM E-step: Viterbi-segment every distinct word (weighted by
+    * its corpus count) and re-count pieces from the winning
+    * segmentations. Result is bounded by the vocabulary size. */
+  private def viterbiCounts(words: DataFrame,
+                            costs: Map[String, Long]): Map[String, Long] =
+    words
+      .select(col("n"), explode(viterbiTokens(col("w"), costs)).as("p"))
+      .groupBy("p").agg(sum("n").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Train the unigram vocabulary: seed, one hard-EM round, prune,
+    * final costs. Returns pieces ranked by (EM count desc, piece) in
+    * binary string order. */
+  def fit(corpus: DataFrame, textCol: String): Seq[Piece] = {
+    val words = corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .persist()
+    try {
+      val subs = words
+        .select(col("n"), explode(substrings(col("w"))).as("p"))
+        .groupBy("p").agg(sum("n").as("cnt"))
+      val chars = subs.filter(length(col("p")) === 1)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val multi = subs.filter(length(col("p")) > 1)
+        .orderBy(col("cnt").desc, col("p")).limit(SeedMultiPieces)
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val seed = (chars ++ multi).toMap
+      val total0 = seed.valuesIterator.sum
+      val v0 = seed.size.toLong
+      val costs0 = seed.map { case (p, c) => p -> costMb(c, total0, v0) }
+      // E-step with seed costs, then prune: all chars stay (coverage),
+      // top multi-char pieces by EM count survive
+      val em = viterbiCounts(words, costs0)
+      val keptChars = chars.map { case (p, _) => p -> em.getOrElse(p, 0L) }
+      val keptMulti = em.toSeq
+        .filter { case (p, _) => p.length > 1 }
+        .sortWith { case ((pa, ca), (pb, cb)) =>
+          if (ca != cb) ca > cb else Bpe.Utf8Order.lt(pa, pb) }
+        .take(VocabMultiPieces)
+      val kept = keptChars ++ keptMulti
+      val total1 = kept.map(_._2).sum
+      val v1 = kept.size.toLong
+      kept
+        .sortWith { case ((pa, ca), (pb, cb)) =>
+          if (ca != cb) ca > cb else Bpe.Utf8Order.lt(pa, pb) }
+        .zipWithIndex
+        .map { case ((p, c), i) =>
+          Piece(i + 1, p, c, costMb(c, total1, v1)) }
+        .toSeq
+    } finally { words.unpersist(); () }
+  }
+
+  /** The learned vocabulary as a flat DataFrame (persist/audit). */
+  def piecesDF(spark: SparkSession, pieces: Seq[Piece]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pieces.map(p => Row(p.rank, p.piece, p.n, p.costMb)), 1),
+      StructType(Seq(
+        StructField("rank", IntegerType, nullable = false),
+        StructField("piece", StringType, nullable = false),
+        StructField("n", LongType, nullable = false),
+        StructField("cost_mb", LongType, nullable = false))))
+
+  /** Per-doc Viterbi encode at corpus scale ([[TokenDigest]] shape):
+    * token count + md5 digest of the ordered token stream per doc. */
+  def encodeDigest(corpus: DataFrame, idCol: String, textCol: String,
+                   pieces: Seq[Piece]): DataFrame =
+    TokenDigest.of(corpus, idCol, textCol, "n_uni", "uni_md5",
+      viterbiTokens(_, pieces.map(p => p.piece -> p.costMb).toMap))
+}

@@ -205,23 +205,7 @@ object WordPiece {
     * vocabulary is heavy-tailed; AQE broadcasts when it actually is
     * small ([[Bpe.encodedLengths]]'s reasoning). */
   def encodeDigest(corpus: DataFrame, idCol: String, textCol: String,
-                   vocab: Seq[String]): DataFrame = {
-    val docWords = corpus.select(col(idCol),
-      posexplode(TextAnalysis.tokens(col(textCol))))
-      .withColumnRenamed("col", "w")
-    val wenc = docWords.select("w").distinct()
-      .select(col("w"), maxMatchTokens(col("w"), vocab).as("ts"))
-      .select(col("w"), size(col("ts")).cast("long").as("k"),
-        array_join(col("ts"), " ").as("tss"))
-    val perDoc = docWords.join(wenc, "w")
-      .groupBy(idCol)
-      .agg(sum("k").as("n_wp"),
-        md5(array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("tss")))),
-          x => x.getField("tss")), " ")).as("wp_md5"))
-    corpus.select(col(idCol)).join(perDoc, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_wp"), lit(0L)).as("n_wp"),
-        coalesce(col("wp_md5"), md5(lit(""))).as("wp_md5"))
-  }
+                   vocab: Seq[String]): DataFrame =
+    TokenDigest.of(corpus, idCol, textCol, "n_wp", "wp_md5",
+      maxMatchTokens(_, vocab))
 }
