@@ -2278,6 +2278,42 @@ object SparkEntry {
       Unigram.encodeDigest(docs, "doc_id", "text", ps).orderBy("doc_id")
     }),
 
+    // Tokenizer SELECTION, the evaluation a pipeline actually runs
+    // before committing a vocabulary: all three subword tokenizers
+    // trained on the corpus and compared per source by fertility
+    // (characters per token, integer permille — the published
+    // compression metric for tokenizer comparison). Each encode is the
+    // per-DISTINCT-word fold + equi-join shape; one shared doc spine.
+    "tokenizer_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val bpe = Bpe.encodedLengths(docs, "doc_id", "text",
+        Bpe.fit(docs, "text", rounds = 6))
+      val wms = WordPiece.fit(docs, "text", rounds = 6)
+      val wp = WordPiece.encodeDigest(docs, "doc_id", "text",
+          WordPiece.vocabulary(docs, "text", wms))
+        .select(col("doc_id"), col("n_wp"))
+      val uni = Unigram.encodeDigest(docs, "doc_id", "text",
+          Unigram.fit(docs, "text"))
+        .select(col("doc_id"), col("n_uni"))
+      docs.select(col("doc_id"), col("source"),
+          length(regexp_replace(col("text"), "\\s", ""))
+            .cast("long").as("n_chars"))
+        .join(bpe, "doc_id").join(wp, "doc_id").join(uni, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          sum("n_bpe").as("n_bpe"), sum("n_wp").as("n_wp"),
+          sum("n_uni").as("n_uni"))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          col("n_bpe"), col("n_wp"), col("n_uni"),
+          expr("1000 * n_chars DIV greatest(n_bpe, 1)")
+            .as("bpe_cpt_x1000"),
+          expr("1000 * n_chars DIV greatest(n_wp, 1)")
+            .as("wp_cpt_x1000"),
+          expr("1000 * n_chars DIV greatest(n_uni, 1)")
+            .as("uni_cpt_x1000"))
+        .orderBy("source")
+    }),
+
     // The COMPOSED curation funnel an LLM data pipeline actually runs:
     // language gate -> quality gate -> exact dedup -> MinHash near-dup
     // drop, reported as per-source survivor counts at every stage. Each
@@ -2772,6 +2808,42 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** MaxMatch encode CTEs over a distinct-word relation: vocabulary
+    * list (w0 alphabet + merged tokens of wm1..wm6), the cursor fold
+    * (arms from [[duckWpArm]]), and the token lists `wenc(w, ts)`. */
+  private def duckMaxMatchCtes(distRel: String): String =
+    s"""wvoc AS (SELECT DISTINCT t AS tok
+       |    FROM (SELECT unnest(s) AS t FROM w0)
+       |  ${(1 to 6).map(r =>
+            s"UNION SELECT merged FROM wm$r WHERE l <> ''").mkString("\n|  ")}),
+       |wvl AS (SELECT list(tok ORDER BY tok) AS vs FROM wvoc),
+       |wencw AS (SELECT w, list_reduce(
+       |    list_prepend(['1'], list_transform(range(1, len(w) + 1),
+       |      i -> [CAST(i AS VARCHAR)])),
+       |    (acc, x) -> CASE
+       |      WHEN acc[1] = '!' OR CAST(x[1] AS INT) <> CAST(acc[1] AS INT)
+       |        THEN acc
+       |      ELSE COALESCE(
+       |    ${(graft.ops.WordPiece.MaxTokenChars to 1 by -1)
+            .map(duckWpArm).mkString(",\n|    ")},
+       |        ['!'])
+       |    END) AS st FROM $distRel, wvl),
+       |wenc AS (SELECT w,
+       |    CASE WHEN st[1] = '!' THEN ['[UNK]'] ELSE st[2:] END AS ts
+       |  FROM wencw)""".stripMargin
+
+  /** Unigram Viterbi encode CTEs over a distinct-word relation: final
+    * Laplace costs from ukept/utot1, the cost map, the DP fold, and
+    * the token lists `uenc(w, ts)`. */
+  private def duckUniEncodeCtes(distRel: String): String =
+    s"""ucost1 AS (SELECT piece,
+       |    ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")} AS cost
+       |  FROM ukept, utot1),
+       |ucm1 AS (SELECT MAP(list(piece ORDER BY piece),
+       |    list(cost ORDER BY piece)) AS cm FROM ucost1),
+       |uencw AS (SELECT w, $duckViterbiFold AS st FROM $distRel, ucm1),
+       |uenc AS (SELECT w, st[len(st)].t AS ts FROM uencw)""".stripMargin
 
   /** One MaxMatch probe arm at candidate length `lLen` for the
     * wordpiece_encode oracle: the cursor lives in acc[1] (VARCHAR), a
@@ -4848,31 +4920,13 @@ object SparkEntry {
     // the whole word failed to [UNK]
     "wordpiece_encode" ->
       s"""WITH ${duckWpCtes(6)},
-        |wvoc AS (SELECT DISTINCT t AS tok
-        |    FROM (SELECT unnest(s) AS t FROM w0)
-        |  ${(1 to 6).map(r =>
-             s"UNION SELECT merged FROM wm$r WHERE l <> ''").mkString("\n|  ")}),
-        |wvl AS (SELECT list(tok ORDER BY tok) AS vs FROM wvoc),
         |dwp AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
         |    generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1)
         |      AS pos
         |  FROM documents),
         |wdist AS (SELECT DISTINCT w FROM dwp),
-        |wencw AS (SELECT w, list_reduce(
-        |    list_prepend(['1'], list_transform(range(1, len(w) + 1),
-        |      i -> [CAST(i AS VARCHAR)])),
-        |    (acc, x) -> CASE
-        |      WHEN acc[1] = '!' OR CAST(x[1] AS INT) <> CAST(acc[1] AS INT)
-        |        THEN acc
-        |      ELSE COALESCE(
-        |    ${(WordPiece.MaxTokenChars to 1 by -1)
-             .map(duckWpArm).mkString(",\n|    ")},
-        |        ['!'])
-        |    END) AS st FROM wdist, wvl),
-        |wenc AS (SELECT w,
-        |    CASE WHEN st[1] = '!' THEN ['[UNK]'] ELSE st[2:] END AS ts
-        |  FROM wencw),
+        |${duckMaxMatchCtes("wdist")},
         |wperdoc AS (SELECT doc_id, CAST(SUM(len(ts)) AS BIGINT) AS n_wp,
         |    md5(string_agg(array_to_string(ts, ' '), ' ' ORDER BY pos))
         |      AS wp_md5
@@ -4898,19 +4952,13 @@ object SparkEntry {
     // per doc in document order
     "unigram_encode" ->
       s"""WITH $duckUnigramCtes,
-        |ucost1 AS (SELECT piece,
-        |    ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")} AS cost
-        |  FROM ukept, utot1),
-        |ucm1 AS (SELECT MAP(list(piece ORDER BY piece),
-        |    list(cost ORDER BY piece)) AS cm FROM ucost1),
         |udwp AS (SELECT doc_id,
         |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w,
         |    generate_subscripts(regexp_extract_all(lower(text), '\\S+'), 1)
         |      AS pos
         |  FROM documents),
         |udist AS (SELECT DISTINCT w FROM udwp),
-        |uencw AS (SELECT w, $duckViterbiFold AS st FROM udist, ucm1),
-        |uenc AS (SELECT w, st[len(st)].t AS ts FROM uencw),
+        |${duckUniEncodeCtes("udist")},
         |uperdoc AS (SELECT doc_id, CAST(SUM(len(ts)) AS BIGINT) AS n_uni,
         |    md5(string_agg(array_to_string(ts, ' '), ' ' ORDER BY pos))
         |      AS uni_md5
@@ -4919,6 +4967,45 @@ object SparkEntry {
         |  COALESCE(p.uni_md5, md5('')) AS uni_md5
         |FROM documents d LEFT JOIN uperdoc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // all three tokenizer replays side by side over one shared word
+    // spine, aggregated to per-source fertility permilles
+    "tokenizer_fertility" ->
+      s"""WITH ${duckBpeCtes(6)},
+        |${duckWpCtes(6)},
+        |$duckUnigramCtes,
+        |fd AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+        |  FROM documents),
+        |fdist AS (SELECT DISTINCT w FROM fd),
+        |${duckMaxMatchCtes("fdist")},
+        |${duckUniEncodeCtes("fdist")},
+        |fbpe AS (SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n_bpe
+        |  FROM fd JOIN s6 USING (w) GROUP BY 1),
+        |fwp AS (SELECT doc_id, CAST(SUM(len(wenc.ts)) AS BIGINT) AS n_wp
+        |  FROM fd JOIN wenc USING (w) GROUP BY 1),
+        |funi AS (SELECT doc_id, CAST(SUM(len(uenc.ts)) AS BIGINT) AS n_uni
+        |  FROM fd JOIN uenc USING (w) GROUP BY 1),
+        |fdoc AS (SELECT d.doc_id, d.source,
+        |    CAST(length(regexp_replace(d.text, '\\s', '', 'g')) AS BIGINT)
+        |      AS n_chars,
+        |    COALESCE(b.n_bpe, 0) AS n_bpe, COALESCE(p.n_wp, 0) AS n_wp,
+        |    COALESCE(u.n_uni, 0) AS n_uni
+        |  FROM documents d
+        |  LEFT JOIN fbpe b USING (doc_id)
+        |  LEFT JOIN fwp p USING (doc_id)
+        |  LEFT JOIN funi u USING (doc_id)),
+        |fsrc AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+        |    CAST(SUM(n_bpe) AS BIGINT) AS n_bpe,
+        |    CAST(SUM(n_wp) AS BIGINT) AS n_wp,
+        |    CAST(SUM(n_uni) AS BIGINT) AS n_uni
+        |  FROM fdoc GROUP BY 1)
+        |SELECT source, n_docs, n_chars, n_bpe, n_wp, n_uni,
+        |  (1000 * n_chars) // greatest(n_bpe, 1) AS bpe_cpt_x1000,
+        |  (1000 * n_chars) // greatest(n_wp, 1) AS wp_cpt_x1000,
+        |  (1000 * n_chars) // greatest(n_uni, 1) AS uni_cpt_x1000
+        |FROM fsrc ORDER BY source""".stripMargin,
 
     // The full funnel re-derived relationally: langid CASE + quality
     // predicate, row_number exact dedup, and the shared MinHash pair CTE
