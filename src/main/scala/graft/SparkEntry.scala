@@ -2025,6 +2025,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // UniMax language-budget allocation (Chung et al. 2023): spread a
+    // token budget uniformly across sources, capping each at one epoch
+    // of its own data — exact-integer relational water-filling (the
+    // capped set is a provably monotone prefix of the (cap, source)
+    // sort; remainders go +1 apiece to the smallest uncapped sources).
+    // Budget = 90% of corpus mass so BOTH branches fire on real data.
+    "sample_unimax" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum("n_chars")).collect()(0).getLong(0)
+      Sampling.unimaxAllocations(docs, "source", "n_chars",
+        budget = 9L * total / 10L, epochCap = 1)
+    }),
+
     // mT5/XLM-R temperature mixing: shares DERIVED from the corpus at
     // alpha = 0.5 (iterated-sqrt exact-integer ppm — no libm pow), fed
     // straight into mixCorpus. Low-resource sources get upweighted
@@ -5398,6 +5411,39 @@ object SparkEntry {
         |LEFT JOIN reb ON s.doc_id = reb.doc_id
         |WHERE s.doc_id % 2 <> 0
         |ORDER BY s.doc_id""".stripMargin,
+
+    // UniMax water-filling re-derived: the (cap, source) sort, the
+    // monotone capped-prefix predicate, the breakpoint row's remaining
+    // budget split evenly with ordered +1 remainders
+    "sample_unimax" ->
+      s"""WITH um AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tok
+        |    FROM documents GROUP BY 1),
+        |ub AS (SELECT (9 * CAST(SUM(n_tok) AS BIGINT)) // 10 AS b FROM um),
+        |ur AS (SELECT source, n_tok, n_tok * 1 AS cap,
+        |    row_number() OVER (ORDER BY n_tok * 1, source) AS idx,
+        |    COALESCE(SUM(n_tok * 1) OVER (ORDER BY n_tok * 1, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+        |    COUNT(*) OVER () AS nl
+        |  FROM um),
+        |uc AS (SELECT r.*, b - pfx AS rem,
+        |    cap * (nl - idx + 1) <= b - pfx AS capped
+        |  FROM ur r, ub),
+        |ubp AS (SELECT MIN(CASE WHEN NOT capped THEN idx END) AS bidx
+        |  FROM uc),
+        |ubr AS (SELECT MAX(CASE WHEN idx = bidx THEN rem END) AS brem,
+        |    MAX(CASE WHEN idx = bidx THEN nl - idx + 1 END) AS bk
+        |  FROM uc, ubp)
+        |SELECT c.source, c.n_tok, c.cap,
+        |  CASE WHEN c.capped THEN c.cap
+        |    ELSE brem // bk +
+        |      (CASE WHEN c.idx - bidx < brem % bk THEN 1 ELSE 0 END)
+        |  END AS alloc,
+        |  (1000 * (CASE WHEN c.capped THEN c.cap
+        |    ELSE brem // bk +
+        |      (CASE WHEN c.idx - bidx < brem % bk THEN 1 ELSE 0 END)
+        |  END)) // greatest(c.n_tok, 1) AS epochs_x1000
+        |FROM uc c, ubp, ubr
+        |ORDER BY c.source""".stripMargin,
 
     // Temperature shares re-derived: sqrt (IEEE-exact on both engines)
     // -> floor x 1e6 integer weights -> integer-DIV ppm shares -> the

@@ -237,4 +237,62 @@ object Sampling {
           lit(0.0)), lit(0.0))))
       .drop("__total_w")
   }
+
+  /** UniMax language-budget allocation (Chung et al. 2023, "UniMax:
+    * Fairer and More Effective Language Sampling for Large-Scale
+    * Multilingual Pretraining"): spread a token budget across
+    * languages as uniformly as possible while capping every language
+    * at `epochCap` epochs of its own data — the successor to
+    * temperature sampling that stops over-epoching the tail.
+    *
+    * Relational water-filling in exact integers (the whole thing is a
+    * direct SQL replay): languages sorted by (cap, domain) take their
+    * FULL cap while cap_i * langs_from_i <= budget_remaining_i — the
+    * waterline predicate, provably monotone along the sort (once it
+    * fails it keeps failing), so the capped set is a prefix. The rest
+    * split the first uncapped row's remaining budget evenly; the DIV
+    * remainder goes +1 apiece to the smallest-cap uncapped languages
+    * in sort order (deterministic, documented — alloc <= cap always
+    * holds because the breakpoint's cap exceeds its waterline). When
+    * the budget exceeds the summed caps every language is capped and
+    * the excess goes unallocated — the published behavior: the epoch
+    * cap binds, the budget does not stretch it.
+    *
+    * Windows run over the DOMAIN table — model-sized by the same
+    * contract as [[temperatureShares]] (languages/sources, never a
+    * data-scale key), so the single-partition sort is the k-means-
+    * centroid shape, not a corpus sort. Returns (domain, n_tok, cap,
+    * alloc, epochs_x1000) ordered by domain. */
+  def unimaxAllocations(df: DataFrame, domainCol: String, massCol: String,
+                        budget: Long, epochCap: Int): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(epochCap >= 1, s"epochCap must be >= 1, got $epochCap")
+    val byCap = Window.orderBy(col("cap"), col(domainCol))
+    val all = Window.partitionBy()
+    val ranked = df.groupBy(domainCol)
+      .agg(sum(massCol).cast("long").as("n_tok"))
+      .select(col(domainCol), col("n_tok"),
+        (col("n_tok") * epochCap).as("cap"))
+      .withColumn("idx", row_number().over(byCap))
+      .withColumn("pfx", coalesce(sum("cap").over(
+        byCap.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("nl", count(lit(1)).over(all))
+      .withColumn("rem", lit(budget) - col("pfx"))
+      .withColumn("capped",
+        col("cap") * (col("nl") - col("idx") + 1) <= col("rem"))
+    val marked = ranked
+      .withColumn("bidx",
+        min(when(!col("capped"), col("idx"))).over(all))
+      .withColumn("brem",
+        max(when(col("idx") === col("bidx"), col("rem"))).over(all))
+      .withColumn("bk", col("nl") - col("bidx") + 1)
+    marked.select(col(domainCol), col("n_tok"), col("cap"),
+        when(col("capped"), col("cap"))
+          .otherwise(expr("brem DIV bk") +
+            when(col("idx") - col("bidx") < expr("brem % bk"), 1L)
+              .otherwise(0L)).as("alloc"))
+      .withColumn("epochs_x1000",
+        expr("1000 * alloc DIV greatest(n_tok, 1)"))
+      .orderBy(domainCol)
+  }
 }

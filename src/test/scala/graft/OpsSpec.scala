@@ -230,6 +230,32 @@ class OpsSpec extends SparkSuite {
     assert(a1("small") < 500000L)
   }
 
+  test("unimax: capped prefix, even split, remainder order, cap binds") {
+    import spark.implicits._
+    def alloc(masses: Seq[(String, Long)], budget: Long,
+              e: Int): Map[String, (Long, Long, Long)] =
+      graft.ops.Sampling.unimaxAllocations(
+          masses.toDF("lang", "m"), "lang", "m", budget, e)
+        .collect()
+        .map(r => r.getString(0) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // hand-worked water-fill: caps 6/9/300, budget 55 -> a and b take
+    // their full caps (6*3<=55; 9*2<=49), c takes the remaining 40
+    val w = alloc(Seq("a" -> 2L, "b" -> 3L, "c" -> 100L), 55L, 3)
+    assert(w("a") == ((6L, 6L, 3000L)))
+    assert(w("b") == ((9L, 9L, 3000L)))
+    assert(w("c") == ((300L, 40L, 400L)))
+    // all uncapped: 8 over three equal langs -> 3/3/2, the +1s going
+    // to the smallest-cap (here tie -> lexicographically first) langs
+    val r = alloc(Seq("a" -> 10L, "b" -> 10L, "c" -> 10L), 8L, 1)
+    assert(r("a")._2 == 3L && r("b")._2 == 3L && r("c")._2 == 2L)
+    // budget beyond the summed caps: the epoch cap binds, the excess
+    // goes unallocated (the published UniMax behavior)
+    val x = alloc(Seq("a" -> 10L, "b" -> 10L, "c" -> 10L), 100L, 1)
+    assert(Seq("a", "b", "c").forall(l => x(l)._2 == 10L))
+    assert(Seq("a", "b", "c").forall(l => x(l)._3 == 1000L))
+  }
+
   test("perplexityBuckets: equal terciles, ties share a bucket, head = cleanest") {
     import spark.implicits._
     // three planted quality tiers of two docs each: common-word docs
