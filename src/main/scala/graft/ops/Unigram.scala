@@ -184,6 +184,16 @@ object Unigram {
         StructField("n", LongType, nullable = false),
         StructField("cost_mb", LongType, nullable = false))))
 
+  /** Reload a persisted [[piecesDF]] into driver state — the round-trip
+    * that lets a later session segment against a learned vocabulary
+    * WITHOUT refitting ([[Bpe.fromDF]]'s contract). */
+  def fromDF(pieces: DataFrame): Seq[Piece] = {
+    val rows = pieces.select("rank", "piece", "n", "cost_mb").collect()
+    require(rows.nonEmpty, "empty piece table")
+    rows.map(r => Piece(r.getInt(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).sortBy(_.rank).toSeq
+  }
+
   /** Per-doc Viterbi encode at corpus scale ([[TokenDigest]] shape):
     * token count + md5 digest of the ordered token stream per doc. */
   def encodeDigest(corpus: DataFrame, idCol: String, textCol: String,

@@ -148,6 +148,17 @@ object WordPiece {
         StructField("score_e9", LongType, nullable = false),
         StructField("n", LongType, nullable = false))))
 
+  /** Reload a persisted [[mergesDF]] into driver state — the round-trip
+    * that lets a later session encode against a learned vocabulary
+    * WITHOUT refitting ([[Bpe.fromDF]]'s contract). */
+  def fromDF(merges: DataFrame): Seq[WpMerge] = {
+    val rows = merges
+      .select("rank", "left", "right", "merged", "score_e9", "n").collect()
+    require(rows.nonEmpty, "empty merge table")
+    rows.map(r => WpMerge(r.getInt(0), r.getString(1), r.getString(2),
+      r.getString(3), r.getLong(4), r.getLong(5))).sortBy(_.rank).toSeq
+  }
+
   /** The MaxMatch vocabulary induced by training: every initial symbol
     * of the corpus (characters and their "##" forms) plus every merged
     * token. Model-sized — alphabet + one token per merge. */

@@ -68,6 +68,14 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("piece table persists and reloads bit-identically") {
+    val ps = Unigram.fit(Seq("abab abab cd").toDF("text"), "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-uni").toString
+    Unigram.piecesDF(spark, ps).write.parquet(s"$dir/p")
+    assert(Unigram.fromDF(spark.read.parquet(s"$dir/p")) == ps)
+  }
+
   test("encodeDigest: per-doc counts, order-sensitive digest, empty rows") {
     val docs = Seq((1L, "abab cd"), (2L, ""), (3L, "cd abab"))
       .toDF("doc_id", "text")

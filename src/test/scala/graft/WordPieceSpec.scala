@@ -51,6 +51,14 @@ class WordPieceSpec extends SparkSuite {
     assert(enc("puzzle") == Seq(WordPiece.Unk))
   }
 
+  test("wordpiece: merge table persists and reloads bit-identically") {
+    val ms = WordPiece.fit(Seq(corpus).toDF("text"), "text", rounds = 2)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-wp").toString
+    WordPiece.mergesDF(spark, ms).write.parquet(s"$dir/m")
+    assert(WordPiece.fromDF(spark.read.parquet(s"$dir/m")) == ms)
+  }
+
   test("wordpiece: encodeDigest keeps empty docs and orders tokens") {
     val docs = Seq(
       (1L, "hugs pun"),
