@@ -1277,6 +1277,36 @@ object SparkEntry {
         .orderBy("source", "bin")
     }),
 
+    // SEMANTIC packing (the deterministic re-expression of In-Context
+    // Pretraining, Shi et al. 2023 arXiv:2310.10638: related documents
+    // share a context window so the model learns cross-document
+    // dependencies). Spark-first shape: the trained k-means quantizer
+    // clusters the embedding space (the SemDeDup machinery), docs pack
+    // per CLUSTER ordered by (typicality desc, id) — most-central docs
+    // open each window — through the same one-running-sum pack as
+    // pack_docs. The paper's retrieval-chain ordering is approximated
+    // by cluster-then-typicality (documented simplification: a greedy
+    // nearest-neighbor walk is sequential by construction; the
+    // cluster order is deterministic, engine-replayable, and keeps
+    // semantic neighbors adjacent at any corpus size).
+    "pack_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val asg = KMeans.assignments(emb, "vec_id", "embedding", cents)
+      val toks = docs.select(col("doc_id").as("vec_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      Chunking.packByBudget(asg.join(toks, "vec_id"),
+          Seq("cluster"), "vec_id", col("n_toks"), budget = 256,
+          carryCols = Seq("cent_sim"),
+          orderCols = Seq(col("cent_sim").desc, col("vec_id")))
+        .groupBy("cluster", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("__tok").as("sum_toks"),
+          round(min("cent_sim"), 6).as("cos_min"),
+          round(max("cent_sim"), 6).as("cos_max"))
+        .orderBy("cluster", "bin")
+    }),
+
     // The loader-facing PACK MANIFEST: per (source, bin), the ordered
     // "doc@offset" placement list — bin_offset comes free from the same
     // running sum that chose the bin, so a data loader can seek every
@@ -3949,6 +3979,31 @@ object SparkEntry {
         |  CAST(SUM(tok) AS BIGINT) AS sum_tokens,
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // semantic pack: trained quantizer assignment + centroid cosine
+    // (the dedup_semantic CTEs), then the running-sum pack ordered by
+    // (typicality desc, id) within each cluster
+    "pack_semantic" ->
+      s"""WITH $kmeansCtes,
+        |a3 AS (${duckKmeansAssign("v", "u2c", 1)}),
+        |cs AS (SELECT a3.id, a3.cluster,
+        |    ${duckCosine("a3.v", "u2c.c")} AS cs
+        |  FROM a3 JOIN u2c USING (cluster)),
+        |tk AS (SELECT doc_id AS id,
+        |    CAST(len(regexp_extract_all(lower(text), '\\S+')) AS BIGINT)
+        |      AS n_toks FROM documents),
+        |j AS (SELECT cs.id, cs.cluster, cs.cs, tk.n_toks
+        |  FROM cs JOIN tk USING (id)),
+        |pb AS (SELECT cluster, cs, n_toks,
+        |    CAST(COALESCE(SUM(n_toks) OVER (PARTITION BY cluster
+        |      ORDER BY cs DESC, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |      AS BIGINT) AS bin
+        |  FROM j)
+        |SELECT cluster, bin, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |  round(MIN(cs), 6) AS cos_min, round(MAX(cs), 6) AS cos_max
+        |FROM pb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // manifest: bin and offset both from the one exclusive running sum
     "pack_manifest" ->

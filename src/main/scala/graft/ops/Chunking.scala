@@ -72,11 +72,17 @@ object Chunking {
     * nothing is silently truncated. */
   def packByBudget(df: DataFrame, strataCols: Seq[String], idCol: String,
                    tokenCountCol: Column, budget: Int,
-                   carryCols: Seq[String] = Nil): DataFrame = {
+                   carryCols: Seq[String] = Nil,
+                   orderCols: Seq[Column] = Nil): DataFrame = {
     require(budget > 0, s"budget must be positive, got $budget")
+    // default packing order is the id; callers may override (semantic
+    // packing orders by (typicality desc, id) within its cluster
+    // strata) — the override must still be a TOTAL order per stratum
+    // or the running sum is nondeterministic
+    val ord = if (orderCols.nonEmpty) orderCols else Seq(col(idCol))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(strataCols.map(col): _*)
-      .orderBy(col(idCol))
+      .orderBy(ord: _*)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     // bin AND the doc's token offset inside it both derive from ONE
     // exclusive running sum — bin_offset = cum - bin*budget costs no

@@ -454,6 +454,19 @@ object KMeans {
     * [[graft.ops.Dedup.minhashNearDupPairs]] discipline; the lazy path
     * deliberately does not cache (an unowned cache would pin the
     * largest intermediate in a shared session forever). */
+  /** Cluster assignment plus the typicality score, WITHOUT the dedup
+    * sweep: (id, cluster, cent_sim) for every row — the quantizer view
+    * semantic packing and diagnostics consume. Pure map-side
+    * expressions over driver-held centroid literals; zero shuffles. */
+  def assignments(df: DataFrame, idCol: String, vecCol: String,
+                  cents: Seq[Centroid]): DataFrame =
+    vecs(df, idCol, vecCol)
+      .withColumn("__cluster", assignExpr(col("__v"), cents))
+      .withColumn("__cs",
+        centroidCosExpr(col("__v"), col("__cluster"), cents))
+      .select(col("__id").as(idCol), col("__cluster").as("cluster"),
+        col("__cs").as("cent_sim"))
+
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
                cents: Seq[Centroid], threshold: Double,
                materialize: Boolean = false): DataFrame = {

@@ -90,6 +90,51 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(spans(("b", 2L)) == ((50L, false, 0L)), s"$spans")
   }
 
+  test("packing: custom order packs by typicality, not id") {
+    // two docs per stratum, the LOWER id the less typical: id order
+    // would pack (1, 2); (score desc, id) order must pack (2, 1) —
+    // visible in bin assignment under a budget that splits them
+    val d = Seq((1L, 0.1, 100L), (2L, 0.9, 100L))
+      .toDF("id", "score", "tok").withColumn("g", lit("s"))
+    val byScore = Chunking.packByBudget(d, Seq("g"), "id", col("tok"),
+        budget = 100, carryCols = Seq("score"),
+        orderCols = Seq(col("score").desc, col("id")))
+      .select("id", "bin").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byScore(2L) == 0L && byScore(1L) == 1L,
+      s"typicality order not honored: $byScore")
+  }
+
+  test("pack_semantic shape: planted blobs pack within their own cluster") {
+    import graft.ops.KMeans
+    // two tight blobs; every bin must be single-cluster by construction
+    // (cluster is a stratum), and within a cluster the most-typical
+    // (highest centroid-cos) doc must land in bin 0
+    val rows = (0 until 12).map { i =>
+      val base = if (i % 2 == 0) Seq(1.0, 0.0) else Seq(0.0, 1.0)
+      val v = base.map(_ + (i / 2) * 0.01)
+      (i.toLong, v)
+    }.toDF("id", "vec")
+    val cents = KMeans.fit(rows, "id", "vec", k = 2, iters = 2)
+    val asg = KMeans.assignments(rows, "id", "vec", cents)
+      .withColumn("tok", lit(60L))
+    val packed = Chunking.packByBudget(asg, Seq("cluster"), "id",
+      col("tok"), budget = 100, carryCols = Seq("cent_sim"),
+      orderCols = Seq(col("cent_sim").desc, col("id")))
+    val out = packed.select("cluster", "bin", "id", "cent_sim").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // strata are clusters: both clusters present, 6 docs each
+    assert(out.groupBy(_._1).forall(_._2.length == 6))
+    // within each cluster, bin-0 docs are at least as typical as bin-1+
+    for ((_, grp) <- out.groupBy(_._1)) {
+      val minBin0 = grp.filter(_._2 == 0L).map(_._4).min
+      val maxRest = grp.filter(_._2 > 0L).map(_._4)
+        .foldLeft(Double.NegativeInfinity)(math.max)
+      assert(minBin0 >= maxRest,
+        s"less-typical doc packed before a more-typical one: $grp")
+    }
+  }
+
   test("stripDuplicatedSpans: any-alignment dup spans stripped, first kept") {
     import graft.ops.Dedup
     // a 6-token passage duplicated across three docs at DIFFERENT
