@@ -212,6 +212,32 @@ object Probe {
             f"${d * 0.37 / 60}%.0f min)")
         }
 
+      // WordPiece in-memory trainer at depth: parity + wall clock vs
+      // the distributed rounds, then real-tokenizer merge depths — the
+      // lazy-heap re-push discipline is what scales or doesn't
+      case "wplocal" =>
+        import spark.implicits._
+        val nWords = args.lift(1).map(_.toInt).getOrElse(20000)
+        val deep = args.lift(2).map(_.toInt).getOrElse(30000)
+        val words = (0 until nWords).map { i =>
+          var h = i.toLong * 2654435761L + 12345L
+          (0 until 10).map { _ =>
+            h = h * 6364136223846793005L + 1442695040888963407L
+            ('a' + math.floorMod(h >>> 33, 26L).toInt).toChar
+          }.mkString
+        }
+        val corpus = words.toDF("text")
+        val (dist, tD) = timed(graft.ops.WordPiece.fit(corpus, "text", 64))
+        val (loc, tL) =
+          timed(graft.ops.WordPiece.fitLocal(corpus, "text", 64))
+        println(f"[wplocal] n=$nWords merges=64: distributed $tD%.1fs, " +
+          f"local $tL%.1fs (${tD / tL}%.0fx), identical=${dist == loc}")
+        for (d <- Seq(1000, 5000, deep)) {
+          val (ms, t) = timed(graft.ops.WordPiece.fitLocal(corpus, "text", d))
+          println(f"[wplocal] fitLocal merges=$d: $t%.1fs " +
+            f"(learned ${ms.size})")
+        }
+
       // strict batching on NATURAL text (the testdata documents corpus):
       // Zipfian pair counts separate cleanly, so provably-exact batches
       // actually fill — the round-reduction a real tokenizer fit gets

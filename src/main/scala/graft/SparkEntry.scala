@@ -2297,9 +2297,12 @@ object SparkEntry {
     // scale: the per-word fold runs once per DISTINCT word against the
     // trained vocabulary; each doc row carries its WordPiece token
     // count and an md5 digest of the token stream in document order.
+    // The merges come from the IN-MEMORY trainer while the oracle
+    // replays the DISTRIBUTED rounds — a hash-level pin that
+    // fitLocal == fit on the real corpus (the bpe_pack discipline).
     "wordpiece_encode" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val ms = WordPiece.fit(docs, "text", rounds = 6)
+      val ms = WordPiece.fitLocal(docs, "text", rounds = 6)
       WordPiece.encodeDigest(docs, "doc_id", "text",
         WordPiece.vocabulary(docs, "text", ms)).orderBy("doc_id")
     }),
@@ -2329,9 +2332,11 @@ object SparkEntry {
     // per-DISTINCT-word fold + equi-join shape; one shared doc spine.
     "tokenizer_fertility" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // both in-memory trainers, both hash-pinned against the oracle's
+      // distributed-round replays
       val bpe = Bpe.encodedLengths(docs, "doc_id", "text",
-        Bpe.fit(docs, "text", rounds = 6))
-      val wms = WordPiece.fit(docs, "text", rounds = 6)
+        Bpe.fitLocal(docs, "text", rounds = 6))
+      val wms = WordPiece.fitLocal(docs, "text", rounds = 6)
       val wp = WordPiece.encodeDigest(docs, "doc_id", "text",
           WordPiece.vocabulary(docs, "text", wms))
         .select(col("doc_id"), col("n_wp"))

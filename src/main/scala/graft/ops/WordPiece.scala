@@ -134,6 +134,158 @@ object WordPiece {
     } finally { words.unpersist(); () }
   }
 
+  /** The classic IN-MEMORY WordPiece trainer — [[Bpe.fitLocal]]'s
+    * ceiling-closer for the likelihood-scored loop: ONE Spark
+    * aggregate (the distinct-word count) collected once, then every
+    * merge round runs at memory speed. BYTE-IDENTICAL to [[fit]] by
+    * construction: the same integer-e9 score (BigInt floor division —
+    * cnt·1e9/(cl·cr) exceeds Long at corpus scale), the same
+    * (score desc, cnt desc, left, right) UTF-8 tie-break, the same
+    * leftmost-first merge scan.
+    *
+    * The argmax is a LAZY max-heap with re-push-on-change: unlike
+    * BPE's count-only ranking (which only changes for touched pairs),
+    * a WordPiece score moves whenever either SYMBOL count moves —
+    * merging (l, r) shrinks cnt(l)/cnt(r) and grows cnt(merged), which
+    * RAISES the scores of every pair containing them, so a
+    * stale-entries-only heap would hide the true argmax. A
+    * pair-by-symbol index re-pushes a fresh entry for every pair whose
+    * count OR either denominator changed; pops verify the stored
+    * (cnt, cl, cr) against current state and discard stale entries.
+    * Every pair's current state is always in the heap, so the first
+    * valid pop is the exact argmax. A spec pins merge-for-merge
+    * equality (scores and counts included) against [[fit]]. */
+  def fitLocal(corpus: DataFrame, textCol: String,
+               rounds: Int): Seq[WpMerge] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val wordRows = corpus
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect()
+    val words = wordRows.map { r =>
+      val cs = r.getString(0).split("")
+      cs.zipWithIndex.map { case (c, i) =>
+        if (i == 0) c else Continuation + c }
+    }
+    val wCnt = wordRows.map(_.getLong(1))
+    val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+    val symCnt = collection.mutable.Map.empty[String, Long]
+    val pairWords = collection.mutable
+      .Map.empty[(String, String), collection.mutable.Set[Int]]
+    val pairsBySym = collection.mutable
+      .Map.empty[String, collection.mutable.Set[(String, String)]]
+    def indexPair(p: (String, String)): Unit = {
+      pairsBySym.getOrElseUpdate(p._1,
+        collection.mutable.Set.empty[(String, String)]) += p
+      pairsBySym.getOrElseUpdate(p._2,
+        collection.mutable.Set.empty[(String, String)]) += p
+      ()
+    }
+    def addWord(wi: Int, sign: Long): Unit = {
+      val s = words(wi)
+      var i = 0
+      while (i < s.length) {
+        val c = symCnt.getOrElse(s(i), 0L) + sign * wCnt(wi)
+        if (c == 0L) { symCnt.remove(s(i)); () } else symCnt(s(i)) = c
+        if (i + 1 < s.length) {
+          val p = (s(i), s(i + 1))
+          val pc = pairCnt.getOrElse(p, 0L) + sign * wCnt(wi)
+          if (pc == 0L) { pairCnt.remove(p); () } else pairCnt(p) = pc
+          if (sign > 0) {
+            pairWords.getOrElseUpdate(p,
+              collection.mutable.Set.empty[Int]) += wi
+            indexPair(p)
+          }
+        }
+        i += 1
+      }
+    }
+    words.indices.foreach(addWord(_, 1L))
+    // heap entry: (scoreE9, cnt, l, r, cl, cr) — max by (score, cnt),
+    // then MIN by (l, r) in UTF-8 byte order; (cl, cr) only for
+    // staleness verification on pop
+    type Entry = (Long, Long, String, String, Long, Long)
+    implicit val ord: Ordering[Entry] = (a: Entry, b: Entry) => {
+      val s = java.lang.Long.compare(a._1, b._1)
+      if (s != 0) s
+      else {
+        val c = java.lang.Long.compare(a._2, b._2)
+        if (c != 0) c
+        else {
+          val l = Bpe.Utf8Order.compare(b._3, a._3) // reversed: min wins
+          if (l != 0) l else Bpe.Utf8Order.compare(b._4, a._4)
+        }
+      }
+    }
+    val heap = collection.mutable.PriorityQueue.empty[Entry]
+    def scoreE9(cnt: Long, cl: Long, cr: Long): Long =
+      ((BigInt(cnt) * 1000000000L) / (BigInt(cl) * cr)).toLong
+    def push(p: (String, String)): Unit =
+      for (cnt <- pairCnt.get(p); cl <- symCnt.get(p._1);
+           cr <- symCnt.get(p._2))
+        heap.enqueue((scoreE9(cnt, cl, cr), cnt, p._1, p._2, cl, cr))
+    pairCnt.keys.foreach(push)
+    def applyMergeLocal(s: Array[String], l: String, r: String,
+                        m: String): Array[String] = {
+      val out = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < s.length) {
+        if (i + 1 < s.length && s(i) == l && s(i + 1) == r) {
+          out += m; i += 2
+        } else { out += s(i); i += 1 }
+      }
+      out.toArray
+    }
+    val merges = Seq.newBuilder[WpMerge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= rounds && !exhausted) {
+      // pop to the first NON-STALE entry: stored cnt/denominators must
+      // match current state (every current pair state is in the heap
+      // by the re-push discipline, so this is the exact argmax)
+      var top: Option[Entry] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val e = heap.dequeue()
+        val p = (e._3, e._4)
+        val fresh = pairCnt.get(p).contains(e._2) &&
+          symCnt.get(e._3).contains(e._5) &&
+          symCnt.get(e._4).contains(e._6)
+        if (fresh) top = Some(e)
+      }
+      top match {
+        case None => exhausted = true
+        case Some((sc, cnt, l, r, _, _)) =>
+          val m = mergedToken(l, r)
+          merges += WpMerge(rank, l, r, m, sc, cnt)
+          val affected = pairWords.getOrElse((l, r), Set.empty[Int]).toArray
+          val touched =
+            collection.mutable.Set.empty[(String, String)]
+          for (wi <- affected) {
+            def snap(s: Array[String]): Unit = {
+              var i = 0
+              while (i + 1 < s.length) {
+                touched += ((s(i), s(i + 1))); i += 1
+              }
+            }
+            snap(words(wi))
+            addWord(wi, -1L)
+            words(wi) = applyMergeLocal(words(wi), l, r, m)
+            snap(words(wi))
+            addWord(wi, 1L)
+          }
+          // re-push every pair whose numerator changed (touched) or
+          // whose denominator changed (contains l, r, or the merged
+          // symbol) — their previous heap entries verify stale on pop
+          touched.foreach(push)
+          for (s <- Seq(l, r, m); p <- pairsBySym.getOrElse(s,
+              collection.mutable.Set.empty[(String, String)]))
+            push(p)
+          rank += 1
+      }
+    }
+    merges.result()
+  }
+
   /** The learned merge list as a flat DataFrame (persist/audit). */
   def mergesDF(spark: SparkSession, merges: Seq[WpMerge]): DataFrame =
     spark.createDataFrame(

@@ -51,6 +51,24 @@ class WordPieceSpec extends SparkSuite {
     assert(enc("puzzle") == Seq(WordPiece.Unk))
   }
 
+  test("wordpiece: fitLocal is merge-for-merge identical to fit") {
+    // the HF fixture (tie-heavy round 2) and a mixed corpus whose
+    // merges chain and whose denominators shift every round — the
+    // lazy-heap re-push discipline is what's under test
+    val fixtures = Seq(
+      (corpus, 4),
+      ("the quick brown fox jumps over the lazy dog " * 3 +
+        "pack my box with five dozen liquor jugs " * 2 +
+        "how vexingly quick daft zebras jump", 16))
+    for ((text, rounds) <- fixtures) {
+      val df = Seq(text).toDF("text")
+      val dist = WordPiece.fit(df, "text", rounds)
+      val local = WordPiece.fitLocal(df, "text", rounds)
+      assert(local == dist,
+        s"fitLocal diverged at rounds=$rounds:\n$local\nvs\n$dist")
+    }
+  }
+
   test("wordpiece: merge table persists and reloads bit-identically") {
     val ms = WordPiece.fit(Seq(corpus).toDF("text"), "text", rounds = 2)
     val dir = java.nio.file.Files
