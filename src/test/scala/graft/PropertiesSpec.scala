@@ -346,4 +346,37 @@ object GraftProperties extends Properties("graft") {
         rows.forall { case (_, _, w, ppm) => ppm == 1000000L * w / wSum }
     }
   }
+
+  // WordPiece fitLocal == fit over random TINY-ALPHABET corpora — ties
+  // are dense there (many pairs share counts and denominators), which
+  // is exactly where the lazy-heap re-push discipline could silently
+  // diverge from the distributed argmax; and MaxMatch reconstruction:
+  // stripping ## from the tokens re-concatenates the word
+  property("wordPiece.localEqualsFitAndMaxMatchReconstructs") =
+    Prop.forAll(for {
+      nWords <- Gen.choose(2, 8)
+      words <- Gen.listOfN(nWords, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+      reps <- Gen.listOfN(nWords, Gen.choose(1, 4))
+    } yield words.zip(reps)) { weighted =>
+      import graft.ops.WordPiece
+      val text = weighted.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .mkString(" ")
+      val df = Seq(text).toDF("text")
+      val rounds = 5
+      val dist = WordPiece.fit(df, "text", rounds)
+      val local = WordPiece.fitLocal(df, "text", rounds)
+      val vocab = WordPiece.vocabulary(df, "text", dist)
+      val recon = weighted.map(_._1).distinct.forall { w =>
+        val toks = Seq(w).toDF("w")
+          .select(WordPiece.maxMatchTokens(col("w"), vocab).as("t"))
+          .as[Seq[String]].head()
+        toks != Seq(WordPiece.Unk) &&
+          toks.map(_.stripPrefix(WordPiece.Continuation)).mkString == w
+      }
+      Prop(dist == local) :| s"fitLocal diverged: $local vs $dist" &&
+        Prop(recon) :| "MaxMatch failed to reconstruct a training word"
+    }
 }
