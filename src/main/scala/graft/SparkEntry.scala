@@ -1652,6 +1652,39 @@ object SparkEntry {
       s.table(qn).orderBy("source")
     }),
 
+    // TRAIN-BATCH / APPLY-STREAM tokenization: the vocabulary is
+    // trained once on the batch corpus (fitLocal — the ceiling-closer)
+    // and applied to the live feed as a pure MAP-SIDE fold
+    // (encodeExpr over driver-held merge literals: no join, no state,
+    // nothing to rebalance at any stream rate), aggregated per source.
+    // The oracle replays the DISTRIBUTED merge rounds and the
+    // vocabulary-join encode — one hash pins fitLocal == fit AND the
+    // per-occurrence fold == the vocab-join encode on the real corpus.
+    "stream_tokenize" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val ms = Bpe.fitLocal(docs, "text", rounds = 6)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val agg = src
+        .select(col("source"),
+          size(Bpe.encodeExpr(col("text"), ms)).cast("long").as("n_bpe"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("sum_bpe"))
+      val qn = "graft_stream_tokenize"
+      val q = agg.writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+        .format("memory").queryName(qn)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("source")
+    }),
+
     // SELF-MAINTAINING streaming dedup: two AvailableNow runs over the
     // same checkpoint (day-1 history feed, then a day-2 feed) — each
     // micro-batch dedups against the persisted fingerprint index, then
@@ -4954,6 +4987,20 @@ object SparkEntry {
         |SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n_bpe
         |FROM d JOIN s6 USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // train-batch/apply-stream: distributed rounds + vocab-join encode
+    // re-derived, per-source roll-up (empty docs still count)
+    "stream_tokenize" ->
+      s"""WITH ${duckBpeCtes(6)},
+        |std AS (SELECT source, doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+        |  FROM documents),
+        |ste AS (SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n
+        |  FROM std JOIN s6 USING (w) GROUP BY 1)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(e.n, 0)) AS BIGINT) AS sum_bpe
+        |FROM documents d LEFT JOIN ste e USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the full tokenizer->pack chain: the DISTRIBUTED merge rounds are
     // replayed (pinning fitLocal == fit at the hash level), encoded
