@@ -2003,6 +2003,36 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Perceptual-hash IMAGE near-dup (dHash, the published
+    // gradient-based fingerprint): the fixture plants 64 groups of
+    // re-exposed variants (same 9x8 gradient pattern, one pixel
+    // brightness-shifted per variant — a byte hash sees all of them as
+    // distinct), dHash reduces each to the standard quartered 64-bit
+    // print, and the SimHash pigeonhole blocking finds hamming<=3
+    // pairs from a quarter equi-join, never all-pairs.
+    "mm_dedup_phash" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val g = id % 256
+          val v = id / 256
+          // md5-derived base pixels (the engine's portable-hash idiom):
+          // cross-group dHash collisions become coin-flip improbable,
+          // so near-dup pairs stay group-confined by construction
+          Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
+            val b = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val shift =
+              if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
+            (b + shift) % 256
+          }))
+        }
+      Dedup.quarterNearDupPairs(Multimodal.dHashQuarters(media),
+          maxHamming = 3)
+        .orderBy("idA", "idB")
+    }),
+
     // Corpus curation: Gopher-style repetition signals — per-doc fraction of
     // the single most frequent word 2-gram, and fraction of 3-gram
     // occurrences whose 3-gram repeats. Two explode -> hash-agg passes; the
@@ -4711,6 +4741,46 @@ object SparkEntry {
 
     // Closed-form pixels sampled at the nearest-neighbor resize stride
     // (srcx = x2*w//4, srcy = y2*6//4); 4x4 target makes band = x2.
+    // dHash re-derived from the pixel formula: the 8x8 brighter-than-
+    // right-neighbor bit grid, 16-bit quarter packing, the pigeonhole
+    // quarter join, and the bit_count hamming verify
+    "mm_dedup_phash" ->
+      """WITH pg AS (SELECT doc_id AS id, doc_id % 256 AS g, doc_id // 256 AS v
+        |  FROM documents),
+        |ppx AS (SELECT id, x, y,
+        |    (CAST(concat('0x', substring(md5(
+        |        CAST(g AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' ||
+        |        CAST(y AS VARCHAR)), 1, 2)) AS INT) +
+        |     CASE WHEN v > 0 AND x = v % 9 AND y = (v * 3) % 8
+        |       THEN 128 ELSE 0 END) % 256 AS px
+        |  FROM pg, (SELECT unnest(range(0, 9)) AS x),
+        |    (SELECT unnest(range(0, 8)) AS y)),
+        |pb AS (SELECT a.id, (a.y * 8 + a.x) AS b,
+        |    CASE WHEN n.px > a.px THEN 1 ELSE 0 END AS bit
+        |  FROM ppx a JOIN ppx n
+        |    ON a.id = n.id AND n.y = a.y AND n.x = a.x + 1
+        |  WHERE a.x < 8),
+        |pq AS (SELECT id, b // 16 AS qi,
+        |    CAST(SUM(bit * (1 << (15 - (b % 16)))) AS BIGINT) AS key
+        |  FROM pb GROUP BY 1, 2),
+        |pquad AS (SELECT id,
+        |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
+        |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
+        |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
+        |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
+        |  FROM pq GROUP BY 1),
+        |pexp AS (SELECT id, k0, k1, k2, k3,
+        |    unnest([0, 1, 2, 3]) AS qi,
+        |    unnest([k0, k1, k2, k3]) AS key FROM pquad),
+        |ppairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+        |    bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+        |      AS hamming
+        |  FROM pexp a JOIN pexp b
+        |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
+        |SELECT idA, idB, CAST(hamming AS INT) AS hamming
+        |FROM ppairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
+
     "mm_resize" ->
       """WITH d AS (SELECT doc_id AS id, 8 + doc_id % 8 AS w, 6 AS h FROM documents),
         |xs AS (SELECT id, w, h, unnest(range(0, 4)) AS x2 FROM d),

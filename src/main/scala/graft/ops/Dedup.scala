@@ -800,8 +800,16 @@ object Dedup {
     * one quarter — pigeonhole), then verify true hamming distance. Same
     * banded-join shape as MinHash-LSH: no all-pairs comparison. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame = {
-    val f = simhashQuarters(df, idCol, textCol)
+                          maxHamming: Int = 3): DataFrame =
+    quarterNearDupPairs(simhashQuarters(df, idCol, textCol), maxHamming)
+
+  /** The pigeonhole blocking join over ANY quartered 64-bit fingerprint
+    * frame (id, sh: array of four 16-bit blocks) — SimHash text prints
+    * and perceptual image dHashes ([[Multimodal.dHashQuarters]]) share
+    * it: a pair within hamming distance 3 must agree on at least one
+    * quarter, so candidates come from a quarter equi-join and the true
+    * distance is verified on the candidate set only. */
+  def quarterNearDupPairs(f: DataFrame, maxHamming: Int = 3): DataFrame = {
     val withQ = f.select(col("id"), col("sh"), posexplode(col("sh")))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
     withQ.as("a").join(withQ.as("b"),

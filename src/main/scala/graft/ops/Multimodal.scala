@@ -277,6 +277,47 @@ object Multimodal {
     }
   }
 
+  /** Perceptual DIFFERENCE HASH (dHash — the published gradient-based
+    * perceptual image fingerprint; Krawetz 2013's formulation of the
+    * pHash family): decode → nearest-neighbor resize to 9×8 grayscale →
+    * 64 bits, bit (x, y) = 1 iff the pixel right of (x, y) is brighter.
+    * Brightness-invariant by construction (a uniform exposure shift
+    * flips no comparisons), which is what makes it a NEAR-dup key for
+    * re-encoded/re-exposed images where byte hashes are useless.
+    *
+    * Emits the engine's standard quartered-fingerprint shape — `sh` =
+    * four 16-bit blocks, bit i of quarter q at weight 1 << (15 − i) for
+    * global bit b = q·16 + i = y·8 + x — so the SimHash pigeonhole
+    * blocking ([[Dedup.quarterNearDupPairs]]) applies unchanged:
+    * hamming ≤ 3 pairs must agree on one quarter, candidates come from
+    * a quarter equi-join, never all-pairs. Decode is mapPartitions
+    * like every media kernel here. */
+  def dHashQuarters(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.product[Tuple1[Array[Long]]])
+    val hashed = media.mapPartitions { rows =>
+      rows.map { r =>
+        val (w, h, gray) = decodeBmpGray(r.payload)
+        val rz = resizeGray(w, h, gray, 9, 8)
+        val quarters = Array.tabulate(4) { q =>
+          var acc = 0L
+          var i = 0
+          while (i < 16) {
+            val b = q * 16 + i
+            val x = b % 8
+            val y = b / 8
+            if (rz(y * 9 + x + 1) > rz(y * 9 + x)) acc |= (1L << (15 - i))
+            i += 1
+          }
+          acc
+        }
+        (r.id, Tuple1(quarters))
+      }
+    }
+    hashed.toDF("id", "shw")
+      .select(col("id"), col("shw._1").as("sh"))
+  }
+
   /** Error-isolating variant of [[decodeFeatures]]: a malformed payload
     * (truncated header, lying chunk sizes, missing data chunk) yields a
     * per-row `status = "error"` with null features instead of failing the

@@ -251,4 +251,40 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     // upscale 1x1 -> 2x2 replicates the single pixel
     assert(Multimodal.resizeGray(1, 1, Array(9), 2, 2).toSeq == Seq(9, 9, 9, 9))
   }
+
+  test("dHash: brightness-invariant, local edits flip few bits, blocking finds pairs") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    def bmp(id: Long, shift: Int, poke: Option[(Int, Int)]) =
+      Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
+        val b = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"base:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+        val poked = if (poke.contains((x, y))) 128 else 0
+        // uniform exposure shift: clamp-free modular shift preserves
+        // NOTHING about order... so use a small clamped shift instead,
+        // the real re-exposure model (order-preserving where unclipped)
+        math.min(255, b / 2 + shift) + poked & 0xFF
+      }))
+    val media = Seq(
+      bmp(1L, 0, None),            // original
+      bmp(2L, 40, None),           // re-exposed: same gradient signs
+      bmp(3L, 0, Some((4, 4))),    // one poked pixel: <= 2 bits flip
+      bmp(4L, 0, None)             // exact duplicate of 1
+    ).toDS()
+    val f = Multimodal.dHashQuarters(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f(1L) == f(4L), "exact duplicate must hash identically")
+    assert(f(1L) == f(2L),
+      "a uniform unclipped exposure shift must not change dHash")
+    val hamming13 = f(1L).zip(f(3L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming13 >= 1 && hamming13 <= 2,
+      s"one poked pixel flips 1-2 bits, got $hamming13")
+    val pairs = Dedup.quarterNearDupPairs(
+        Multimodal.dHashQuarters(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 4L), (3L, 4L)),
+      s"all four variants are one near-dup clique: $pairs")
+  }
 }
