@@ -2033,6 +2033,43 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // The INCREMENTAL sibling (the index convention every dedup family
+    // carries): even ids are yesterday's corpus, persisted as quartered
+    // dHash prints only — payloads never re-decoded — and the odd-id
+    // batch pairs against any history print within hamming 3 through
+    // the same quarter pigeonhole join.
+    "mm_dedup_phash_incremental" -> ((s, dir) => {
+      import s.implicits._
+      def mediaOf(parity: Int) = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .filter((id: Long) => id % 2 == parity)
+        .map { id =>
+          // ODD modulus: a variant group {g, g+255, g+510, ...}
+          // alternates parity, so history and batch genuinely share
+          // groups (a 256 modulus would make every group single-parity
+          // and the incremental query vacuously empty)
+          val g = id % 255
+          val v = id / 255
+          Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
+            val b = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val shift =
+              if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
+            (b + shift) % 256
+          }))
+        }
+      // history: prints persisted once (parquet round-trip — the index
+      // IS the stored table, the fingerprintIndex discipline)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-phidx").toString
+      Multimodal.dHashQuarters(mediaOf(0))
+        .write.mode("overwrite").parquet(s"$tmp/idx")
+      val index = s.read.parquet(s"$tmp/idx")
+      Dedup.quarterNearDupAgainstIndex(
+          Multimodal.dHashQuarters(mediaOf(1)), index, maxHamming = 3)
+        .orderBy("idA", "idB")
+    }),
+
     // Corpus curation: Gopher-style repetition signals — per-doc fraction of
     // the single most frequent word 2-gram, and fraction of 3-gram
     // occurrences whose 3-gram repeats. Two explode -> hash-agg passes; the
@@ -2968,6 +3005,39 @@ object SparkEntry {
        |      THEN [CAST($p + len($sub) AS VARCHAR)] || acc[2:] || [$cand]
        |      END""".stripMargin
   }
+
+  /** dHash fixture + fingerprint CTEs shared by the two mm_dedup_phash
+    * oracles: md5-derived 9×8 pixels per variant group, the 8×8
+    * brighter-than-right bit grid, 16-bit quarter packing, and the
+    * per-id quarter explosion `pexp(id, k0..k3, qi, key)`. */
+  private def duckDHashCtes(mod: Int): String =
+    s"""pg AS (SELECT doc_id AS id, doc_id % $mod AS g, doc_id // $mod AS v
+      |  FROM documents),
+      |ppx AS (SELECT id, x, y,
+      |    (CAST(concat('0x', substring(md5(
+      |        CAST(g AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' ||
+      |        CAST(y AS VARCHAR)), 1, 2)) AS INT) +
+      |     CASE WHEN v > 0 AND x = v % 9 AND y = (v * 3) % 8
+      |       THEN 128 ELSE 0 END) % 256 AS px
+      |  FROM pg, (SELECT unnest(range(0, 9)) AS x),
+      |    (SELECT unnest(range(0, 8)) AS y)),
+      |pb AS (SELECT a.id, (a.y * 8 + a.x) AS b,
+      |    CASE WHEN n.px > a.px THEN 1 ELSE 0 END AS bit
+      |  FROM ppx a JOIN ppx n
+      |    ON a.id = n.id AND n.y = a.y AND n.x = a.x + 1
+      |  WHERE a.x < 8),
+      |pq AS (SELECT id, b // 16 AS qi,
+      |    CAST(SUM(bit * (1 << (15 - (b % 16)))) AS BIGINT) AS key
+      |  FROM pb GROUP BY 1, 2),
+      |pquad AS (SELECT id,
+      |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
+      |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
+      |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
+      |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
+      |  FROM pq GROUP BY 1),
+      |pexp AS (SELECT id, k0, k1, k2, k3,
+      |    unnest([0, 1, 2, 3]) AS qi,
+      |    unnest([k0, k1, k2, k3]) AS key FROM pquad)""".stripMargin
 
   /** The fixed-point floor(1024*log2(x)) of Unigram.mb1024 as a DuckDB
     * expression over `x` (textual; x must be a BIGINT >= 1): exponent
@@ -4745,39 +4815,27 @@ object SparkEntry {
     // right-neighbor bit grid, 16-bit quarter packing, the pigeonhole
     // quarter join, and the bit_count hamming verify
     "mm_dedup_phash" ->
-      """WITH pg AS (SELECT doc_id AS id, doc_id % 256 AS g, doc_id // 256 AS v
-        |  FROM documents),
-        |ppx AS (SELECT id, x, y,
-        |    (CAST(concat('0x', substring(md5(
-        |        CAST(g AS VARCHAR) || ':' || CAST(x AS VARCHAR) || ':' ||
-        |        CAST(y AS VARCHAR)), 1, 2)) AS INT) +
-        |     CASE WHEN v > 0 AND x = v % 9 AND y = (v * 3) % 8
-        |       THEN 128 ELSE 0 END) % 256 AS px
-        |  FROM pg, (SELECT unnest(range(0, 9)) AS x),
-        |    (SELECT unnest(range(0, 8)) AS y)),
-        |pb AS (SELECT a.id, (a.y * 8 + a.x) AS b,
-        |    CASE WHEN n.px > a.px THEN 1 ELSE 0 END AS bit
-        |  FROM ppx a JOIN ppx n
-        |    ON a.id = n.id AND n.y = a.y AND n.x = a.x + 1
-        |  WHERE a.x < 8),
-        |pq AS (SELECT id, b // 16 AS qi,
-        |    CAST(SUM(bit * (1 << (15 - (b % 16)))) AS BIGINT) AS key
-        |  FROM pb GROUP BY 1, 2),
-        |pquad AS (SELECT id,
-        |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
-        |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
-        |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
-        |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
-        |  FROM pq GROUP BY 1),
-        |pexp AS (SELECT id, k0, k1, k2, k3,
-        |    unnest([0, 1, 2, 3]) AS qi,
-        |    unnest([k0, k1, k2, k3]) AS key FROM pquad),
+      s"""WITH ${duckDHashCtes(256)},
         |ppairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
         |    bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
         |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
         |      AS hamming
         |  FROM pexp a JOIN pexp b
         |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
+        |SELECT idA, idB, CAST(hamming AS INT) AS hamming
+        |FROM ppairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
+
+    // incremental: odd-id batch prints vs even-id history prints, same
+    // pigeonhole join, no ordering constraint across the two sets
+    "mm_dedup_phash_incremental" ->
+      s"""WITH ${duckDHashCtes(255)},
+        |ppairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+        |    bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+        |      AS hamming
+        |  FROM pexp a JOIN pexp b
+        |    ON a.qi = b.qi AND a.key = b.key
+        |  WHERE a.id % 2 = 1 AND b.id % 2 = 0)
         |SELECT idA, idB, CAST(hamming AS INT) AS hamming
         |FROM ppairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
 

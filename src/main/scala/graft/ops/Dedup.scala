@@ -820,4 +820,25 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** INCREMENTAL sibling of [[quarterNearDupPairs]] — the
+    * fingerprint-index convention every dedup family here carries
+    * (exact, minhash, span, embedding): history participates as its
+    * persisted (id, sh) quartered prints only — payloads are never
+    * re-decoded or re-read — and each incoming batch row pairs against
+    * any history print within `maxHamming` via the same quarter
+    * pigeonhole equi-join. Within-batch duplication composes with the
+    * batch operator, the established dedupAgainstIndex convention. */
+  def quarterNearDupAgainstIndex(batch: DataFrame, index: DataFrame,
+                                 maxHamming: Int = 3): DataFrame = {
+    def exploded(f: DataFrame) =
+      f.select(col("id"), col("sh"), posexplode(col("sh")))
+        .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
+    exploded(batch).as("a").join(exploded(index).as("b"),
+        col("a.q") === col("b.q") && col("a.key") === col("b.key"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 }

@@ -379,4 +379,39 @@ object GraftProperties extends Properties("graft") {
       Prop(dist == local) :| s"fitLocal diverged: $local vs $dist" &&
         Prop(recon) :| "MaxMatch failed to reconstruct a training word"
     }
+
+  // Unigram Viterbi laws on random corpora: every training word
+  // reconstructs from its pieces (char coverage guarantees a path),
+  // and the winning segmentation's cost never exceeds the all-chars
+  // fallback (Viterbi optimality against the one always-legal path)
+  property("unigram.viterbiReconstructsAndBeatsChars") =
+    Prop.forAll(for {
+      nWords <- Gen.choose(2, 8)
+      words <- Gen.listOfN(nWords, for {
+        len <- Gen.choose(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+      reps <- Gen.listOfN(nWords, Gen.choose(1, 4))
+    } yield words.zip(reps)) { weighted =>
+      import graft.ops.Unigram
+      val text = weighted.flatMap { case (w, n) => Seq.fill(n)(w) }
+        .mkString(" ")
+      val df = Seq(text).toDF("text")
+      val ps = Unigram.fit(df, "text")
+      val costs = ps.map(p => p.piece -> p.costMb).toMap
+      val distinct = weighted.map(_._1).distinct
+      val toksOf = distinct.map { w =>
+        w -> Seq(w).toDF("w")
+          .select(Unigram.viterbiTokens(col("w"), costs).as("t"))
+          .as[Seq[String]].head()
+      }.toMap
+      val recon = distinct.forall(w => toksOf(w).mkString == w)
+      val optimal = distinct.forall { w =>
+        val got = toksOf(w).map(costs).sum
+        val chars = w.split("").map(costs).sum
+        got <= chars
+      }
+      Prop(recon) :| "viterbi failed to reconstruct a training word" &&
+        Prop(optimal) :| "viterbi cost exceeded the all-chars path"
+    }
 }
