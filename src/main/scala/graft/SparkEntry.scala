@@ -1660,6 +1660,12 @@ object SparkEntry {
     // The oracle replays the DISTRIBUTED merge rounds and the
     // vocabulary-join encode — one hash pins fitLocal == fit AND the
     // per-occurrence fold == the vocab-join encode on the real corpus.
+    // COST, priced deliberately: the per-occurrence fold re-encodes
+    // every token (interpreted HOF — 11 s at sf0.1) to buy the
+    // zero-state guarantee; when stream throughput dominates, the swap
+    // is foreachBatch + encodedLengths (the per-DISTINCT-word vocab
+    // join per micro-batch) — batch-identical output, one stream-
+    // static join of state.
     "stream_tokenize" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val docs = t(s, dir, "documents")
