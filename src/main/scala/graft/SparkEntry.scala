@@ -2076,6 +2076,49 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // IMAGE-aware leakage-safe split: the split unit is the phash
+    // near-dup CONNECTED COMPONENT — a re-exposed or lightly-edited
+    // variant of a training image can never land in test (the text
+    // family's leakageSafeSplit groups by exact fingerprint; images
+    // need the perceptual clique, because byte hashes see every
+    // variant as distinct). Pairs from the quarter pigeonhole join,
+    // components via the O(log n) large-star/small-star loop, split
+    // by the md5 bucket of the component representative.
+    "mm_split_leakage_safe" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val g = id % 256
+          val v = id / 256
+          Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
+            val b = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val shift =
+              if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
+            (b + shift) % 256
+          }))
+        }
+      val pairs = Dedup.quarterNearDupPairs(
+        Multimodal.dHashQuarters(media), maxHamming = 3)
+      // the pair list is near-dup-scale; the eager checkpoint cuts the
+      // decode/fingerprint lineage BEFORE the component loop (whose
+      // label union over a live pair lineage trips Union constraint
+      // rewriting — key-not-found during optimization) and lets the
+      // labels re-join the same source table without attribute clashes
+      val comps = Dedup.clusterPairs(
+        pairs.select("idA", "idB").localCheckpoint(true))
+      val grouped = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id"))
+        .join(comps, Seq("id"), "left")
+        .select(col("id"), coalesce(col("rep"), col("id")).as("grp"))
+      Sampling.hashSplitBy(grouped, col("grp"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_images"),
+          countDistinct(col("grp")).as("n_groups"))
+        .orderBy("split")
+    }),
+
     // Corpus curation: Gopher-style repetition signals — per-doc fraction of
     // the single most frequent word 2-gram, and fraction of 3-gram
     // occurrences whose 3-gram repeats. Two explode -> hash-agg passes; the
@@ -4830,6 +4873,38 @@ object SparkEntry {
         |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
         |SELECT idA, idB, CAST(hamming AS INT) AS hamming
         |FROM ppairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
+
+    // phash pairs -> recursive components -> rep-keyed md5 split
+    // buckets (0..255 vs the 10%/10% thresholds), per-split roll-up
+    "mm_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${duckDHashCtes(256)},
+        |ppairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB
+        |  FROM pexp a JOIN pexp b
+        |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id
+        |  WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3),
+        |pnodes AS (SELECT idA AS id FROM ppairs
+        |  UNION SELECT idB FROM ppairs),
+        |pedges AS (SELECT idA AS a, idB AS b FROM ppairs
+        |  UNION SELECT idB AS a, idA AS b FROM ppairs),
+        |preach AS (
+        |  SELECT id AS node, id AS r FROM pnodes
+        |  UNION
+        |  SELECT e.b AS node, preach.r AS r
+        |  FROM preach JOIN pedges e ON preach.node = e.a),
+        |pcomp AS (SELECT node AS id, MIN(r) AS rep FROM preach GROUP BY 1),
+        |pgrp AS (SELECT d.doc_id AS id, COALESCE(c.rep, d.doc_id) AS grp
+        |  FROM documents d LEFT JOIN pcomp c ON d.doc_id = c.id),
+        |psplit AS (SELECT id, grp,
+        |    CASE WHEN CAST(concat('0x', substring(md5(
+        |        CAST(grp AS VARCHAR)), 1, 2)) AS INT) < 25 THEN 'test'
+        |      WHEN CAST(concat('0x', substring(md5(
+        |        CAST(grp AS VARCHAR)), 1, 2)) AS INT) < 50 THEN 'validation'
+        |      ELSE 'train' END AS split
+        |  FROM pgrp)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_images,
+        |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
+        |FROM psplit GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // incremental: odd-id batch prints vs even-id history prints, same
     // pigeonhole join, no ordering constraint across the two sets

@@ -286,5 +286,18 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(pairs == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
       (2L, 4L), (3L, 4L)),
       s"all four variants are one near-dup clique: $pairs")
+    // leakage-safe split composition: the clique is ONE split unit —
+    // all four variants land in the same split, never train AND test
+    val pairsDf = Dedup.quarterNearDupPairs(
+      Multimodal.dHashQuarters(media), maxHamming = 3)
+    val comps = Dedup.clusterPairs(
+      pairsDf.select("idA", "idB").localCheckpoint(true))
+    val grouped = Seq(1L, 2L, 3L, 4L).toDF("id")
+      .join(comps, Seq("id"), "left")
+      .select(col("id"), coalesce(col("rep"), col("id")).as("grp"))
+    val splits = graft.ops.Sampling.hashSplitBy(grouped, col("grp"))
+      .select("split").distinct().collect()
+    assert(splits.length == 1,
+      s"phash clique straddled splits: ${splits.mkString(",")}")
   }
 }
