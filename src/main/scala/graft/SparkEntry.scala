@@ -2039,6 +2039,32 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // The AUDIO twin of the perceptual dedup (Haitsma & Kalker 2002's
+    // sign-of-energy-difference print, time-domain re-expression — the
+    // published FFT-band form is float arithmetic no cross-engine
+    // oracle can replay): volume-invariant by construction, so
+    // re-normalized copies byte hashes can never match collapse to the
+    // same print; same quartered shape, same pigeonhole join.
+    "mm_dedup_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          val g = id % 256
+          val v = id / 256
+          val samples = Array.tabulate(128) { i =>
+            val b = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"a:$g:$i".getBytes("UTF-8"))(0) & 0xFF
+            val pop = if (v > 0 && i == ((v * 7) % 128)) 500 else 0
+            (b - 128 + pop).toShort
+          }
+          Multimodal.MediaRow(id, Multimodal.encodeWav(samples))
+        }
+      Dedup.quarterNearDupPairs(Multimodal.audioPrintQuarters(media),
+          maxHamming = 3)
+        .orderBy("idA", "idB")
+    }),
+
     // The INCREMENTAL sibling (the index convention every dedup family
     // carries): even ids are yesterday's corpus, persisted as quartered
     // dHash prints only — payloads never re-decoded — and the odd-id
@@ -4905,6 +4931,49 @@ object SparkEntry {
         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_images,
         |  CAST(COUNT(DISTINCT grp) AS BIGINT) AS n_groups
         |FROM psplit GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // audio print re-derived: md5 samples, 33 time windows by the
+    // i*W//n convention, integer mean-|amplitude| energies, 32 delta
+    // bits, 8-bit quarter packing, the same pigeonhole join
+    "mm_dedup_audio" ->
+      """WITH ag AS (SELECT doc_id AS id, doc_id % 256 AS g,
+        |    doc_id // 256 AS v FROM documents),
+        |asamp AS (SELECT id, i,
+        |    (CAST(concat('0x', substring(md5(
+        |        'a:' || CAST(g AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+        |        1, 2)) AS INT) - 128
+        |     + CASE WHEN v > 0 AND i = (v * 7) % 128 THEN 500 ELSE 0 END)
+        |      AS samp
+        |  FROM ag, (SELECT unnest(range(0, 128)) AS i)),
+        |awin AS (SELECT id, CAST((i * 33) // 128 AS INT) AS w2, samp
+        |  FROM asamp),
+        |aen AS (SELECT id, w2, CAST(SUM(ABS(samp)) AS BIGINT) AS s,
+        |    CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM awin GROUP BY 1, 2),
+        |abit AS (SELECT a.id, a.w2 AS b,
+        |    CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
+        |  FROM aen a JOIN aen n ON a.id = n.id AND n.w2 = a.w2 + 1
+        |  WHERE a.w2 < 32),
+        |aq AS (SELECT id, b // 8 AS qi,
+        |    CAST(SUM(bit * (1 << (7 - (b % 8)))) AS BIGINT) AS key
+        |  FROM abit GROUP BY 1, 2),
+        |aquad AS (SELECT id,
+        |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
+        |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
+        |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
+        |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
+        |  FROM aq GROUP BY 1),
+        |aexp AS (SELECT id, k0, k1, k2, k3,
+        |    unnest([0, 1, 2, 3]) AS qi,
+        |    unnest([k0, k1, k2, k3]) AS key FROM aquad),
+        |apairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+        |    bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+        |      AS hamming
+        |  FROM aexp a JOIN aexp b
+        |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
+        |SELECT idA, idB, CAST(hamming AS INT) AS hamming
+        |FROM apairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
 
     // incremental: odd-id batch prints vs even-id history prints, same
     // pigeonhole join, no ordering constraint across the two sets

@@ -318,6 +318,64 @@ object Multimodal {
       .select(col("id"), col("shw._1").as("sh"))
   }
 
+  /** Time windows in the audio fingerprint grid: 33 windows give 32
+    * energy-delta bits — four 8-bit blocks for the quarter blocking. */
+  val AudioPrintWindows = 33
+
+  /** Audio ENERGY-DELTA fingerprint — the deterministic time-domain
+    * re-expression of Haitsma & Kalker 2002's sign-of-band-energy-
+    * difference audio print (the published form differences FFT
+    * frequency bands; an FFT is float arithmetic no cross-engine
+    * oracle can replay bit-exactly, so the delta runs on the time
+    * axis, documented as such): decode PCM → [[AudioPrintWindows]]
+    * equal time windows (window of sample i = i·W DIV n, the
+    * [[decodeFeatures]] convention) → 32 bits, bit i = 1 iff window
+    * i+1 is LOUDER than window i, compared as the exact rational mean
+    * |amplitude| via integer CROSS-MULTIPLICATION
+    * (S_{i+1}·c_i > S_i·c_{i+1} — the Gopher-rules idiom; a floored
+    * division would make the print only approximately volume-invariant
+    * because ties and near-ties re-resolve under gain). EXACTLY
+    * volume-invariant: scaling every sample by a positive constant
+    * scales both sides of every comparison equally — the re-encoded/
+    * re-normalized copy a byte hash can never match. Emits the
+    * standard quartered shape (four 8-bit blocks, bit i of quarter q
+    * at weight 1 << (7 − i)), so [[Dedup.quarterNearDupPairs]] applies
+    * unchanged. */
+  def audioPrintQuarters(media: Dataset[MediaRow]): DataFrame = {
+    implicit val enc = Encoders.tuple(Encoders.scalaLong,
+      Encoders.product[Tuple1[Array[Long]]])
+    val w = AudioPrintWindows
+    val hashed = media.mapPartitions { rows =>
+      rows.map { r =>
+        val pcm = decodeWavPcm(r.payload)
+        val n = pcm.length
+        val sums = new Array[Long](w)
+        val cnts = new Array[Long](w)
+        var i = 0
+        while (i < n) {
+          val wi = (i.toLong * w / n).toInt
+          sums(wi) += math.abs(pcm(i).toLong)
+          cnts(wi) += 1
+          i += 1
+        }
+        val quarters = Array.tabulate(4) { q =>
+          var acc = 0L
+          var b = 0
+          while (b < 8) {
+            val bit = q * 8 + b
+            if (sums(bit + 1) * cnts(bit) > sums(bit) * cnts(bit + 1))
+              acc |= (1L << (7 - b))
+            b += 1
+          }
+          acc
+        }
+        (r.id, Tuple1(quarters))
+      }
+    }
+    hashed.toDF("id", "shw")
+      .select(col("id"), col("shw._1").as("sh"))
+  }
+
   /** Error-isolating variant of [[decodeFeatures]]: a malformed payload
     * (truncated header, lying chunk sizes, missing data chunk) yields a
     * per-row `status = "error"` with null features instead of failing the

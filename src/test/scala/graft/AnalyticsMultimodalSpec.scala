@@ -252,6 +252,38 @@ class AnalyticsMultimodalSpec extends SparkSuite {
     assert(Multimodal.resizeGray(1, 1, Array(9), 2, 2).toSeq == Seq(9, 9, 9, 9))
   }
 
+  test("audioPrint: volume-invariant, a local pop flips few bits, clique found") {
+    import spark.implicits._
+    import graft.ops.Dedup
+    def wav(id: Long, gain: Int, pop: Option[Int]) =
+      Multimodal.MediaRow(id, Multimodal.encodeWav(
+        Array.tabulate(128) { i =>
+          val b = java.security.MessageDigest.getInstance("MD5")
+            .digest(s"sp:$i".getBytes("UTF-8"))(0) & 0xFF
+          val base = (b - 128) * gain
+          (base + (if (pop.contains(i)) 800 else 0)).toShort
+        }))
+    val media = Seq(
+      wav(1L, 1, None),        // original
+      wav(2L, 3, None),        // same signal at 3x volume
+      wav(3L, 1, Some(64)),    // one transient pop
+      wav(4L, 1, None)         // exact duplicate
+    ).toDS()
+    val f = Multimodal.audioPrintQuarters(media).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(f(1L) == f(4L), "exact duplicate must print identically")
+    assert(f(1L) == f(2L),
+      "a uniform volume change must not change the energy-delta print")
+    val hamming13 = f(1L).zip(f(3L))
+      .map { case (a, b) => java.lang.Long.bitCount(a ^ b) }.sum
+    assert(hamming13 >= 1 && hamming13 <= 2,
+      s"one pop flips 1-2 bits, got $hamming13")
+    val pairs = Dedup.quarterNearDupPairs(
+        Multimodal.audioPrintQuarters(media), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 6, s"all four variants one clique: $pairs")
+  }
+
   test("dHash: brightness-invariant, local edits flip few bits, blocking finds pairs") {
     import spark.implicits._
     import graft.ops.Dedup
