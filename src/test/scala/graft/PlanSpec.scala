@@ -275,6 +275,26 @@ class PlanSpec extends SparkSuite {
       s"model/priors not broadcast:\n$plan")
   }
 
+  test("quarterNearDupPairs: pigeonhole equi-join, never all-pairs") {
+    import graft.ops.Dedup
+    val prints = (0L until 80L).map(i =>
+      (i, Array(i % 7, i % 11, i % 13, i % 17)))
+      .toDF("id", "sh")
+    val plan = planOf(Dedup.quarterNearDupPairs(prints, maxHamming = 3))
+    // the blocking join must be an equi-join on (quarter, key) — a
+    // cartesian or nested-loop here is the all-pairs failure mode the
+    // pigeonhole exists to prevent, for text simhash AND the media
+    // prints alike
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"quartered blocking degenerated to all-pairs:\n$plan")
+    val planIdx = planOf(Dedup.quarterNearDupAgainstIndex(
+      prints.filter($"id" % 2 === 1), prints.filter($"id" % 2 === 0)))
+    assert(!planIdx.contains("CartesianProduct") &&
+      !planIdx.contains("BroadcastNestedLoopJoin"),
+      s"index blocking degenerated to all-pairs:\n$planIdx")
+  }
+
   test("wordpiece encode: fold per distinct word, equi-join back, no cartesian") {
     import graft.ops.WordPiece
     val docs = (0L until 60L).map(i => (i, s"alpha bravo w$i alpha"))
