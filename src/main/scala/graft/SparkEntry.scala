@@ -2065,6 +2065,36 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // Audio prints carry the same index convention: history as
+    // persisted quartered prints, the odd-id batch pairs against it
+    // through the cross-set pigeonhole join (odd modulus so variant
+    // groups genuinely straddle the parity split — the phash lesson).
+    "mm_dedup_audio_incremental" -> ((s, dir) => {
+      import s.implicits._
+      def mediaOf(parity: Int) = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .filter((id: Long) => id % 2 == parity)
+        .map { id =>
+          val g = id % 255
+          val v = id / 255
+          val samples = Array.tabulate(128) { i =>
+            val b = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"a:$g:$i".getBytes("UTF-8"))(0) & 0xFF
+            val pop = if (v > 0 && i == ((v * 7) % 128)) 500 else 0
+            (b - 128 + pop).toShort
+          }
+          Multimodal.MediaRow(id, Multimodal.encodeWav(samples))
+        }
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-auidx").toString
+      Multimodal.audioPrintQuarters(mediaOf(0))
+        .write.mode("overwrite").parquet(s"$tmp/idx")
+      val index = s.read.parquet(s"$tmp/idx")
+      Dedup.quarterNearDupAgainstIndex(
+          Multimodal.audioPrintQuarters(mediaOf(1)), index, maxHamming = 3)
+        .orderBy("idA", "idB")
+    }),
+
     // The INCREMENTAL sibling (the index convention every dedup family
     // carries): even ids are yesterday's corpus, persisted as quartered
     // dHash prints only — payloads never re-decoded — and the odd-id
@@ -3113,6 +3143,43 @@ object SparkEntry {
       |pexp AS (SELECT id, k0, k1, k2, k3,
       |    unnest([0, 1, 2, 3]) AS qi,
       |    unnest([k0, k1, k2, k3]) AS key FROM pquad)""".stripMargin
+
+  /** Audio-print fixture + fingerprint CTEs shared by the two
+    * mm_dedup_audio oracles: md5-derived 128-sample PCM per variant
+    * group (modulus `mod`), 33 time windows by i·W DIV n,
+    * cross-multiplied loudness bits, 8-bit quarter packing, ending at
+    * `aexp(id, k0..k3, qi, key)`. */
+  private def duckAudioCtes(mod: Int): String =
+    s"""ag AS (SELECT doc_id AS id, doc_id % $mod AS g,
+      |    doc_id // $mod AS v FROM documents),
+      |asamp AS (SELECT id, i,
+      |    (CAST(concat('0x', substring(md5(
+      |        'a:' || CAST(g AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
+      |        1, 2)) AS INT) - 128
+      |     + CASE WHEN v > 0 AND i = (v * 7) % 128 THEN 500 ELSE 0 END)
+      |      AS samp
+      |  FROM ag, (SELECT unnest(range(0, 128)) AS i)),
+      |awin AS (SELECT id, CAST((i * 33) // 128 AS INT) AS w2, samp
+      |  FROM asamp),
+      |aen AS (SELECT id, w2, CAST(SUM(ABS(samp)) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM awin GROUP BY 1, 2),
+      |abit AS (SELECT a.id, a.w2 AS b,
+      |    CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
+      |  FROM aen a JOIN aen n ON a.id = n.id AND n.w2 = a.w2 + 1
+      |  WHERE a.w2 < 32),
+      |aq AS (SELECT id, b // 8 AS qi,
+      |    CAST(SUM(bit * (1 << (7 - (b % 8)))) AS BIGINT) AS key
+      |  FROM abit GROUP BY 1, 2),
+      |aquad AS (SELECT id,
+      |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
+      |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
+      |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
+      |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
+      |  FROM aq GROUP BY 1),
+      |aexp AS (SELECT id, k0, k1, k2, k3,
+      |    unnest([0, 1, 2, 3]) AS qi,
+      |    unnest([k0, k1, k2, k3]) AS key FROM aquad)""".stripMargin
 
   /** The fixed-point floor(1024*log2(x)) of Unigram.mb1024 as a DuckDB
     * expression over `x` (textual; x must be a BIGINT >= 1): exponent
@@ -4933,45 +5000,30 @@ object SparkEntry {
         |FROM psplit GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // audio print re-derived: md5 samples, 33 time windows by the
-    // i*W//n convention, integer mean-|amplitude| energies, 32 delta
-    // bits, 8-bit quarter packing, the same pigeonhole join
+    // i*W//n convention, cross-multiplied loudness bits, 8-bit quarter
+    // packing, the same pigeonhole join
     "mm_dedup_audio" ->
-      """WITH ag AS (SELECT doc_id AS id, doc_id % 256 AS g,
-        |    doc_id // 256 AS v FROM documents),
-        |asamp AS (SELECT id, i,
-        |    (CAST(concat('0x', substring(md5(
-        |        'a:' || CAST(g AS VARCHAR) || ':' || CAST(i AS VARCHAR)),
-        |        1, 2)) AS INT) - 128
-        |     + CASE WHEN v > 0 AND i = (v * 7) % 128 THEN 500 ELSE 0 END)
-        |      AS samp
-        |  FROM ag, (SELECT unnest(range(0, 128)) AS i)),
-        |awin AS (SELECT id, CAST((i * 33) // 128 AS INT) AS w2, samp
-        |  FROM asamp),
-        |aen AS (SELECT id, w2, CAST(SUM(ABS(samp)) AS BIGINT) AS s,
-        |    CAST(COUNT(*) AS BIGINT) AS c
-        |  FROM awin GROUP BY 1, 2),
-        |abit AS (SELECT a.id, a.w2 AS b,
-        |    CASE WHEN n.s * a.c > a.s * n.c THEN 1 ELSE 0 END AS bit
-        |  FROM aen a JOIN aen n ON a.id = n.id AND n.w2 = a.w2 + 1
-        |  WHERE a.w2 < 32),
-        |aq AS (SELECT id, b // 8 AS qi,
-        |    CAST(SUM(bit * (1 << (7 - (b % 8)))) AS BIGINT) AS key
-        |  FROM abit GROUP BY 1, 2),
-        |aquad AS (SELECT id,
-        |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
-        |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
-        |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
-        |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
-        |  FROM aq GROUP BY 1),
-        |aexp AS (SELECT id, k0, k1, k2, k3,
-        |    unnest([0, 1, 2, 3]) AS qi,
-        |    unnest([k0, k1, k2, k3]) AS key FROM aquad),
+      s"""WITH ${duckAudioCtes(256)},
         |apairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
         |    bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
         |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
         |      AS hamming
         |  FROM aexp a JOIN aexp b
         |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
+        |SELECT idA, idB, CAST(hamming AS INT) AS hamming
+        |FROM apairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
+
+    // incremental audio: odd-id batch prints vs even-id history, the
+    // cross-set pigeonhole join over the odd-modulus variant groups
+    "mm_dedup_audio_incremental" ->
+      s"""WITH ${duckAudioCtes(255)},
+        |apairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB,
+        |    bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3))
+        |      AS hamming
+        |  FROM aexp a JOIN aexp b
+        |    ON a.qi = b.qi AND a.key = b.key
+        |  WHERE a.id % 2 = 1 AND b.id % 2 = 0)
         |SELECT idA, idB, CAST(hamming AS INT) AS hamming
         |FROM apairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
 
