@@ -870,10 +870,43 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // LLM dedup: SimHash near-dup pairs (quartered fingerprint blocking)
+    // LLM dedup: SimHash near-dup pairs (quartered fingerprint
+    // blocking). Radius 6 exceeds the 4-quarter pigeonhole's complete
+    // range (<= 3) — the CONTRACT here is blocking-limited recall, and
+    // the oracle replays the identical blocking, hence approxRecall.
     "dedup_simhash" -> ((s, dir) => {
       Dedup.simhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          maxHamming = 6)
+          maxHamming = 6, approxRecall = true)
+        .orderBy("idA", "idB")
+    }),
+
+    // HOT-BUCKET ESCALATION under a planted degenerate print corpus:
+    // every row shares quarter 0 (the all-zero key a flat image / silent
+    // clip produces), so with hotThreshold = 64 the whole corpus rides
+    // the level-2 sub-block re-block — the plain bucket join would be
+    // |corpus|^2. Planted (even, odd) partner pairs carry 1..3 bit
+    // flips (plus >3-flip negatives that must NOT appear). The oracle
+    // is BRUTE-FORCE hamming over the packed 64-bit prints — blocking-
+    // independent, so the row pins the escalation SOUND (identical to
+    // exhaustive search), not merely self-consistent.
+    "dedup_hotbucket" -> ((s, dir) => {
+      val f = t(s, dir, "documents")
+        .selectExpr("doc_id AS id",
+          "md5(CAST(doc_id - (doc_id % 2) AS STRING)) AS h",
+          "doc_id - (doc_id % 2) AS b")
+        .selectExpr("id", "b",
+          "CAST(0 AS BIGINT) AS q0",
+          "CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT) AS q1r",
+          "CAST(conv(substr(h, 5, 4), 16, 10) AS BIGINT) AS q2r",
+          "CAST(conv(substr(h, 9, 4), 16, 10) AS BIGINT) AS q3r")
+        .selectExpr("id", "q0",
+          "CASE WHEN id % 2 = 1 THEN q1r ^ shiftleft(CAST(1 AS BIGINT), CAST(b % 12 AS INT)) ELSE q1r END AS q1",
+          "CASE WHEN id % 2 = 1 AND b % 3 = 0 THEN q2r ^ shiftleft(CAST(1 AS BIGINT), CAST(b % 5 AS INT)) ELSE q2r END AS q2",
+          "CASE WHEN id % 2 = 1 AND b % 7 = 0 THEN q3r ^ shiftleft(CAST(7 AS BIGINT), CAST(b % 13 AS INT)) " +
+            "WHEN id % 2 = 1 AND b % 5 = 0 THEN q3r ^ shiftleft(CAST(3 AS BIGINT), CAST(b % 13 AS INT)) " +
+            "ELSE q3r END AS q3")
+        .selectExpr("id", "array(q0, q1, q2, q3) AS sh")
+      Dedup.quarterNearDupPairs(f, maxHamming = 3, hotThreshold = 64)
         .orderBy("idA", "idB")
     }),
 
@@ -1665,7 +1698,11 @@ object SparkEntry {
     // zero-state guarantee; when stream throughput dominates, the swap
     // is foreachBatch + encodedLengths (the per-DISTINCT-word vocab
     // join per micro-batch) — batch-identical output, one stream-
-    // static join of state.
+    // static join of state: implemented as stream_tokenize_joined.
+    // SINK NOTE: the Complete-mode memory sink re-materializes one row
+    // per SOURCE each trigger — fine at the corpus's ~20 sources; a
+    // high-cardinality grouping key would swap to Update mode on a
+    // keyed sink so state, not output, is the retained set.
     "stream_tokenize" -> ((s, dir) => {
       import org.apache.spark.sql.types._
       val docs = t(s, dir, "documents")
@@ -1689,6 +1726,52 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       s.table(qn).orderBy("source")
+    }),
+
+    // The THROUGHPUT form of stream_tokenize (the swap the zero-state
+    // variant prices): foreachBatch + the vocabulary-join encode — each
+    // micro-batch folds the merges once per DISTINCT word
+    // (Bpe.encodedLengths, vocabulary-sized work), joins occurrences
+    // back on the word key, and emits per-source PARTIAL aggregates.
+    // The stream's text never runs a per-occurrence fold. Partials are
+    // per-(source, micro-batch) — model-sized; this harness folds them
+    // on the driver, a deployment MERGEs them into a keyed sink. Same
+    // output (and oracle CTEs) as stream_tokenize: one hash pins
+    // fold-per-occurrence == vocab-join at the value level.
+    "stream_tokenize_joined" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents")
+      val ms = Bpe.fitLocal(docs, "text", rounds = 6)
+      val docSchema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val src = s.readStream.schema(docSchema)
+        .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      val partials =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+      val q = src.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val enc = Bpe.encodedLengths(batch, "doc_id", "text", ms)
+          val rows = batch.select(col("doc_id"), col("source"))
+            .join(enc, "doc_id")
+            .groupBy("source")
+            .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("sum_bpe"))
+            .collect()
+          partials.synchronized {
+            partials ++= rows.map(r =>
+              (r.getString(0), r.getLong(1), r.getLong(2)))
+          }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      import s.implicits._
+      partials.toSeq.toDF("source", "n_docs", "sum_bpe")
+        .groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("sum_bpe").as("sum_bpe"))
+        .orderBy("source")
     }),
 
     // SELF-MAINTAINING streaming dedup: two AvailableNow runs over the
@@ -4439,6 +4522,34 @@ object SparkEntry {
         |SELECT idA, idB, hamming FROM v
         |WHERE hamming <= 6 ORDER BY idA, idB""".stripMargin,
 
+    // blocking-INDEPENDENT oracle for the hot-bucket escalation: the
+    // planted degenerate prints re-derived, then brute-force hamming
+    // over the packed 64-bit print — if the level-2 re-block dropped a
+    // true pair, this row would go red
+    "dedup_hotbucket" ->
+      """WITH hbf AS (SELECT doc_id AS id,
+        |    md5(CAST(doc_id - (doc_id % 2) AS VARCHAR)) AS h,
+        |    doc_id - (doc_id % 2) AS b
+        |  FROM documents),
+        |hbq AS (SELECT id, b, CAST(0 AS BIGINT) AS q0,
+        |    CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) AS q1r,
+        |    CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) AS q2r,
+        |    CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) AS q3r
+        |  FROM hbf),
+        |hbp AS (SELECT id, q0,
+        |    CASE WHEN id % 2 = 1 THEN xor(q1r, CAST(1 AS BIGINT) << CAST(b % 12 AS INT)) ELSE q1r END AS q1,
+        |    CASE WHEN id % 2 = 1 AND b % 3 = 0 THEN xor(q2r, CAST(1 AS BIGINT) << CAST(b % 5 AS INT)) ELSE q2r END AS q2,
+        |    CASE WHEN id % 2 = 1 AND b % 7 = 0 THEN xor(q3r, CAST(7 AS BIGINT) << CAST(b % 13 AS INT))
+        |         WHEN id % 2 = 1 AND b % 5 = 0 THEN xor(q3r, CAST(3 AS BIGINT) << CAST(b % 13 AS INT))
+        |         ELSE q3r END AS q3
+        |  FROM hbq),
+        |hbw AS (SELECT id, ((q0 << 48) | (q1 << 32) | (q2 << 16) | q3) AS ph FROM hbp)
+        |SELECT a.id AS idA, b.id AS idB,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM hbw a JOIN hbw b ON a.id < b.id
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY idA, idB""".stripMargin,
+
     // LSH near-dup pairs: same-bucket candidates, exact cosine >= threshold.
     "dedup_embedding_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
@@ -5332,6 +5443,20 @@ object SparkEntry {
         |FROM documents d LEFT JOIN ste e USING (doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // the vocab-join stream form computes the SAME roll-up — the shared
+    // oracle text pins fold-per-occurrence == vocab-join encode
+    "stream_tokenize_joined" ->
+      s"""WITH ${duckBpeCtes(6)},
+        |std AS (SELECT source, doc_id,
+        |    unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+        |  FROM documents),
+        |ste AS (SELECT doc_id, CAST(SUM(len(s6.s)) AS BIGINT) AS n
+        |  FROM std JOIN s6 USING (w) GROUP BY 1)
+        |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(COALESCE(e.n, 0)) AS BIGINT) AS sum_bpe
+        |FROM documents d LEFT JOIN ste e USING (doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // the full tokenizer->pack chain: the DISTRIBUTED merge rounds are
     // replayed (pinning fitLocal == fit at the hash level), encoded
     // lengths re-derived, then the same exclusive-running-sum packing
@@ -5871,14 +5996,14 @@ object SparkEntry {
         |    MAX(CASE WHEN idx = bidx THEN nl - idx + 1 END) AS bk
         |  FROM uc, ubp)
         |SELECT c.source, c.n_tok, c.cap,
-        |  CASE WHEN c.capped THEN c.cap
+        |  CAST(CASE WHEN c.capped THEN c.cap
         |    ELSE brem // bk +
         |      (CASE WHEN c.idx - bidx < brem % bk THEN 1 ELSE 0 END)
-        |  END AS alloc,
-        |  (1000 * (CASE WHEN c.capped THEN c.cap
+        |  END AS BIGINT) AS alloc,
+        |  CAST((1000 * (CASE WHEN c.capped THEN c.cap
         |    ELSE brem // bk +
         |      (CASE WHEN c.idx - bidx < brem % bk THEN 1 ELSE 0 END)
-        |  END)) // greatest(c.n_tok, 1) AS epochs_x1000
+        |  END)) // greatest(c.n_tok, 1) AS BIGINT) AS epochs_x1000
         |FROM uc c, ubp, ubr
         |ORDER BY c.source""".stripMargin,
 

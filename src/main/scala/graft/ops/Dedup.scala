@@ -800,23 +800,93 @@ object Dedup {
     * one quarter — pigeonhole), then verify true hamming distance. Same
     * banded-join shape as MinHash-LSH: no all-pairs comparison. */
   def simhashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          maxHamming: Int = 3): DataFrame =
-    quarterNearDupPairs(simhashQuarters(df, idCol, textCol), maxHamming)
+                          maxHamming: Int = 3,
+                          approxRecall: Boolean = false): DataFrame =
+    quarterNearDupPairs(simhashQuarters(df, idCol, textCol), maxHamming,
+      approxRecall)
+
+  /** Bucket-size threshold past which [[quarterNearDupPairs]] escalates
+    * a quarter bucket to the level-2 sub-block join. 4096 members is
+    * ~8M raw pairs for one bucket — past what one task should verify;
+    * real web media guarantees such buckets (all-zero dHash quarters
+    * from flat/dark images, silence audio prints, boilerplate simhash)
+    * even when the corpus at large is diverse. */
+  val HotBucketThreshold = 4096
+
+  /** The 48 fingerprint bits OUTSIDE quarter `q`, packed high-to-low in
+    * quarter order — the key material for the level-2 re-block. */
+  private[graft] def rem48(sh: Column, q: Column): Column =
+    aggregate(filter(sequence(lit(0), lit(3)), j => j =!= q),
+      lit(0L), (acc, j) => shiftleft(acc, 16) + element_at(sh, j + 1))
+
+  /** The four 12-bit sub-blocks of [[rem48]]: a pair agreeing on
+    * quarter `q` with <= 3 bit errors has those errors inside the
+    * remaining 48 bits, so it agrees on at least one of four 12-bit
+    * blocks — the SAME pigeonhole argument as level 1, one level down. */
+  private[graft] def subKeys(sh: Column, q: Column): Column = {
+    val rem = rem48(sh, q)
+    array((0 to 3).map { i =>
+      shiftright(rem, 36 - 12 * i).bitwiseAND(lit(0xfffL))
+    }: _*)
+  }
 
   /** The pigeonhole blocking join over ANY quartered 64-bit fingerprint
     * frame (id, sh: array of four 16-bit blocks) — SimHash text prints
     * and perceptual image dHashes ([[Multimodal.dHashQuarters]]) share
     * it: a pair within hamming distance 3 must agree on at least one
     * quarter, so candidates come from a quarter equi-join and the true
-    * distance is verified on the candidate set only. */
-  def quarterNearDupPairs(f: DataFrame, maxHamming: Int = 3): DataFrame = {
+    * distance is verified on the candidate set only.
+    *
+    * HOT-BUCKET ESCALATION: a degenerate print key (the all-zero
+    * quarter of flat images, silence audio, boilerplate text) puts
+    * unboundedly many ids in one (q, key) bucket, and the bucket join
+    * is O(|bucket|^2) BEFORE the hamming filter — AQE skew-split can
+    * parallelize that work but cannot shrink it. Buckets past
+    * `hotThreshold` members therefore re-block on the four 12-bit
+    * sub-blocks of their remaining 48 bits ([[subKeys]]): within such
+    * a bucket a <=3-error pair still agrees on a sub-block
+    * (pigeonhole, level 2), so for maxHamming <= 3 the escalated
+    * result is IDENTICAL to the plain join — diverse-but-for-one-
+    * quarter buckets shrink quadratically, and only prints close to
+    * bit-identical (whose true pair set is inherently quadratic) stay
+    * together. Under `approxRecall` radii > 3 the escalation can drop
+    * further recall inside hot buckets — the blocking-limited contract
+    * the caller already accepted. */
+  def quarterNearDupPairs(f: DataFrame, maxHamming: Int = 3,
+                          approxRecall: Boolean = false,
+                          hotThreshold: Int = HotBucketThreshold): DataFrame = {
+    // 4-block pigeonhole is complete ONLY for maxHamming <= 3: four bit
+    // errors can hit all four quarters, so a larger radius silently
+    // misses pairs. A caller whose CONTRACT is approximate recall (the
+    // candidate set is "pairs agreeing on a quarter", e.g. a simhash
+    // radius-6 screen whose oracle replays the same blocking) must say
+    // so explicitly via approxRecall = true.
+    require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
+      s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
+    require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
     val withQ = f.select(col("id"), col("sh"), posexplode(col("sh")))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
-    withQ.as("a").join(withQ.as("b"),
+    // bucket sizes join: keyed on (q, key) — the same key as the pair
+    // join, so the exchanges line up
+    val sizes = withQ.groupBy("q", "key").agg(count(lit(1)).as("__bn"))
+    val tagged = withQ.join(sizes, Seq("q", "key"))
+    val cold = tagged.filter(col("__bn") <= hotThreshold).drop("__bn")
+    val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+    val hot = tagged.filter(col("__bn") > hotThreshold).drop("__bn")
+      .select(col("id"), col("sh"), col("q"), col("key"),
+        posexplode(subKeys(col("sh"), col("q"))))
+      .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
+    val hotPairs = hot.as("a").join(hot.as("b"),
+        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+          col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+    coldPairs.union(hotPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -830,14 +900,39 @@ object Dedup {
     * pigeonhole equi-join. Within-batch duplication composes with the
     * batch operator, the established dedupAgainstIndex convention. */
   def quarterNearDupAgainstIndex(batch: DataFrame, index: DataFrame,
-                                 maxHamming: Int = 3): DataFrame = {
+                                 maxHamming: Int = 3,
+                                 approxRecall: Boolean = false,
+                                 hotThreshold: Int = HotBucketThreshold): DataFrame = {
+    require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
+      s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
+    require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
     def exploded(f: DataFrame) =
       f.select(col("id"), col("sh"), posexplode(col("sh")))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
-    exploded(batch).as("a").join(exploded(index).as("b"),
+    val eb = exploded(batch)
+    val ei = exploded(index)
+    // hotness is a property of the COMBINED bucket (batch x index pairs
+    // are what explode), so both sides split on the same size frame
+    val sizes = eb.select("q", "key").union(ei.select("q", "key"))
+      .groupBy("q", "key").agg(count(lit(1)).as("__bn"))
+    def tag(f: DataFrame) = f.join(sizes, Seq("q", "key"))
+    val tb = tag(eb); val ti = tag(ei)
+    def subbed(f: DataFrame) = f
+      .select(col("id"), col("sh"), col("q"), col("key"),
+        posexplode(subKeys(col("sh"), col("q"))))
+      .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
+    val coldPairs = tb.filter(col("__bn") <= hotThreshold).drop("__bn").as("a")
+      .join(ti.filter(col("__bn") <= hotThreshold).drop("__bn").as("b"),
         col("a.q") === col("b.q") && col("a.key") === col("b.key"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+    val hotPairs = subbed(tb.filter(col("__bn") > hotThreshold).drop("__bn")).as("a")
+      .join(subbed(ti.filter(col("__bn") > hotThreshold).drop("__bn")).as("b"),
+        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+          col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+    coldPairs.union(hotPairs)
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -341,6 +341,19 @@ object Multimodal {
     * standard quartered shape (four 8-bit blocks, bit i of quarter q
     * at weight 1 << (7 − i)), so [[Dedup.quarterNearDupPairs]] applies
     * unchanged. */
+  /** Exact a·b > c·d for non-negative longs via 128-bit products
+    * (high word from Math.multiplyHigh, low word compared unsigned).
+    * The naive 64-bit product overflows once a clip passes ~5·10^8
+    * samples (~3 h at 44.1 kHz: window sums reach 1024·n, counts n/32,
+    * product 32n²) and would silently flip print bits; this comparison
+    * is exact for every length a Long can index. */
+  private def mulGt(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(lo1, lo2) > 0
+  }
+
   def audioPrintQuarters(media: Dataset[MediaRow]): DataFrame = {
     implicit val enc = Encoders.tuple(Encoders.scalaLong,
       Encoders.product[Tuple1[Array[Long]]])
@@ -363,7 +376,7 @@ object Multimodal {
           var b = 0
           while (b < 8) {
             val bit = q * 8 + b
-            if (sums(bit + 1) * cnts(bit) > sums(bit) * cnts(bit + 1))
+            if (mulGt(sums(bit + 1), cnts(bit), sums(bit), cnts(bit + 1)))
               acc |= (1L << (7 - b))
             b += 1
           }

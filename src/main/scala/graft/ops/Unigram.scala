@@ -60,6 +60,18 @@ object Unigram {
   /** Multi-character pieces kept after EM pruning (plus all chars). */
   val VocabMultiPieces = 128
 
+  /** Token emitted for a character absent from the vocabulary (the
+    * persisted-vocab encode path on unseen text). */
+  val UnkToken = "<unk>"
+
+  /** Milli-bit cost of one [[UnkToken]]: 2^40 mb. Any real piece costs
+    * < 2^16 mb (mb1024 tops out near 64·1024 at Long range), so a word
+    * of length L has a real-path cost < L·2^16 — for any L < 2^24 the
+    * UNK fallback strictly loses to every vocabulary path and the
+    * in-vocabulary segmentation is bit-identical to the fold without
+    * it. */
+  val UnkCostMb: Long = 1L << 40
+
   /** Fixed-point floor(1024 * log2(x)) for x >= 1: exponent e =
     * bit-length − 1, then ten square-and-shift rounds on the 30-bit
     * normalized mantissa emit the 10 fraction bits. Pure integer ops —
@@ -96,9 +108,15 @@ object Unigram {
     * carries, per position, the best (cost, tokens) struct; candidates
     * at position i are the vocabulary pieces ending there (length
     * 1..[[MaxPieceChars]]); ties break by the least (cost, tokens)
-    * struct. Every character must be in the vocabulary (guaranteed for
-    * the training corpus by seeding/pruning coverage) — an unreachable
-    * position would surface as a null state, not a silent skip. */
+    * struct. A character ABSENT from the vocabulary (possible only on
+    * the [[fromDF]] persisted-vocab encode path over a new corpus —
+    * seeding keeps every training char) takes the explicit
+    * [[UnkToken]] fallback at [[UnkCostMb]]: the fallback consumes one
+    * character and costs strictly more than any real segmentation, so
+    * it is chosen ONLY where no vocabulary path exists — in-vocabulary
+    * words segment bit-identically with or without it, and
+    * out-of-vocabulary input yields a visible `<unk>` in the digest
+    * instead of a silently-skipped null (r18 ADVICE). */
   def viterbiTokens(word: Column, costs: Map[String, Long]): Column = {
     val keys = costs.keys.toArray.sortWith(Bpe.Utf8Order.lt)
     val vals = keys.map(costs)
@@ -115,7 +133,14 @@ object Unigram {
             struct((prev.getField("c") + c).as("c"),
               concat(prev.getField("t"), array(piece)).as("t")))
         }
-        concat(acc, array(least(cands: _*)))
+        // Explicit-UNK fallback: consumes one character at a cost no
+        // vocabulary path can reach, so least() picks it only when
+        // every real candidate is null (OOV character).
+        val prev1 = element_at(acc, i)
+        val unk = when(prev1.isNotNull,
+          struct((prev1.getField("c") + lit(UnkCostMb)).as("c"),
+            concat(prev1.getField("t"), array(lit(UnkToken))).as("t")))
+        concat(acc, array(least(cands :+ unk: _*)))
       })
     element_at(folded, -1).getField("t")
   }
@@ -155,8 +180,12 @@ object Unigram {
       // top multi-char pieces by EM count survive
       val em = viterbiCounts(words, costs0)
       val keptChars = chars.map { case (p, _) => p -> em.getOrElse(p, 0L) }
+      // Codepoint length, not UTF-16 units: Spark length() and DuckDB
+      // len() both count codepoints, and the seed's chars list is
+      // codepoint-split — a Java-length filter would double-list a
+      // supplementary-plane character in keptChars AND keptMulti.
       val keptMulti = em.toSeq
-        .filter { case (p, _) => p.length > 1 }
+        .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
         .sortWith { case ((pa, ca), (pb, cb)) =>
           if (ca != cb) ca > cb else Bpe.Utf8Order.lt(pa, pb) }
         .take(VocabMultiPieces)

@@ -313,7 +313,10 @@ object WordPiece {
 
   /** The MaxMatch vocabulary induced by training: every initial symbol
     * of the corpus (characters and their "##" forms) plus every merged
-    * token. Model-sized — alphabet + one token per merge. */
+    * token. Model-sized — alphabet + one token per merge. The collect
+    * below is the distinct ALPHABET (characters, not words): bounded by
+    * the script repertoire (~thousands for full CJK), never by corpus
+    * size. */
   def vocabulary(corpus: DataFrame, textCol: String,
                  merges: Seq[WpMerge]): Seq[String] = {
     val alphabet = corpus

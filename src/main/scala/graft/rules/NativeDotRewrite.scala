@@ -32,16 +32,24 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
       // degenerate user lambda like (x, y) -> x * x is element-wise
       // squaring of the LEFT array only, not a dot product, and rewriting
       // it would silently change results
+      // the accumulate lambda gets the same discipline (r18 ADVICE): its
+      // Add must reference BOTH of the lambda's own two arguments, each
+      // exactly once — (acc, e) -> e + e is a doubling fold, not a sum,
+      // and rewriting it would change results
       case ArrayAggregate(
             ZipWith(l, r,
               LambdaFunction(Multiply(m1: NamedLambdaVariable,
                 m2: NamedLambdaVariable, _), _, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(_: NamedLambdaVariable,
-              _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(a1: NamedLambdaVariable,
+              a2: NamedLambdaVariable, _),
+              Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
           if isDoubleArray(l) && isDoubleArray(r) &&
-            m1.exprId != m2.exprId && fin.exprId == finArg.exprId =>
+            m1.exprId != m2.exprId &&
+            a1.exprId != a2.exprId &&
+            Set(a1.exprId, a2.exprId) == Set(acc.exprId, el.exprId) &&
+            fin.exprId == finArg.exprId =>
         DotProduct(l, r)
       // Similarity.sqDist's (x-y)*(x-y) fold — same seed/accumulate
       // shape, the squared-difference lambda must reference ONE (x, y)
@@ -55,12 +63,15 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
                 Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _),
                 _), _, _)),
             Literal(0.0, DoubleType),
-            LambdaFunction(Add(_: NamedLambdaVariable,
-              _: NamedLambdaVariable, _), _, _),
+            LambdaFunction(Add(a1: NamedLambdaVariable,
+              a2: NamedLambdaVariable, _),
+              Seq(acc: NamedLambdaVariable, el: NamedLambdaVariable), _),
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
           if isDoubleArray(l) && isDoubleArray(r) &&
             x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
             x1.exprId != y1.exprId &&
+            a1.exprId != a2.exprId &&
+            Set(a1.exprId, a2.exprId) == Set(acc.exprId, el.exprId) &&
             fin.exprId == finArg.exprId =>
         SqDist(l, r)
     }

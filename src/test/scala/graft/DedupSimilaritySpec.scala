@@ -271,6 +271,101 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(q.forall(v => v >= 0 && v <= 0xFFFF))
   }
 
+  // ------------------------------------------------- hot-bucket escalation
+
+  /** Planted degenerate-print frame: every row shares quarter 0 (the
+    * all-zero key of a flat image / silent clip), quarters 1-3 are
+    * md5-derived per PAIR base b = id - id%2, and odd rows carry 1..3
+    * bit flips vs their even partner (plus >3-flip negatives at b%7). */
+  private def degeneratePrints(n: Int): org.apache.spark.sql.DataFrame =
+    spark.range(n).selectExpr("id",
+        "md5(CAST(id - (id % 2) AS STRING)) AS h", "id - (id % 2) AS b")
+      .selectExpr("id", "b",
+        "CAST(0 AS BIGINT) AS q0",
+        "CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT) AS q1r",
+        "CAST(conv(substr(h, 5, 4), 16, 10) AS BIGINT) AS q2r",
+        "CAST(conv(substr(h, 9, 4), 16, 10) AS BIGINT) AS q3r")
+      .selectExpr("id", "q0",
+        "CASE WHEN id % 2 = 1 THEN q1r ^ shiftleft(CAST(1 AS BIGINT), CAST(b % 12 AS INT)) ELSE q1r END AS q1",
+        "CASE WHEN id % 2 = 1 AND b % 3 = 0 THEN q2r ^ shiftleft(CAST(1 AS BIGINT), CAST(b % 5 AS INT)) ELSE q2r END AS q2",
+        "CASE WHEN id % 2 = 1 AND b % 7 = 0 THEN q3r ^ shiftleft(CAST(7 AS BIGINT), CAST(b % 13 AS INT)) " +
+          "WHEN id % 2 = 1 AND b % 5 = 0 THEN q3r ^ shiftleft(CAST(3 AS BIGINT), CAST(b % 13 AS INT)) " +
+          "ELSE q3r END AS q3")
+      .selectExpr("id", "array(q0, q1, q2, q3) AS sh")
+
+  test("hot-bucket escalation is exact at maxHamming <= 3: escalated == plain") {
+    val f = degeneratePrints(400).cache()
+    try {
+      val plain = Dedup.quarterNearDupPairs(f, maxHamming = 3,
+          hotThreshold = Int.MaxValue)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+      val escalated = Dedup.quarterNearDupPairs(f, maxHamming = 3,
+          hotThreshold = 8)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+      // the fixture must not be vacuous (the parity-trap lesson)
+      assert(plain.size > 50, s"fixture degenerate: only ${plain.size} pairs")
+      assert(escalated == plain)
+    } finally { f.unpersist(); () }
+  }
+
+  test("hot-bucket escalation (incremental index form) is exact too") {
+    val f = degeneratePrints(400).cache()
+    try {
+      val batch = f.filter(col("id") % 2 === 1)
+      val index = f.filter(col("id") % 2 === 0)
+      val plain = Dedup.quarterNearDupAgainstIndex(batch, index,
+          maxHamming = 3, hotThreshold = Int.MaxValue)
+        .select("idA", "idB").as[(Long, Long)].collect().toSet
+      val escalated = Dedup.quarterNearDupAgainstIndex(batch, index,
+          maxHamming = 3, hotThreshold = 8)
+        .select("idA", "idB").as[(Long, Long)].collect().toSet
+      assert(plain.nonEmpty)
+      assert(escalated == plain)
+    } finally { f.unpersist(); () }
+  }
+
+  test("hot-bucket escalation bounds candidates: 10k identical-quarter rows") {
+    val n = 10000
+    val f = degeneratePrints(n).cache()
+    try {
+      // the degenerate quarter-0 bucket holds all n rows: the plain join
+      // would verify n(n-1)/2 ~ 5e7 candidates. After the level-2
+      // re-block its candidate count is sum over (sub-block, sub-key)
+      // buckets of C(m, 2) — md5-diverse prints spread over 4 x 4096
+      // sub-keys, so ~n/2 pairs survive, 3 orders of magnitude less.
+      val hotCandidates = f
+        .select(col("id"), posexplode(Dedup.subKeys(col("sh"), lit(0))))
+        .groupBy("pos", "col").agg(count(lit(1)).as("m"))
+        .agg(sum((col("m") * (col("m") - 1) / 2).cast("long")))
+        .as[Long].collect().head
+      assert(hotCandidates < 1000000L,
+        s"escalation did not shrink the degenerate bucket: $hotCandidates")
+      // and the escalated operator still finds every planted partner pair
+      // (escalation FIRES: n = 10000 > default threshold 4096)
+      val got = Dedup.quarterNearDupPairs(f, maxHamming = 3)
+        .filter(col("idB") === col("idA") + 1 && col("idA") % 2 === 0)
+        .select("idA").as[Long].collect().toSet
+      val expected = (0 until n by 2).filter { b =>
+        1 + (if (b % 3 == 0) 1 else 0) +
+          (if (b % 7 == 0) 3 else if (b % 5 == 0) 2 else 0) <= 3
+      }.map(_.toLong).toSet
+      assert(got == expected)
+    } finally { f.unpersist(); () }
+  }
+
+  test("pigeonhole radius guard: >3 requires explicit approxRecall opt-in") {
+    val f = degeneratePrints(8)
+    intercept[IllegalArgumentException] {
+      Dedup.quarterNearDupPairs(f, maxHamming = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.quarterNearDupAgainstIndex(f, f, maxHamming = 4)
+    }
+    // the opt-in accepts the radius (blocking-limited recall contract)
+    assert(Dedup.quarterNearDupPairs(f, maxHamming = 4, approxRecall = true)
+      .columns.sameElements(Array("idA", "idB", "hamming")))
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0

@@ -25,6 +25,36 @@ def canon(df):
     df = df[cols]
     return df.sort_values(by=cols).reset_index(drop=True), cols
 
+def dtypes_of(sql):
+    """Column -> DuckDB type name, lowercased names, for a query."""
+    rows = con.execute(f"DESCRIBE ({sql})").fetchall()
+    return {r[0].lower(): r[1] for r in rows}
+
+# The driver's hash is TYPE-sensitive exactly where the pandas
+# conversion is (r18 evidence): HUGEINT converts to float64, so an
+# uncast window SUM hash-diverges from Spark's int64 (sample_unimax,
+# red), while INTEGER vs BIGINT (ann_brute_native rank) and
+# DECIMAL(7,2) vs DOUBLE (latest_obs) both land in one pandas family
+# and hashed green. Mirror that: normalize DuckDB types into their
+# pandas families (machine ints -> int64; FLOAT/DOUBLE/DECIMAL/HUGEINT
+# -> float64) and flag only cross-family drift.
+_INT_FAMILY = {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+               "UTINYINT", "USMALLINT", "UINTEGER"}
+_FLOAT_FAMILY = {"FLOAT", "DOUBLE", "HUGEINT", "UBIGINT"}
+
+def _norm(t):
+    if t in _INT_FAMILY: return "INT64"
+    if t in _FLOAT_FAMILY or t.startswith("DECIMAL"): return "FLOAT64"
+    return t
+
+def dtype_mismatches(spark_sql, oracle_sql):
+    st, ot = dtypes_of(spark_sql), dtypes_of(oracle_sql)
+    bad = []
+    for c in sorted(set(st) & set(ot)):
+        if _norm(st[c]) != _norm(ot[c]):
+            bad.append((c, st[c], ot[c]))
+    return bad
+
 def cmp_cell(a, b):
     if a is None and b is None: return True
     try:
@@ -80,6 +110,14 @@ for name in sorted(os.listdir(outdir)):
             except (TypeError, ValueError):
                 pass
             print(f"    row {i} col {c}: spark={a!r} oracle={b!r}{near}")
+        fail += 1
+        continue
+    tbad = dtype_mismatches(f"SELECT * FROM read_parquet('{d}/*.parquet')",
+                            oracles[name])
+    if tbad:
+        print(f"  {name}: DTYPE MISMATCH (values equal, driver hash would "
+              f"diverge): " + ", ".join(f"{c} spark={a} oracle={b}"
+                                        for c, a, b in tbad))
         fail += 1
     else:
         print(f"  {name}: OK ({len(s)} rows, {len(scols)} cols)")
