@@ -2604,6 +2604,16 @@ object SparkEntry {
       Unigram.piecesDF(s, ps).orderBy("rank")
     }),
 
+    // Kudo's ITERATED training loop: 3 EM rounds with the 3/4 prune
+    // schedule (256 -> 192 -> 144 -> 128 multi pieces), each round's
+    // costs re-derived from the survivors. The oracle replays every
+    // round's Viterbi fold and prune digit-for-digit.
+    "unigram_fit_iterated" -> ((s, dir) => {
+      val ps = Unigram.fitIterated(t(s, dir, "documents"), "text",
+        rounds = 3)
+      Unigram.piecesDF(s, ps).orderBy("rank")
+    }),
+
     // Viterbi encode at corpus scale against the trained vocabulary:
     // per-doc token count + md5 digest of the ordered token stream.
     "unigram_encode" -> ((s, dir) => {
@@ -3344,6 +3354,64 @@ object SparkEntry {
        |ukept AS (SELECT * FROM ukeptc UNION ALL SELECT * FROM ukeptm),
        |utot1 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
        |    CAST(COUNT(*) AS BIGINT) AS v FROM ukept)""".stripMargin
+
+  /** DuckDB replay of Unigram.fitIterated: the same substring seeding,
+    * then `rounds` chained (cost -> Viterbi E-step -> prune) rounds
+    * with the 3/4 cap schedule mirrored as compile-time LIMITs. Ends
+    * with `uitkept`/`uittot` (kept pieces + totals of the last round). */
+  private def duckUnigramIterCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""utoks AS (SELECT unnest(regexp_extract_all(lower(text), '\\S+')) AS w
+         |  FROM documents),
+         |uwc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM utoks GROUP BY 1),
+         |usub AS (SELECT piece, SUM(n) AS cnt FROM (
+         |    SELECT n, unnest(flatten(list_transform(range(1, len(w) + 1),
+         |      p -> list_transform(range(1,
+         |          least(${graft.ops.Unigram.MaxPieceChars}, len(w) - p + 1) + 1),
+         |        l -> w[p:p + l - 1])))) AS piece
+         |    FROM uwc) GROUP BY 1),
+         |uit0c AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM usub
+         |  WHERE len(piece) = 1),
+         |uit0m AS (SELECT piece, CAST(cnt AS BIGINT) AS cnt FROM usub
+         |  WHERE len(piece) > 1
+         |  ORDER BY cnt DESC, piece LIMIT ${graft.ops.Unigram.SeedMultiPieces})"""
+        .stripMargin)
+    var kCap = graft.ops.Unigram.SeedMultiPieces
+    for (r <- 1 to rounds) {
+      kCap = if (r == rounds) graft.ops.Unigram.VocabMultiPieces
+             else math.max(graft.ops.Unigram.VocabMultiPieces, kCap * 3 / 4)
+      sb.append(
+        s""",
+           |uit${r}cur AS (SELECT * FROM uit${r - 1}c
+           |  UNION ALL SELECT * FROM uit${r - 1}m),
+           |uit${r}tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+           |    CAST(COUNT(*) AS BIGINT) AS v FROM uit${r}cur),
+           |uit${r}cost AS (SELECT piece,
+           |    ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")}
+           |      AS cost
+           |  FROM uit${r}cur, uit${r}tot),
+           |uit${r}cm AS (SELECT MAP(list(piece ORDER BY piece),
+           |    list(cost ORDER BY piece)) AS cm FROM uit${r}cost),
+           |uit${r}vit AS (SELECT w, n, $duckViterbiFold AS st
+           |  FROM uwc, uit${r}cm),
+           |uit${r}em AS (SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+           |    SELECT n, unnest(st[len(st)].t) AS piece FROM uit${r}vit)
+           |  GROUP BY 1),
+           |uit${r}c AS (SELECT c.piece, COALESCE(e.cnt, 0) AS cnt
+           |  FROM uit${r - 1}c c LEFT JOIN uit${r}em e USING (piece)),
+           |uit${r}m AS (SELECT piece, cnt FROM uit${r}em
+           |  WHERE len(piece) > 1
+           |  ORDER BY cnt DESC, piece LIMIT $kCap)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |uitkept AS (SELECT * FROM uit${rounds}c
+         |  UNION ALL SELECT * FROM uit${rounds}m),
+         |uittot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+         |    CAST(COUNT(*) AS BIGINT) AS v FROM uitkept)""".stripMargin)
+    sb.toString
+  }
 
   /** DuckDB replay of KMeans.pqFit(m=4, k=16, iters=1) over embeddings:
     * four sliced views v0..v3 (16 dims each), a `p{s}_`-prefixed
@@ -5521,6 +5589,18 @@ object SparkEntry {
         |  ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")}
         |    AS cost_mb
         |FROM ukept, utot1
+        |ORDER BY rank""".stripMargin,
+
+    // Kudo's iterated loop replayed: 3 chained (cost -> Viterbi ->
+    // prune) rounds with the 3/4 cap schedule as compile-time LIMITs
+    "unigram_fit_iterated" ->
+      s"""WITH ${duckUnigramIterCtes(3)}
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
+        |    AS rank,
+        |  piece, CAST(cnt AS BIGINT) AS n,
+        |  ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")}
+        |    AS cost_mb
+        |FROM uitkept, uittot
         |ORDER BY rank""".stripMargin,
 
     // encode = the same Viterbi fold against the FINAL costs, digested

@@ -155,23 +155,47 @@ object Unigram {
       .groupBy("p").agg(sum("n").as("cnt"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
-  /** Train the unigram vocabulary: seed, one hard-EM round, prune,
-    * final costs. Returns pieces ranked by (EM count desc, piece) in
-    * binary string order. */
-  def fit(corpus: DataFrame, textCol: String): Seq[Piece] = {
-    val words = corpus
+  /** Weighted distinct-word table of a corpus — the ONLY corpus-scale
+    * reduction either trainer runs. */
+  private def wordTable(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
       .select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
-      .persist()
+
+  /** Substring-seeded candidate counts: (all single chars, top
+    * [[SeedMultiPieces]] longer pieces by (count desc, UTF-8 piece)). */
+  private def seedCounts(words: DataFrame)
+      : (Seq[(String, Long)], Seq[(String, Long)]) = {
+    val subs = words
+      .select(col("n"), explode(substrings(col("w"))).as("p"))
+      .groupBy("p").agg(sum("n").as("cnt"))
+    val chars = subs.filter(length(col("p")) === 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val multi = subs.filter(length(col("p")) > 1)
+      .orderBy(col("cnt").desc, col("p")).limit(SeedMultiPieces)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    (chars, multi)
+  }
+
+  private def byCountThenPiece(a: (String, Long), b: (String, Long)): Boolean =
+    if (a._2 != b._2) a._2 > b._2 else Bpe.Utf8Order.lt(a._1, b._1)
+
+  /** Rank + re-cost a kept vocabulary into the final [[Piece]] list. */
+  private def rankPieces(kept: Seq[(String, Long)]): Seq[Piece] = {
+    val total = kept.map(_._2).sum
+    val v = kept.size.toLong
+    kept.sortWith(byCountThenPiece).zipWithIndex
+      .map { case ((p, c), i) => Piece(i + 1, p, c, costMb(c, total, v)) }
+  }
+
+  /** Train the unigram vocabulary: seed, one hard-EM round, prune,
+    * final costs. Returns pieces ranked by (EM count desc, piece) in
+    * binary string order. The bit-frozen 1-round path — the iterated
+    * prune schedule Kudo 2018 runs is [[fitIterated]]. */
+  def fit(corpus: DataFrame, textCol: String): Seq[Piece] = {
+    val words = wordTable(corpus, textCol).persist()
     try {
-      val subs = words
-        .select(col("n"), explode(substrings(col("w"))).as("p"))
-        .groupBy("p").agg(sum("n").as("cnt"))
-      val chars = subs.filter(length(col("p")) === 1)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
-      val multi = subs.filter(length(col("p")) > 1)
-        .orderBy(col("cnt").desc, col("p")).limit(SeedMultiPieces)
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      val (chars, multi) = seedCounts(words)
       val seed = (chars ++ multi).toMap
       val total0 = seed.valuesIterator.sum
       val v0 = seed.size.toLong
@@ -186,19 +210,53 @@ object Unigram {
       // supplementary-plane character in keptChars AND keptMulti.
       val keptMulti = em.toSeq
         .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
-        .sortWith { case ((pa, ca), (pb, cb)) =>
-          if (ca != cb) ca > cb else Bpe.Utf8Order.lt(pa, pb) }
+        .sortWith(byCountThenPiece)
         .take(VocabMultiPieces)
-      val kept = keptChars ++ keptMulti
-      val total1 = kept.map(_._2).sum
-      val v1 = kept.size.toLong
-      kept
-        .sortWith { case ((pa, ca), (pb, cb)) =>
-          if (ca != cb) ca > cb else Bpe.Utf8Order.lt(pa, pb) }
-        .zipWithIndex
-        .map { case ((p, c), i) =>
-          Piece(i + 1, p, c, costMb(c, total1, v1)) }
-        .toSeq
+      rankPieces(keptChars ++ keptMulti)
+    } finally { words.unpersist(); () }
+  }
+
+  /** Kudo 2018's training loop proper: EM rounds interleaved with a
+    * PRUNE SCHEDULE — after each E-step the multi-piece set shrinks to
+    * 3/4 of its cap (floored at `targetMulti`; the final round prunes
+    * to exactly `targetMulti`), and the next round's piece costs are
+    * re-derived from the SURVIVORS' counts, so a piece that only
+    * looked good against the bloated seed vocabulary loses its
+    * segmentations to re-costed competitors before the final cut —
+    * the behavior a single-round prune cannot express. Every step is
+    * the same integer arithmetic as [[fit]] (mb1024 costs, UTF-8 tie
+    * order, codepoint lengths), so a DuckDB oracle replays all rounds
+    * digit-for-digit; `fitIterated(c, t, rounds = 1)` is bit-identical
+    * to [[fit]] (spec-pinned). Per-round work: one Viterbi E-step over
+    * the distinct-word table (vocabulary-sized) — the corpus is still
+    * touched exactly once, by [[wordTable]]. */
+  def fitIterated(corpus: DataFrame, textCol: String, rounds: Int = 3,
+                  targetMulti: Int = VocabMultiPieces): Seq[Piece] = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    require(targetMulti >= 0, s"targetMulti must be >= 0, got $targetMulti")
+    val words = wordTable(corpus, textCol).persist()
+    try {
+      val (chars, multi) = seedCounts(words)
+      var charCounts = chars
+      var keptMulti = multi
+      var kCap = SeedMultiPieces
+      for (r <- 1 to rounds) {
+        val current = charCounts ++ keptMulti
+        val total = current.map(_._2).sum
+        val v = current.size.toLong
+        val costs = current.map { case (p, c) =>
+          p -> costMb(c, total, v) }.toMap
+        val em = viterbiCounts(words, costs)
+        kCap = if (r == rounds) targetMulti
+               else math.max(targetMulti, (kCap * 3) / 4)
+        charCounts = charCounts.map { case (p, _) =>
+          p -> em.getOrElse(p, 0L) }
+        keptMulti = em.toSeq
+          .filter { case (p, _) => p.codePointCount(0, p.length) > 1 }
+          .sortWith(byCountThenPiece)
+          .take(kCap)
+      }
+      rankPieces(charCounts ++ keptMulti)
     } finally { words.unpersist(); () }
   }
 

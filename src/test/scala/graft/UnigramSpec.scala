@@ -68,6 +68,45 @@ class UnigramSpec extends SparkSuite {
     }
   }
 
+  test("fitIterated(rounds = 1) is bit-identical to fit") {
+    val corpus = Seq("abab abab cd", "zq zq abab cd cd").toDF("text")
+    assert(Unigram.fitIterated(corpus, "text", rounds = 1) ==
+      Unigram.fit(corpus, "text"))
+  }
+
+  test("fitIterated: the prune schedule changes the vocabulary vs one round") {
+    // Built to expose the schedule: 240 distinct filler words spread
+    // the seed's top-256 multi-piece cap thin, so the intermediate
+    // 3/4 prunes (256 -> 192 -> 144) BIND and evict pieces that a
+    // single seed-cost round would have kept; re-estimated costs then
+    // redirect later Viterbi rounds toward the survivors.
+    val filler = (0 until 240).map(i => f"w$i%03dq$i%03d")
+    val corpus = (Seq.fill(8)("abcdef") ++ Seq.fill(6)("abc def") ++
+      Seq.fill(4)("abcd ef") ++ filler).mkString(" ")
+    val df = Seq(corpus).toDF("text")
+    val one = Unigram.fitIterated(df, "text", rounds = 1)
+    val three = Unigram.fitIterated(df, "text", rounds = 3)
+    assert(one.map(_.rank) == (1 to one.size))
+    assert(three.map(_.rank) == (1 to three.size))
+    assert(one.map(p => (p.piece, p.n)) != three.map(p => (p.piece, p.n)),
+      "prune schedule had no effect — fixture does not expose it")
+  }
+
+  test("viterbi: OOV character takes the explicit <unk> fallback") {
+    // vocabulary without 'z': the persisted-vocab encode path on new
+    // text must emit <unk>, never a silently-skipped null
+    val costs = Map("a" -> 10L, "b" -> 10L, "ab" -> 15L)
+    val got = Seq("azb").toDF("w")
+      .select(Unigram.viterbiTokens(col("w"), costs).as("t"))
+      .as[Seq[String]].head()
+    assert(got == Seq("a", Unigram.UnkToken, "b"))
+    // and in-vocabulary words segment exactly as without the fallback
+    val inVocab = Seq("abab").toDF("w")
+      .select(Unigram.viterbiTokens(col("w"), costs).as("t"))
+      .as[Seq[String]].head()
+    assert(inVocab == Seq("ab", "ab"))
+  }
+
   test("piece table persists and reloads bit-identically") {
     val ps = Unigram.fit(Seq("abab abab cd").toDF("text"), "text")
     val dir = java.nio.file.Files

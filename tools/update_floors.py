@@ -17,20 +17,47 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bench_diff import load  # shared dump-unwrap + sentinel filter
 
-if len(sys.argv) != 3:
-    sys.exit("usage: update_floors.py <BENCH_FULL.json> <round-number>")
-src, rnd = sys.argv[1], int(sys.argv[2])
+# Canary gate (r18 lesson): the host drifts through multi-hour slowdown
+# windows (1.4-2.7x on untouched queries). A record captured in one
+# would bake that slack into every floor and blind the next rounds'
+# regression adjudication. sketch_approx is the canary — a plain
+# lineitem aggregate untouched since r13: if its min in the candidate
+# record reads more than CANARY_MAX_RATIO x its CURRENT floor, the
+# window was contended; re-run the bench later instead of forcing.
+CANARY = "sketch_approx"
+CANARY_MAX_RATIO = 1.3
+
+args = [a for a in sys.argv[1:] if a != "--force"]
+force = "--force" in sys.argv
+if len(args) != 2:
+    sys.exit("usage: update_floors.py [--force] <BENCH_FULL.json> <round-number>")
+src, rnd = args[0], int(args[1])
 d = load(src)
 qm = d.get("queries_min", {})
 if not qm:
     sys.exit(f"{src} has no usable queries_min")
+
+dst_path = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), "BENCH_FLOORS.json")
+canary_ratio = None
+if os.path.exists(dst_path):
+    old = json.load(open(dst_path)).get("queries_min", {})
+    if CANARY in old and CANARY in qm and old[CANARY] > 0:
+        canary_ratio = round(qm[CANARY] / old[CANARY], 3)
+        if canary_ratio > CANARY_MAX_RATIO and not force:
+            sys.exit(f"CANARY GATE: {CANARY} min {qm[CANARY]}s is "
+                     f"{canary_ratio}x its floor {old[CANARY]}s "
+                     f"(> {CANARY_MAX_RATIO}x) — contended window; re-run "
+                     f"the bench on a quiet box (--force to override)")
 out = {
     "accepted_round": rnd,
     "source": f"{os.path.basename(src)} (round {rnd}, cache-isolated)",
     "sf": d.get("sf"),
+    "canary": CANARY,
+    "canary_ratio_vs_previous_floor": canary_ratio,
     "queries_min": qm,
 }
-dst = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "BENCH_FLOORS.json")
-json.dump(out, open(dst, "w"), indent=2, sort_keys=True)
-print(f"wrote {dst}: {len(qm)} queries, min-sum {round(sum(qm.values()), 2)}s")
+json.dump(out, open(dst_path, "w"), indent=2, sort_keys=True)
+print(f"wrote {dst_path}: {len(qm)} queries, "
+      f"min-sum {round(sum(qm.values()), 2)}s, "
+      f"canary ratio {canary_ratio}")
