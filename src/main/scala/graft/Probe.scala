@@ -238,6 +238,53 @@ object Probe {
             f"(learned ${ms.size})")
         }
 
+      // Driver bytes per distinct word of the in-memory trainers' state
+      // (the fitLocal boundary): collect the synthetic vocabulary, then
+      // build EXACTLY Bpe.fitLocal's resident shapes — split symbol
+      // arrays, counts, pair->count and pair->wordSet maps — and read
+      // the retained heap around each stage. Word shape mirrors crawl
+      // junk tokens (~12 chars, digit-heavy). Published in COVERAGE.md;
+      // the measured B/word sizes Bpe/WordPiece.FitLocalMaxWords.
+      case "vocabmem" =>
+        val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                    else Seq(1000000, 5000000, 10000000)
+        def mem(): Long = {
+          System.gc(); Thread.sleep(300); System.gc(); Thread.sleep(200)
+          val r = Runtime.getRuntime; r.totalMemory - r.freeMemory
+        }
+        for (n <- sizes) {
+          val m0 = mem()
+          val rows = spark.range(n.toLong)
+            .select(format_string("w%09dq%02d", col("id"), col("id") % 89)
+              .as("w"), (col("id") % 7 + 1).as("n"))
+            .collect()
+          val m1 = mem()
+          val words = rows.map(_.getString(0).split("").toSeq :+ "</w>")
+            .map(_.toArray)
+          val wCnt = rows.map(_.getLong(1))
+          val pairCnt = collection.mutable.Map.empty[(String, String), Long]
+          val pairWords = collection.mutable
+            .Map.empty[(String, String), collection.mutable.Set[Int]]
+          words.indices.foreach { wi =>
+            val s = words(wi)
+            var i = 0
+            while (i + 1 < s.length) {
+              val p = (s(i), s(i + 1))
+              pairCnt(p) = pairCnt.getOrElse(p, 0L) + wCnt(wi)
+              pairWords.getOrElseUpdate(p,
+                collection.mutable.Set.empty[Int]) += wi
+              i += 1
+            }
+          }
+          val m2 = mem()
+          println(f"[vocabmem] n=$n%,d: collect ${(m1 - m0).toDouble / n}%.0f B/word, " +
+            f"full fitLocal state ${(m2 - m0).toDouble / n}%.0f B/word " +
+            f"(${(m2 - m0) / 1e9}%.2f GB total; pairs=${pairCnt.size}%,d, " +
+            f"pairWord entries=${pairWords.valuesIterator.map(_.size.toLong).sum}%,d)")
+          // keep the state reachable until after the measurement
+          if (words.length + wCnt.length < 0) println(pairWords.size)
+        }
+
       // strict batching on NATURAL text (the testdata documents corpus):
       // Zipfian pair counts separate cleanly, so provably-exact batches
       // actually fill — the round-reduction a real tokenizer fit gets

@@ -429,6 +429,38 @@ object Bpe {
     * merges on the 20k-word corpus and publishes the wall-clock at
     * real tokenizer depths. Use [[fit]]'s distributed rounds only when
     * the VOCABULARY itself exceeds driver memory. */
+  /** Word-table cap for [[fitLocal]]: the vocabmem probe measures the
+    * in-memory trainer's resident driver state at 1.82-1.94 KB per
+    * distinct word, LINEAR through the decade (1M -> 1.82 GB, 5M ->
+    * 9.3 GB, 10M -> 18.9 GB, 20M -> 38.8 GB; dominated by the
+    * pair->wordSet index at ~12 boxed entries/word) — so 8M words is
+    * ~15 GB, inside the 24 GB bench driver with GC headroom, while a
+    * web crawl's unbounded `\S+` vocabulary (hundreds of millions of
+    * URLs/hashes, extrapolating ~97 GB at 50M) must take the
+    * distributed rounds. Raise in proportion to a larger driver. */
+  val FitLocalMaxWords: Long = 8000000L
+
+  /** Estimated distinct `\S+` vocabulary of a corpus: ONE
+    * approx_count_distinct aggregate — map-side HLL partials, a
+    * sketch-sized exchange, nothing driver-bound. ±~2% relative error
+    * is irrelevant against a memory cap. */
+  def estimateDistinctWords(corpus: DataFrame, textCol: String): Long =
+    corpus.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .agg(approx_count_distinct(col("w")).as("c"))
+      .collect()(0).getLong(0)
+
+  /** Automatic trainer dispatch (the [[graft.ops.KMeans.seedCentroids]]
+    * k-threshold pattern): estimate the vocabulary, run [[fitLocal]]
+    * when the word table fits the driver ([[FitLocalMaxWords]]),
+    * otherwise the distributed [[fit]] rounds. Both paths produce the
+    * identical merge list (spec-pinned), so the dispatch changes cost,
+    * never results. */
+  def fitAuto(corpus: DataFrame, textCol: String, rounds: Int,
+              maxLocalWords: Long = FitLocalMaxWords): Seq[Merge] =
+    if (estimateDistinctWords(corpus, textCol) <= maxLocalWords)
+      fitLocal(corpus, textCol, rounds)
+    else fit(corpus, textCol, rounds)
+
   def fitLocal(corpus: DataFrame, textCol: String, rounds: Int): Seq[Merge] = {
     require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val wordRows = corpus
