@@ -910,6 +910,33 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // the INDEX form of the escalation under the same degenerate
+    // corpus: odd-id batch against the even-id persisted print index —
+    // hotness decided on the COMBINED bucket, both sides re-blocked;
+    // oracle again blocking-independent brute force
+    "dedup_hotbucket_incremental" -> ((s, dir) => {
+      val f = t(s, dir, "documents")
+        .selectExpr("doc_id AS id",
+          "md5(CAST(doc_id - (doc_id % 2) AS STRING)) AS h",
+          "doc_id - (doc_id % 2) AS b")
+        .selectExpr("id", "b",
+          "CAST(0 AS BIGINT) AS q0",
+          "CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT) AS q1r",
+          "CAST(conv(substr(h, 5, 4), 16, 10) AS BIGINT) AS q2r",
+          "CAST(conv(substr(h, 9, 4), 16, 10) AS BIGINT) AS q3r")
+        .selectExpr("id", "q0",
+          "CASE WHEN id % 2 = 1 THEN q1r ^ shiftleft(CAST(1 AS BIGINT), CAST(b % 12 AS INT)) ELSE q1r END AS q1",
+          "CASE WHEN id % 2 = 1 AND b % 3 = 0 THEN q2r ^ shiftleft(CAST(1 AS BIGINT), CAST(b % 5 AS INT)) ELSE q2r END AS q2",
+          "CASE WHEN id % 2 = 1 AND b % 7 = 0 THEN q3r ^ shiftleft(CAST(7 AS BIGINT), CAST(b % 13 AS INT)) " +
+            "WHEN id % 2 = 1 AND b % 5 = 0 THEN q3r ^ shiftleft(CAST(3 AS BIGINT), CAST(b % 13 AS INT)) " +
+            "ELSE q3r END AS q3")
+        .selectExpr("id", "array(q0, q1, q2, q3) AS sh")
+      Dedup.quarterNearDupAgainstIndex(
+          f.filter(col("id") % 2 === 1), f.filter(col("id") % 2 === 0),
+          maxHamming = 3, hotThreshold = 64)
+        .orderBy("idA", "idB")
+    }),
+
     // LLM similarity #2: exact brute-force cosine top-k (baseline)
     "ann_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2622,6 +2649,35 @@ object SparkEntry {
       Unigram.encodeDigest(docs, "doc_id", "text", ps).orderBy("doc_id")
     }),
 
+    // The persisted-vocab-on-unseen-text path (fromDF's contract): an
+    // OOV character ('¤', absent from the training corpus) is
+    // appended to every doc, so every digest must carry the explicit
+    // <unk> token — the oracle replays the Viterbi fold WITH the UNK
+    // arm, pinning the fallback's cost/token semantics cross-engine
+    // (and that in-vocab text still segments identically around it).
+    "unigram_encode_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ps = Unigram.fit(docs, "text")
+      val costs = ps.map(p => p.piece -> p.costMb).toMap
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), lit(" q¤q")).as("text"))
+      val docWords = aug.select(col("doc_id"),
+        posexplode(graft.ops.TextAnalysis.tokens(col("text"))))
+        .withColumnRenamed("col", "w")
+      val wenc = docWords.select("w").distinct()
+        .select(col("w"), Unigram.viterbiTokens(col("w"), costs).as("ts"))
+        .select(col("w"), size(col("ts")).cast("long").as("k"),
+          size(filter(col("ts"), tok => tok === Unigram.UnkToken))
+            .cast("long").as("ku"),
+          array_join(col("ts"), " ").as("tss"))
+      docWords.join(wenc, "w").groupBy("doc_id")
+        .agg(sum("k").as("n_uni"), sum("ku").as("n_unk"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("tss")))),
+            x => x.getField("tss")), " ")).as("uni_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer SELECTION, the evaluation a pipeline actually runs
     // before committing a vocabulary: all three subword tokenizers
     // trained on the corpus and compared per source by fertility
@@ -3308,15 +3364,32 @@ object SparkEntry {
     * cross-joined cost map `cm`: a DP state list of (cost, tokens)
     * structs, candidates filtered non-null and argmin'd by struct
     * order — exactly Unigram.viterbiTokens' least() tie-break. */
-  private def duckViterbiFold: String =
+  private def duckViterbiFold: String = duckViterbiFoldImpl(unk = false)
+
+  /** [[duckViterbiFold]] plus the explicit-UNK fallback arm —
+    * Unigram.viterbiTokens' one-character `<unk>` candidate at
+    * UnkCostMb, which only wins where every vocabulary arm is null
+    * (OOV character). */
+  private def duckViterbiFoldUnk: String = duckViterbiFoldImpl(unk = true)
+
+  private def duckViterbiFoldImpl(unk: Boolean): String = {
+    val unkArm = if (!unk) "" else {
+      val p = "CAST(x[1].c AS INT)"
+      s""",
+         |    CASE WHEN acc[$p] IS NOT NULL
+         |      THEN {'c': acc[$p].c + ${graft.ops.Unigram.UnkCostMb},
+         |            't': acc[$p].t || ['${graft.ops.Unigram.UnkToken}']} END"""
+        .stripMargin
+    }
     s"""list_reduce(
        |  list_prepend([{'c': CAST(0 AS BIGINT), 't': CAST([] AS VARCHAR[])}],
        |    list_transform(range(1, len(w) + 1),
        |      i -> [{'c': CAST(i AS BIGINT), 't': CAST([] AS VARCHAR[])}])),
        |  (acc, x) -> acc || [list_sort(list_filter([
        |    ${(1 to graft.ops.Unigram.MaxPieceChars)
-              .map(duckViterbiArm).mkString(",\n|    ")}
+              .map(duckViterbiArm).mkString(",\n|    ")}$unkArm
        |  ], z -> z IS NOT NULL))[1]])""".stripMargin
+  }
 
   /** DuckDB replay of Unigram.fit over the documents vocabulary:
     * substring seeding (all chars + top-256 longer pieces), seed costs
@@ -4618,6 +4691,31 @@ object SparkEntry {
         |WHERE bit_count(xor(a.ph, b.ph)) <= 3
         |ORDER BY idA, idB""".stripMargin,
 
+    // index form: odd batch x even index, brute force again
+    "dedup_hotbucket_incremental" ->
+      """WITH hbf AS (SELECT doc_id AS id,
+        |    md5(CAST(doc_id - (doc_id % 2) AS VARCHAR)) AS h,
+        |    doc_id - (doc_id % 2) AS b
+        |  FROM documents),
+        |hbq AS (SELECT id, b, CAST(0 AS BIGINT) AS q0,
+        |    CAST(concat('0x', substr(h, 1, 4)) AS BIGINT) AS q1r,
+        |    CAST(concat('0x', substr(h, 5, 4)) AS BIGINT) AS q2r,
+        |    CAST(concat('0x', substr(h, 9, 4)) AS BIGINT) AS q3r
+        |  FROM hbf),
+        |hbp AS (SELECT id, q0,
+        |    CASE WHEN id % 2 = 1 THEN xor(q1r, CAST(1 AS BIGINT) << CAST(b % 12 AS INT)) ELSE q1r END AS q1,
+        |    CASE WHEN id % 2 = 1 AND b % 3 = 0 THEN xor(q2r, CAST(1 AS BIGINT) << CAST(b % 5 AS INT)) ELSE q2r END AS q2,
+        |    CASE WHEN id % 2 = 1 AND b % 7 = 0 THEN xor(q3r, CAST(7 AS BIGINT) << CAST(b % 13 AS INT))
+        |         WHEN id % 2 = 1 AND b % 5 = 0 THEN xor(q3r, CAST(3 AS BIGINT) << CAST(b % 13 AS INT))
+        |         ELSE q3r END AS q3
+        |  FROM hbq),
+        |hbw AS (SELECT id, ((q0 << 48) | (q1 << 32) | (q2 << 16) | q3) AS ph FROM hbp)
+        |SELECT a.id AS idA, b.id AS idB,
+        |  CAST(bit_count(xor(a.ph, b.ph)) AS INT) AS hamming
+        |FROM hbw a JOIN hbw b ON a.id % 2 = 1 AND b.id % 2 = 0
+        |WHERE bit_count(xor(a.ph, b.ph)) <= 3
+        |ORDER BY idA, idB""".stripMargin,
+
     // LSH near-dup pairs: same-bucket candidates, exact cosine >= threshold.
     "dedup_embedding_lsh" ->
       s"""WITH b AS (SELECT vec_id, embedding,
@@ -5622,6 +5720,32 @@ object SparkEntry {
         |  COALESCE(p.uni_md5, md5('')) AS uni_md5
         |FROM documents d LEFT JOIN uperdoc p USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+
+    // OOV encode: same training CTEs, the '¤'-augmented corpus, and
+    // the Viterbi fold WITH the explicit-UNK arm
+    "unigram_encode_oov" ->
+      s"""WITH $duckUnigramCtes,
+        |udwp AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text || ' q¤q'), '\\S+')) AS w,
+        |    generate_subscripts(
+        |      regexp_extract_all(lower(text || ' q¤q'), '\\S+'), 1) AS pos
+        |  FROM documents),
+        |udist AS (SELECT DISTINCT w FROM udwp),
+        |ucost1 AS (SELECT piece,
+        |    ${duckMb1024("(total + v)")} - ${duckMb1024("(cnt + 1)")} AS cost
+        |  FROM ukept, utot1),
+        |ucm1 AS (SELECT MAP(list(piece ORDER BY piece),
+        |    list(cost ORDER BY piece)) AS cm FROM ucost1),
+        |uencw AS (SELECT w, $duckViterbiFoldUnk AS st FROM udist, ucm1),
+        |uenc AS (SELECT w, st[len(st)].t AS ts FROM uencw)
+        |SELECT d.doc_id, CAST(SUM(len(ts)) AS BIGINT) AS n_uni,
+        |  CAST(SUM(len(list_filter(ts,
+        |    tok -> tok = '${graft.ops.Unigram.UnkToken}'))) AS BIGINT)
+        |    AS n_unk,
+        |  md5(string_agg(array_to_string(ts, ' '), ' ' ORDER BY pos))
+        |    AS uni_md5
+        |FROM udwp d JOIN uenc USING (w)
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     // all three tokenizer replays side by side over one shared word
     // spine, aggregated to per-source fertility permilles
