@@ -2242,6 +2242,56 @@ object SparkEntry {
         .orderBy("idA", "idB")
     }),
 
+    // SELF-MAINTAINING streaming PERCEPTUAL dedup (the print-family
+    // sibling of stream_index_update): two AvailableNow runs over one
+    // checkpoint — day 1's surviving dHash prints become the index day
+    // 2 dedups against; within-batch near-dups drop the later member;
+    // only survivors' prints are appended (batch_id-fenced). Oracle
+    // re-derives both days from the pixel formula: day-1 within-drops,
+    // day-2 index hits against day-1 SURVIVORS only, day-2 within-drops.
+    "stream_print_index" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      def mediaOf(parity: Int) = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .filter((id: Long) => id % 2 == parity)
+        .map { id =>
+          val g = id % 255
+          val v = id / 255
+          Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
+            val b = java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val shift =
+              if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
+            (b + shift) % 256
+          }))
+        }
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-spi").toString
+      val store = new graft.store.TableStore(s, s"$tmp/store")
+      val in = s"$tmp/in"
+      val mediaSchema = StructType(Seq(
+        StructField("id", LongType), StructField("payload", BinaryType)))
+      def run(): Unit = {
+        val src = s.readStream.schema(mediaSchema).parquet(in)
+        graft.streaming.StreamIngest.ingestPrintIndexed(src, store,
+          "print_index", "clean_media",
+          b => Multimodal.dHashQuarters(
+            b.select(col("id"), col("payload"))
+              .as[Multimodal.MediaRow](
+                org.apache.spark.sql.Encoders.product[Multimodal.MediaRow])),
+          maxHamming = 3, s"$tmp/_ckpt").awaitTermination()
+      }
+      mediaOf(0).toDF().coalesce(1).write.mode("overwrite").parquet(in)
+      run() // day 1: survivors' prints become the index
+      mediaOf(1).toDF().coalesce(1).write.mode("append").parquet(in)
+      run() // day 2: only the new file replays; dedups against day 1
+      store.read("print_index").dropDuplicates("id")
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_kept"), sum("id").as("sum_id"))
+        .orderBy("batch_id")
+    }),
+
     // IMAGE-aware leakage-safe split: the split unit is the phash
     // near-dup CONNECTED COMPONENT — a re-exposed or lightly-edited
     // variant of a training image can never land in test (the text
@@ -5243,6 +5293,37 @@ object SparkEntry {
         |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
         |SELECT idA, idB, CAST(hamming AS INT) AS hamming
         |FROM ppairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
+
+    // two-day print-index derivation: all near-dup pairs once (both
+    // orientations), then day-1 within-drops, day-2 hits against the
+    // day-1 SURVIVOR index only, day-2 within-drops among the rest
+    "stream_print_index" ->
+      s"""WITH ${duckDHashCtes(255)},
+        |spairs AS (SELECT DISTINCT a.id AS idA, b.id AS idB
+        |  FROM pexp a JOIN pexp b
+        |    ON a.qi = b.qi AND a.key = b.key AND a.id <> b.id
+        |  WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3),
+        |s1drop AS (SELECT DISTINCT idB AS id FROM spairs
+        |  WHERE idA % 2 = 0 AND idB % 2 = 0 AND idA < idB),
+        |s1 AS (SELECT id FROM pg WHERE id % 2 = 0
+        |  AND id NOT IN (SELECT id FROM s1drop)),
+        |o1hit AS (SELECT DISTINCT idA AS id FROM spairs
+        |  WHERE idA % 2 = 1 AND idB % 2 = 0
+        |    AND idB IN (SELECT id FROM s1)),
+        |o2 AS (SELECT id FROM pg WHERE id % 2 = 1
+        |  AND id NOT IN (SELECT id FROM o1hit)),
+        |s2drop AS (SELECT DISTINCT idB AS id FROM spairs
+        |  WHERE idA < idB AND idA IN (SELECT id FROM o2)
+        |    AND idB IN (SELECT id FROM o2)),
+        |s2 AS (SELECT id FROM o2 WHERE id NOT IN (SELECT id FROM s2drop))
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(id) AS BIGINT) AS sum_id FROM s1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(id) AS BIGINT) FROM s2
+        |ORDER BY batch_id""".stripMargin,
 
     // phash pairs -> recursive components -> rep-keyed md5 split
     // buckets (0..255 vs the 10%/10% thresholds), per-split roll-up

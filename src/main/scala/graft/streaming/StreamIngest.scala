@@ -297,6 +297,61 @@ object StreamIngest {
       }
       .start()
 
+  /** Self-maintaining streaming PERCEPTUAL near-dup gate — the
+    * quartered-print sibling of [[ingestDedupIndexed]], completing the
+    * batch / incremental / streaming triad for the print families
+    * (image dHash, audio energy prints, text simhash): each micro-batch
+    * computes its (id, sh) prints via `printsOf`, drops rows within
+    * `maxHamming` of the PERSISTED print index
+    * (quarterNearDupAgainstIndex — history participates as 4×16-bit
+    * prints only, payloads never re-decoded), then drops within-batch
+    * near-dups (the later member of every qualifying pair), and appends
+    * the SURVIVORS' prints back, batch_id-fenced so a crash replay of a
+    * half-committed batch reproduces the identical survivor set (its
+    * own partial appends are filtered out by `batch_id < batchId`).
+    * `stream` must carry an `id` column matching `printsOf`'s output.
+    * Hot-bucket escalation applies unchanged inside both joins. */
+  def ingestPrintIndexed(stream: DataFrame, store: TableStore,
+                         indexTable: String, cleanTable: String,
+                         printsOf: DataFrame => DataFrame,
+                         maxHamming: Int,
+                         checkpointDir: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val prints = printsOf(batch)
+          val idxLike = prints.withColumn("batch_id", lit(batchId))
+          val index = store.readOrEmpty(indexTable, idxLike)
+            .filter(col("batch_id") < batchId)
+          val hitIdx = graft.ops.Dedup
+            .quarterNearDupAgainstIndex(prints,
+              index.select("id", "sh"), maxHamming)
+            .select(col("idA").as("id")).distinct()
+          val fresh = prints.join(hitIdx, Seq("id"), "left_anti")
+            .persist() // feeds the within-batch pair join AND the keep set
+          try {
+            val dropWithin = graft.ops.Dedup
+              .quarterNearDupPairs(fresh, maxHamming)
+              .select(col("idB").as("id")).distinct()
+            val keep = fresh.join(dropWithin, Seq("id"), "left_anti")
+              .persist() // feeds both appends
+            try {
+              store.append(indexTable,
+                keep.withColumn("batch_id", lit(batchId)), maxFiles = 1)
+              store.append(cleanTable,
+                batch.join(keep.select("id"), Seq("id"), "left_semi")
+                  .withColumn("batch_id", lit(batchId)), maxFiles = 1)
+            } finally { keep.unpersist(); () }
+          } finally { fresh.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+
   /** Bounded-state streaming exact-dedup: dedup state per key is kept only
     * while the key's event time is within the watermark, then EVICTED —
     * the form an unbounded event stream needs (plain `dropDuplicates`

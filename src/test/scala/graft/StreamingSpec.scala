@@ -314,6 +314,57 @@ class StreamingSpec extends SparkSuite {
     assert(unfenced == Seq(11L))
   }
 
+  test("ingestPrintIndexed: perceptual index self-maintains; replay fence holds") {
+    val dir = Files.createTempDirectory("graft-spidx").toString
+    val store = new TableStore(spark, s"$dir/store")
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, Long, Long, Long)]
+    def printsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"),
+        array(col("a"), col("b"), col("c"), col("d")).as("sh"))
+    val q = StreamIngest.ingestPrintIndexed(
+      mem.toDF().toDF("id", "a", "b", "c", "d"), store,
+      "print_index", "clean_media", printsOf, maxHamming = 3,
+      s"$dir/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0: print P, a 1-bit variant of P (within-batch drop: later
+    // id loses), and a distant print Q
+    mem.addData((1L, 100L, 200L, 300L, 400L),
+      (2L, 101L, 200L, 300L, 400L),
+      (3L, 7L, 8L, 9L, 10L))
+    q.processAllAvailable()
+    assert(store.read("clean_media").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // batch 1: a 2-bit variant of P (dropped by the index batch 0
+    // appended — id 1's print, NOT id 2's which never entered), + fresh
+    mem.addData((9L, 100L, 203L, 300L, 400L),
+      (10L, 5000L, 6000L, 7000L, 8000L))
+    q.processAllAvailable()
+    q.stop()
+    assert(store.read("clean_media").select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L, 10L))
+    // the index holds exactly the survivors' prints, batch-stamped
+    val idx = store.read("print_index").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("batch_id")))
+    assert(idx.map(_._1).sorted.toSeq == Seq(1L, 3L, 10L))
+    assert(idx.filter(_._2 == 0L).map(_._1).sorted.toSeq == Seq(1L, 3L))
+    // REPLAY FENCE: re-running batch 1 against the fenced index
+    // reproduces its survivors; unfenced, the batch's own prints
+    // shadow it and the survivor set collapses — the lost-batch failure
+    val replay = Seq((9L, 100L, 203L, 300L, 400L),
+      (10L, 5000L, 6000L, 7000L, 8000L)).toDF("id", "a", "b", "c", "d")
+    def survivors(index: org.apache.spark.sql.DataFrame): Seq[Long] = {
+      val hits = graft.ops.Dedup.quarterNearDupAgainstIndex(
+          printsOf(replay), index.select("id", "sh"), maxHamming = 3)
+        .select(col("idA").as("id")).distinct()
+      printsOf(replay).join(hits, Seq("id"), "left_anti")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(survivors(
+      store.read("print_index").filter(col("batch_id") < 1L)) == Seq(10L))
+    assert(survivors(store.read("print_index")) == Seq())
+  }
+
   test("watermarked windowed counts over an event stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
