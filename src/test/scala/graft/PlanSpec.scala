@@ -293,6 +293,20 @@ class PlanSpec extends SparkSuite {
     assert(!planIdx.contains("CartesianProduct") &&
       !planIdx.contains("BroadcastNestedLoopJoin"),
       s"index blocking degenerated to all-pairs:\n$planIdx")
+    // the HOT path too: with a threshold that escalates every bucket,
+    // the level-2 sub-block join must still be a pure equi-join —
+    // both the pair form and the index form
+    val planHot = planOf(Dedup.quarterNearDupPairs(prints,
+      maxHamming = 3, hotThreshold = 2))
+    assert(!planHot.contains("CartesianProduct") &&
+      !planHot.contains("BroadcastNestedLoopJoin"),
+      s"escalated blocking degenerated to all-pairs:\n$planHot")
+    val planHotIdx = planOf(Dedup.quarterNearDupAgainstIndex(
+      prints.filter($"id" % 2 === 1), prints.filter($"id" % 2 === 0),
+      maxHamming = 3, hotThreshold = 2))
+    assert(!planHotIdx.contains("CartesianProduct") &&
+      !planHotIdx.contains("BroadcastNestedLoopJoin"),
+      s"escalated index blocking degenerated to all-pairs:\n$planHotIdx")
   }
 
   test("wordpiece encode: fold per distinct word, equi-join back, no cartesian") {

@@ -198,6 +198,27 @@ object GraftProperties extends Properties("graft") {
       vsOwn == 0L && vsEmpty == plain
   }
 
+  // Hot-bucket escalation exactness: for ANY print population (skewed
+  // toward shared quarters so buckets actually escalate) and any
+  // threshold, the level-2 re-block returns the identical pair set as
+  // the plain pigeonhole join at maxHamming <= 3
+  property("quarterNearDup.escalationExact") = Prop.forAll(for {
+    n <- Gen.choose(8, 40)
+    // few distinct quarter values => heavy shared buckets
+    qs <- Gen.listOfN(n, Gen.listOfN(4, Gen.oneOf(0L, 1L, 3L, 7L,
+      255L, 256L, 4096L, 65535L)))
+    thr <- Gen.choose(2, 6)
+  } yield (qs, thr)) { case (qs, thr) =>
+    import graft.ops.Dedup
+    val df = qs.zipWithIndex.map { case (q, i) => (i.toLong, q.toArray) }
+      .toDF("id", "sh")
+    def pairs(t: Int) = Dedup.quarterNearDupPairs(df, maxHamming = 3,
+        hotThreshold = t)
+      .select("idA", "idB", "hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    pairs(thr) == pairs(Int.MaxValue)
+  }
+
   // Bloom decontamination never false-negatives: whatever benchmark and
   // corpus the generator produces, every doc the EXACT shingle join
   // flags is also bloom-flagged (the converse — extra bloom flags — is
