@@ -285,6 +285,36 @@ object Probe {
           if (words.length + wCnt.length < 0) println(pairWords.size)
         }
 
+      // Hot-bucket escalation at adversarial scale: n prints ALL sharing
+      // quarter 0 (the flat-image/silence degenerate), md5-diverse
+      // elsewhere. Reports the escalated candidate count (sum of
+      // C(m,2) over level-2 sub-buckets) vs the plain join's n(n-1)/2,
+      // and the end-to-end escalated pair-join wall clock.
+      case "hotbucket" =>
+        val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                    else Seq(10000, 50000, 100000)
+        for (n <- sizes) {
+          val f = spark.range(n.toLong)
+            .selectExpr("id", "md5(CAST(id AS STRING)) AS h")
+            .selectExpr("id",
+              "array(CAST(0 AS BIGINT), " +
+                "CAST(conv(substr(h, 1, 4), 16, 10) AS BIGINT), " +
+                "CAST(conv(substr(h, 5, 4), 16, 10) AS BIGINT), " +
+                "CAST(conv(substr(h, 9, 4), 16, 10) AS BIGINT)) AS sh")
+            .localCheckpoint()
+          val cand = f
+            .select(col("id"), posexplode(Dedup.subKeys(col("sh"), lit(0))))
+            .groupBy("pos", "col").agg(count(lit(1)).as("m"))
+            .agg(sum((col("m") * (col("m") - 1) / 2).cast("long")))
+            .collect()(0).getLong(0)
+          val (pairs, t) = timed(
+            Dedup.quarterNearDupPairs(f, maxHamming = 3).count())
+          println(f"[hotbucket] n=$n%,d: escalated candidates=$cand%,d " +
+            f"(plain would be ${n.toLong * (n - 1) / 2}%,d, " +
+            f"${n.toLong * (n - 1) / 2.0 / math.max(cand, 1)}%.0fx more), " +
+            f"pairs<=3: $pairs in $t%.1fs")
+        }
+
       // strict batching on NATURAL text (the testdata documents corpus):
       // Zipfian pair counts separate cleanly, so provably-exact batches
       // actually fill — the round-reduction a real tokenizer fit gets

@@ -2292,6 +2292,69 @@ object SparkEntry {
         .orderBy("batch_id")
     }),
 
+    // COMPOSED MEDIA CURATION FUNNEL — the multimodal sibling of
+    // curate_corpus: corrupt-decode gate (decodeFeaturesSafe: planted
+    // lying-header payloads at id%25==0 must die per-row, not per-task)
+    // -> exact dedup on the payload bytes (min-id per md5(payload);
+    // the E-family at id%10==5 plants exact dup groups per id%50)
+    // -> perceptual near-dup drop (escalated pigeonhole pairs, later
+    // member loses) -> per-shard stage counts. The oracle re-derives
+    // every stage from the pixel formulas — including exact groups as
+    // pixel-LIST equality (payload equality <=> pixel equality for a
+    // deterministic encoder).
+    "curate_media" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents")
+        .select(col("doc_id").cast("long").as("id")).as[Long]
+        .map { id =>
+          def px(seed: String)(x: Int, y: Int): Int =
+            java.security.MessageDigest.getInstance("MD5")
+              .digest(s"$seed:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+          if (id % 25 == 0)
+            Multimodal.MediaRow(id, Array[Byte]('B', 'M', 1, 2, 3))
+          else if (id % 10 == 5)
+            Multimodal.MediaRow(id,
+              Multimodal.encodeBmp(9, 8, px(s"E${id % 50}")))
+          else {
+            val g = id % 255
+            val v = id / 255
+            Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
+              val b = px(s"$g")(x, y)
+              val shift =
+                if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
+              (b + shift) % 256
+            }))
+          }
+        }.persist()
+      try {
+        val ok = Multimodal.decodeFeaturesSafe(media).toDF()
+          .filter(col("status") === "ok").select("id")
+        val okMedia = media.toDF().join(ok, Seq("id"), "left_semi")
+        val exactIds = okMedia
+          .groupBy(md5(col("payload")).as("fp"))
+          .agg(min(col("id")).as("id")).select("id")
+        val exMedia = media.toDF().join(exactIds, Seq("id"), "left_semi")
+          .as[Multimodal.MediaRow]
+        val drops = Dedup.quarterNearDupPairs(
+            Multimodal.dHashQuarters(exMedia), maxHamming = 3)
+          .select(col("idB").as("id")).distinct()
+        val finalIds = exactIds.join(drops, Seq("id"), "left_anti")
+        def roll(ids: org.apache.spark.sql.DataFrame, cnt: String) =
+          ids.groupBy((col("id") % 7).as("shard"))
+            .agg(count(lit(1)).as(cnt))
+        roll(ok, "n_ok")
+          .join(roll(exactIds, "n_exact"), Seq("shard"), "left")
+          .join(finalIds.groupBy((col("id") % 7).as("shard"))
+            .agg(count(lit(1)).as("n_near"), sum("id").as("sum_id")),
+            Seq("shard"), "left")
+          .select(col("shard"),
+            col("n_ok"), coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+            coalesce(col("n_near"), lit(0L)).as("n_near"),
+            coalesce(col("sum_id"), lit(0L)).as("sum_id"))
+          .orderBy("shard")
+      } finally { media.unpersist(); () }
+    }),
+
     // IMAGE-aware leakage-safe split: the split unit is the phash
     // near-dup CONNECTED COMPONENT — a re-exposed or lightly-edited
     // variant of a training image can never land in test (the text
@@ -5293,6 +5356,66 @@ object SparkEntry {
         |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id)
         |SELECT idA, idB, CAST(hamming AS INT) AS hamming
         |FROM ppairs WHERE hamming <= 3 ORDER BY idA, idB""".stripMargin,
+
+    // the media funnel re-derived stage by stage: decode gate as the
+    // poison predicate, exact groups as pixel-LIST equality, prints
+    // over exact survivors only, pigeonhole pairs, later-member drops,
+    // per-shard roll-up with left joins + zero coalesce
+    "curate_media" ->
+      """WITH cmsrc AS (SELECT doc_id AS id FROM documents
+        |  WHERE doc_id % 25 <> 0),
+        |cmpx AS (SELECT id, x, y,
+        |    CASE WHEN id % 10 = 5 THEN
+        |      CAST(concat('0x', substring(md5('E' || CAST(id % 50 AS VARCHAR)
+        |        || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
+        |        1, 2)) AS INT)
+        |    ELSE (CAST(concat('0x', substring(md5(CAST(id % 255 AS VARCHAR)
+        |        || ':' || CAST(x AS VARCHAR) || ':' || CAST(y AS VARCHAR)),
+        |        1, 2)) AS INT) +
+        |      CASE WHEN id // 255 > 0 AND x = (id // 255) % 9
+        |          AND y = ((id // 255) * 3) % 8
+        |        THEN 128 ELSE 0 END) % 256
+        |    END AS px
+        |  FROM cmsrc, (SELECT unnest(range(0, 9)) AS x),
+        |    (SELECT unnest(range(0, 8)) AS y)),
+        |cmpl AS (SELECT id, list(px ORDER BY y, x) AS pxs FROM cmpx
+        |  GROUP BY 1),
+        |cmex AS (SELECT MIN(id) AS id FROM cmpl GROUP BY pxs),
+        |cmpb AS (SELECT a.id, (a.y * 8 + a.x) AS b,
+        |    CASE WHEN n.px > a.px THEN 1 ELSE 0 END AS bit
+        |  FROM cmpx a JOIN cmpx n ON a.id = n.id AND n.y = a.y
+        |    AND n.x = a.x + 1
+        |  JOIN cmex e ON e.id = a.id
+        |  WHERE a.x < 8),
+        |cmq AS (SELECT id, b // 16 AS qi,
+        |    CAST(SUM(bit * (1 << (15 - (b % 16)))) AS BIGINT) AS key
+        |  FROM cmpb GROUP BY 1, 2),
+        |cmquad AS (SELECT id,
+        |    MAX(CASE WHEN qi = 0 THEN key END) AS k0,
+        |    MAX(CASE WHEN qi = 1 THEN key END) AS k1,
+        |    MAX(CASE WHEN qi = 2 THEN key END) AS k2,
+        |    MAX(CASE WHEN qi = 3 THEN key END) AS k3
+        |  FROM cmq GROUP BY 1),
+        |cmexp AS (SELECT id, k0, k1, k2, k3,
+        |    unnest([0, 1, 2, 3]) AS qi,
+        |    unnest([k0, k1, k2, k3]) AS key FROM cmquad),
+        |cmdrop AS (SELECT DISTINCT b.id FROM cmexp a JOIN cmexp b
+        |    ON a.qi = b.qi AND a.key = b.key AND a.id < b.id
+        |  WHERE bit_count(xor(a.k0, b.k0)) + bit_count(xor(a.k1, b.k1)) +
+        |    bit_count(xor(a.k2, b.k2)) + bit_count(xor(a.k3, b.k3)) <= 3),
+        |cmfin AS (SELECT id FROM cmex
+        |  WHERE id NOT IN (SELECT id FROM cmdrop)),
+        |cro AS (SELECT id % 7 AS shard, CAST(COUNT(*) AS BIGINT) AS n_ok
+        |  FROM cmsrc GROUP BY 1),
+        |cre AS (SELECT id % 7 AS shard, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |  FROM cmex GROUP BY 1),
+        |crf AS (SELECT id % 7 AS shard, CAST(COUNT(*) AS BIGINT) AS n_near,
+        |    CAST(SUM(id) AS BIGINT) AS sum_id FROM cmfin GROUP BY 1)
+        |SELECT o.shard, o.n_ok, COALESCE(e.n_exact, 0) AS n_exact,
+        |  COALESCE(f.n_near, 0) AS n_near, COALESCE(f.sum_id, 0) AS sum_id
+        |FROM cro o LEFT JOIN cre e USING (shard)
+        |  LEFT JOIN crf f USING (shard)
+        |ORDER BY shard""".stripMargin,
 
     // two-day print-index derivation: all near-dup pairs once (both
     // orientations), then day-1 within-drops, day-2 hits against the
