@@ -866,17 +866,24 @@ object Dedup {
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
     val withQ = f.select(col("id"), col("sh"), posexplode(col("sh")))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
-    // bucket sizes join: keyed on (q, key) — the same key as the pair
-    // join, so the exchanges line up
-    val sizes = withQ.groupBy("q", "key").agg(count(lit(1)).as("__bn"))
-    val tagged = withQ.join(sizes, Seq("q", "key"))
-    val cold = tagged.filter(col("__bn") <= hotThreshold).drop("__bn")
+    // Only the HOT keys are materialized and broadcast: at most
+    // 4n/hotThreshold keys can exceed the threshold (pigeonhole on the
+    // exploded row count), so the set is small BY CONSTRUCTION at any
+    // corpus size — tagging is then a map-side broadcast join, and the
+    // cold path's cost over the unguarded join is one partial-collapsed
+    // count aggregate, not a corpus-wide shuffle join of sizes.
+    val hotKeys = broadcast(
+      withQ.groupBy("q", "key").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > hotThreshold)
+        .select(col("q"), col("key"), lit(true).as("__hot")))
+    val tagged = withQ.join(hotKeys, Seq("q", "key"), "left")
+    val cold = tagged.filter(col("__hot").isNull).drop("__hot")
     val coldPairs = cold.as("a").join(cold.as("b"),
         col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
-    val hot = tagged.filter(col("__bn") > hotThreshold).drop("__bn")
+    val hot = tagged.filter(col("__hot").isNotNull)
       .select(col("id"), col("sh"), col("q"), col("key"),
         posexplode(subKeys(col("sh"), col("q"))))
       .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
@@ -912,22 +919,27 @@ object Dedup {
     val eb = exploded(batch)
     val ei = exploded(index)
     // hotness is a property of the COMBINED bucket (batch x index pairs
-    // are what explode), so both sides split on the same size frame
-    val sizes = eb.select("q", "key").union(ei.select("q", "key"))
-      .groupBy("q", "key").agg(count(lit(1)).as("__bn"))
-    def tag(f: DataFrame) = f.join(sizes, Seq("q", "key"))
+    // are what explode), so both sides tag against the same broadcast
+    // hot-key set — small by construction (<= 4(n_batch+n_index)/
+    // hotThreshold keys can exceed the threshold)
+    val hotKeys = broadcast(
+      eb.select("q", "key").union(ei.select("q", "key"))
+        .groupBy("q", "key").agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") > hotThreshold)
+        .select(col("q"), col("key"), lit(true).as("__hot")))
+    def tag(f: DataFrame) = f.join(hotKeys, Seq("q", "key"), "left")
     val tb = tag(eb); val ti = tag(ei)
     def subbed(f: DataFrame) = f
       .select(col("id"), col("sh"), col("q"), col("key"),
         posexplode(subKeys(col("sh"), col("q"))))
       .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
-    val coldPairs = tb.filter(col("__bn") <= hotThreshold).drop("__bn").as("a")
-      .join(ti.filter(col("__bn") <= hotThreshold).drop("__bn").as("b"),
+    val coldPairs = tb.filter(col("__hot").isNull).drop("__hot").as("a")
+      .join(ti.filter(col("__hot").isNull).drop("__hot").as("b"),
         col("a.q") === col("b.q") && col("a.key") === col("b.key"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
-    val hotPairs = subbed(tb.filter(col("__bn") > hotThreshold).drop("__bn")).as("a")
-      .join(subbed(ti.filter(col("__bn") > hotThreshold).drop("__bn")).as("b"),
+    val hotPairs = subbed(tb.filter(col("__hot").isNotNull).drop("__hot")).as("a")
+      .join(subbed(ti.filter(col("__hot").isNotNull).drop("__hot")).as("b"),
         col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
           col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
