@@ -2744,6 +2744,22 @@ object SparkEntry {
       Unigram.piecesDF(s, ps).orderBy("rank")
     }),
 
+    // UniMax allocations expanded into the EPOCH MANIFEST a loader
+    // consumes: floor(alloc/n_tok) full epochs per source (exact token
+    // accounting) + one partial epoch drawn per doc at probability
+    // (alloc mod n_tok)/n_tok via the umx-salted uniform variate.
+    // budget = 2x corpus, epoch cap 3 — sources land on different
+    // full-epoch counts, so the fan-out and the partial draw both bind.
+    "sample_unimax_manifest" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val total = docs.agg(sum(col("n_chars"))).collect()(0).getLong(0)
+      Sampling.unimaxManifest(docs, "source", "n_chars", "doc_id",
+          budget = 2L * total, epochCap = 3)
+        .groupBy("source", "epoch")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_tok"))
+        .orderBy("source", "epoch")
+    }),
+
     // Kudo's ITERATED training loop: 3 EM rounds with the 3/4 prune
     // schedule (256 -> 192 -> 144 -> 128 multi pieces), each round's
     // costs re-derived from the survivors. The oracle replays every
@@ -6414,6 +6430,55 @@ object SparkEntry {
         |  END)) // greatest(c.n_tok, 1) AS BIGINT) AS epochs_x1000
         |FROM uc c, ubp, ubr
         |ORDER BY c.source""".stripMargin,
+
+    // the manifest re-derived: the water-fill at cap 3 / budget 2x,
+    // full-epoch fan-out as a two-step unnest(range), the partial
+    // epoch as the umx-salted priority threshold (double division is
+    // IEEE-identical across engines)
+    "sample_unimax_manifest" ->
+      s"""WITH um AS (SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_tok
+        |    FROM documents GROUP BY 1),
+        |ub AS (SELECT 2 * CAST(SUM(n_tok) AS BIGINT) AS b FROM um),
+        |ur AS (SELECT source, n_tok, n_tok * 3 AS cap,
+        |    row_number() OVER (ORDER BY n_tok * 3, source) AS idx,
+        |    COALESCE(SUM(n_tok * 3) OVER (ORDER BY n_tok * 3, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pfx,
+        |    COUNT(*) OVER () AS nl
+        |  FROM um),
+        |uc AS (SELECT r.*, b - pfx AS rem,
+        |    cap * (nl - idx + 1) <= b - pfx AS capped
+        |  FROM ur r, ub),
+        |ubp AS (SELECT MIN(CASE WHEN NOT capped THEN idx END) AS bidx
+        |  FROM uc),
+        |ubr AS (SELECT MAX(CASE WHEN idx = bidx THEN rem END) AS brem,
+        |    MAX(CASE WHEN idx = bidx THEN nl - idx + 1 END) AS bk
+        |  FROM uc, ubp),
+        |ua AS (SELECT c.source, c.n_tok,
+        |    CAST(CASE WHEN c.capped THEN c.cap
+        |      ELSE brem // bk +
+        |        (CASE WHEN c.idx - bidx < brem % bk THEN 1 ELSE 0 END)
+        |    END AS BIGINT) AS alloc
+        |  FROM uc c, ubp, ubr),
+        |uf AS (SELECT source, n_tok, alloc,
+        |    alloc // greatest(n_tok, 1) AS full_epochs,
+        |    alloc % greatest(n_tok, 1) AS rem_num FROM ua),
+        |ue AS (SELECT d.doc_id, d.source, d.n_chars,
+        |    unnest(range(0, f.full_epochs)) AS epoch
+        |  FROM documents d JOIN uf f USING (source)
+        |  WHERE f.full_epochs > 0),
+        |up AS (SELECT d.doc_id, d.source, d.n_chars,
+        |    f.full_epochs AS epoch
+        |  FROM documents d JOIN uf f USING (source)
+        |  WHERE f.rem_num > 0
+        |    AND CAST(concat('0x', substring(md5('umx:' ||
+        |        CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+        |      / power(16, 12)
+        |      < CAST(f.rem_num AS DOUBLE) / CAST(f.n_tok AS DOUBLE)),
+        |m AS (SELECT * FROM ue UNION ALL SELECT * FROM up)
+        |SELECT source, CAST(epoch AS BIGINT) AS epoch,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_tok
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // Temperature shares re-derived: sqrt (IEEE-exact on both engines)
     // -> floor x 1e6 integer weights -> integer-DIV ppm shares -> the

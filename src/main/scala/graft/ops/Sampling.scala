@@ -295,4 +295,36 @@ object Sampling {
         expr("1000 * alloc DIV greatest(n_tok, 1)"))
       .orderBy(domainCol)
   }
+
+  /** Expand [[unimaxAllocations]] into the actual epoch-expanded
+    * training MANIFEST — the artifact a loader consumes: each domain
+    * contributes floor(alloc / n_tok) FULL epochs (every doc appears
+    * once per epoch, exact token accounting) plus one PARTIAL epoch
+    * drawing each doc with probability (alloc mod n_tok) / n_tok via
+    * the engine's uniform variate, "umx:"-salted so the draw is
+    * independent of every other sampling stage (the composition
+    * caveat on [[hashPriority]]). Deterministic and engine-replayable;
+    * the per-domain token total is exact over the full epochs and
+    * unbiased over the partial one. Scale shape: the allocation table
+    * is domain-sized and broadcast; the corpus is touched once, with
+    * the full-epoch fan-out a generator (no shuffle) and the partial
+    * draw a map-side filter. */
+  def unimaxManifest(df: DataFrame, domainCol: String, massCol: String,
+                     keyCol: String, budget: Long,
+                     epochCap: Int): DataFrame = {
+    val allocs = unimaxAllocations(df, domainCol, massCol, budget, epochCap)
+      .select(col(domainCol), col("n_tok"), col("alloc"))
+      .withColumn("full_epochs", expr("alloc DIV greatest(n_tok, 1)"))
+      .withColumn("rem_num", expr("alloc % greatest(n_tok, 1)"))
+    val joined = df.join(broadcast(allocs), Seq(domainCol))
+    val full = joined.filter(col("full_epochs") > 0)
+      .select(col(domainCol), col(keyCol), col(massCol),
+        explode(sequence(lit(0L), col("full_epochs") - 1)).as("epoch"))
+    val part = joined.filter(col("rem_num") > 0)
+      .filter(hashPriority(concat(lit("umx:"), col(keyCol))) <
+        col("rem_num").cast("double") / col("n_tok").cast("double"))
+      .select(col(domainCol), col(keyCol), col(massCol),
+        col("full_epochs").as("epoch"))
+    full.unionByName(part)
+  }
 }

@@ -256,6 +256,47 @@ class OpsSpec extends SparkSuite {
     assert(Seq("a", "b", "c").forall(l => x(l)._3 == 1000L))
   }
 
+  test("unimaxManifest: exact full epochs, bounded partial, deterministic") {
+    import spark.implicits._
+    // 3 docs x 10 tokens in 'a' (30 tok), 2 x 10 in 'b' (20 tok);
+    // budget 75, cap 3: caps 90/60 -> uncapped split 38/37 by (cap,
+    // lang) order: b (cap 60) first +1 -> b=38? cap order: b cap 60 <
+    // a cap 90 -> idx(b)=1. rem=75, bk=2 -> 37 each, +1 to idx-bidx<1
+    // -> b gets 38, a gets 37. a: 1 full epoch + 7/30 partial;
+    // b: 1 full + 18/20 partial.
+    val docs = Seq(
+      ("a", 1L, 10L), ("a", 2L, 10L), ("a", 3L, 10L),
+      ("b", 4L, 10L), ("b", 5L, 10L)).toDF("lang", "k", "m")
+    val man = graft.ops.Sampling.unimaxManifest(
+      docs, "lang", "m", "k", budget = 75L, epochCap = 3)
+    val rows = man.select("lang", "k", "epoch")
+      .as[(String, Long, Long)].collect().toSeq
+    // full epoch 0 is EXACT: every doc of both langs exactly once
+    assert(rows.filter(_._3 == 0L).map(r => (r._1, r._2)).sorted ==
+      Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 4L), ("b", 5L)))
+    // partial epoch 1: a strict subset per lang (7/30 and 18/20 can
+    // never draw a full epoch's worth deterministically... but CAN be
+    // empty) — every partial row is a real doc of its lang at epoch 1
+    val part = rows.filter(_._3 == 1L)
+    assert(part.forall { case (l, k, _) =>
+      docs.filter(col("lang") === l && col("k") === k).count() == 1 })
+    // no epoch beyond 1 (alloc < 2 epochs for both langs)
+    assert(rows.forall(_._3 <= 1L))
+    // deterministic: a second run is row-identical
+    val again = graft.ops.Sampling.unimaxManifest(
+        docs, "lang", "m", "k", budget = 75L, epochCap = 3)
+      .select("lang", "k", "epoch")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.sorted == again.sorted)
+    // capped domain takes EXACTLY its cap in full epochs: budget far
+    // beyond caps -> every doc appears exactly epochCap times, no
+    // partial (rem_num = 0)
+    val fullCap = graft.ops.Sampling.unimaxManifest(
+        docs, "lang", "m", "k", budget = 1000L, epochCap = 2)
+      .select("k", "epoch").as[(Long, Long)].collect().toSeq
+    assert(fullCap.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(0L, 1L)))
+  }
+
   test("perplexityBuckets: equal terciles, ties share a bucket, head = cleanest") {
     import spark.implicits._
     // three planted quality tiers of two docs each: common-word docs
