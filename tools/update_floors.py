@@ -24,8 +24,16 @@ from bench_diff import load  # shared dump-unwrap + sentinel filter
 # lineitem aggregate untouched since r13: if its min in the candidate
 # record reads more than CANARY_MAX_RATIO x its CURRENT floor, the
 # window was contended; re-run the bench later instead of forcing.
+#
+# Median gate (r19 lesson): a single canary can scrape under 1.3x by
+# luck while the window is still hot (r19: merged canary 1.297 with a
+# MEDIAN shared ratio of 1.276 and six untouched queries over 2x). The
+# median over all shared floor queries is robust to a handful of real
+# regressions (those move the tail, not the median) but catches
+# box-wide slowness cold — a quiet window reads ~1.0.
 CANARY = "sketch_approx"
 CANARY_MAX_RATIO = 1.3
+MEDIAN_MAX_RATIO = 1.15
 
 args = [a for a in sys.argv[1:] if a != "--force"]
 force = "--force" in sys.argv
@@ -40,6 +48,7 @@ if not qm:
 dst_path = os.path.join(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))), "BENCH_FLOORS.json")
 canary_ratio = None
+median_ratio = None
 if os.path.exists(dst_path):
     old = json.load(open(dst_path)).get("queries_min", {})
     if CANARY in old and CANARY in qm and old[CANARY] > 0:
@@ -49,15 +58,26 @@ if os.path.exists(dst_path):
                      f"{canary_ratio}x its floor {old[CANARY]}s "
                      f"(> {CANARY_MAX_RATIO}x) — contended window; re-run "
                      f"the bench on a quiet box (--force to override)")
+    shared = [q for q in qm if q in old and old[q] > 0]
+    if shared:
+        import statistics
+        median_ratio = round(statistics.median(
+            qm[q] / old[q] for q in shared), 3)
+        if median_ratio > MEDIAN_MAX_RATIO and not force:
+            sys.exit(f"MEDIAN GATE: median min-ratio over {len(shared)} "
+                     f"shared queries is {median_ratio}x "
+                     f"(> {MEDIAN_MAX_RATIO}x) — box-wide slowness; "
+                     f"re-run the bench on a quiet box (--force to override)")
 out = {
     "accepted_round": rnd,
     "source": f"{os.path.basename(src)} (round {rnd}, cache-isolated)",
     "sf": d.get("sf"),
     "canary": CANARY,
     "canary_ratio_vs_previous_floor": canary_ratio,
+    "median_ratio_vs_previous_floor": median_ratio,
     "queries_min": qm,
 }
 json.dump(out, open(dst_path, "w"), indent=2, sort_keys=True)
 print(f"wrote {dst_path}: {len(qm)} queries, "
       f"min-sum {round(sum(qm.values()), 2)}s, "
-      f"canary ratio {canary_ratio}")
+      f"canary ratio {canary_ratio}, median ratio {median_ratio}")
