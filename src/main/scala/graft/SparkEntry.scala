@@ -1367,6 +1367,27 @@ object SparkEntry {
         .orderBy("cluster", "bin")
     }),
 
+    // CURRICULUM packing (CCNet-style perplexity order): docs pack
+    // cleanest-first within source — bins are perplexity-MONOTONE, so
+    // a loader walking bins in order trains easy-to-hard. Order key is
+    // the integer bits_x1000_per_tok (cross-engine exact) with doc_id
+    // ties; same one-running-sum pack as every other pack query.
+    "pack_curriculum" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ppl = Corpus.unigramSurprisal(docs, "doc_id", "text")
+        .select(col("doc_id"), col("bits_x1000_per_tok").as("ppl"))
+      val withSrc = docs.select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+        .join(ppl, "doc_id")
+      Chunking.packByBudget(withSrc, Seq("source"), "doc_id",
+          col("n_toks"), budget = 512, carryCols = Seq("ppl"),
+          orderCols = Seq(col("ppl"), col("doc_id")))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("__tok").as("sum_toks"),
+          min("ppl").as("ppl_min"), max("ppl").as("ppl_max"))
+        .orderBy("source", "bin")
+    }),
+
     // The loader-facing PACK MANIFEST: per (source, bin), the ordered
     // "doc@offset" placement list — bin_offset comes free from the same
     // running sum that chose the bin, so a data loader can seek every
@@ -4956,6 +4977,27 @@ object SparkEntry {
       s"""WITH $duckPplCtes
         |SELECT doc_id, n_toks, bits, bits_x1000_per_tok FROM ppl
         |ORDER BY doc_id""".stripMargin,
+
+    // curriculum pack re-derived: the ppl CTE joined back to the token
+    // spine, the same exclusive running sum ordered (ppl, doc_id)
+    "pack_curriculum" ->
+      s"""WITH $duckPplCtes,
+        |pcc AS (SELECT d.doc_id, d.source,
+        |    len(regexp_extract_all(lower(d.text), '\\S+')) AS n_toks,
+        |    p.bits_x1000_per_tok AS ppl
+        |  FROM documents d JOIN ppl p USING (doc_id)),
+        |pck AS (SELECT source, doc_id, n_toks, ppl,
+        |    COALESCE(SUM(n_toks) OVER (PARTITION BY source
+        |      ORDER BY ppl, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM pcc),
+        |pcb AS (SELECT source, doc_id, n_toks, ppl,
+        |    CAST(cum // 512 AS BIGINT) AS bin FROM pck)
+        |SELECT source, bin, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(n_toks) AS BIGINT) AS sum_toks,
+        |  CAST(MIN(ppl) AS BIGINT) AS ppl_min,
+        |  CAST(MAX(ppl) AS BIGINT) AS ppl_max
+        |FROM pcb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // CCNet terciles re-derived: integer-score histogram, running-count
     // cumulation, min-value-reaching-ceil(k n/3) cutoffs, CASE bucket.

@@ -297,6 +297,38 @@ class OpsSpec extends SparkSuite {
     assert(fullCap.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(0L, 1L)))
   }
 
+  test("curriculum packing: bins are perplexity-monotone within a stratum") {
+    import spark.implicits._
+    // three quality tiers (common words -> low surprisal, singleton
+    // vocab -> high), token counts sized so the budget forces >1 bin
+    val docs = Seq(
+      (1L, "s", "the the the the the the the the"),
+      (2L, "s", "the the the the and and and and"),
+      (3L, "s", "mid1 mid1 the the and and of of"),
+      (4L, "s", "rare1 rare2 rare3 rare4 rare5 rare6 rare7 rare8"),
+      (5L, "s", "rare9 rareA rareB rareC rareD rareE rareF rareG"))
+      .toDF("doc_id", "source", "text")
+    val ppl = graft.ops.Corpus.unigramSurprisal(docs, "doc_id", "text")
+      .select(col("doc_id"), col("bits_x1000_per_tok").as("ppl"))
+    val packed = graft.ops.Chunking.packByBudget(
+      docs.select(col("doc_id"), col("source"),
+        graft.ops.TextAnalysis.tokenCount(col("text")).as("n_toks"))
+        .join(ppl, "doc_id"),
+      Seq("source"), "doc_id", col("n_toks"), budget = 16,
+      carryCols = Seq("ppl"), orderCols = Seq(col("ppl"), col("doc_id")))
+    val rows = packed.select("bin", "ppl")
+      .as[(Long, Long)].collect().sortBy(identity).toSeq
+    assert(rows.map(_._1).distinct.size > 1, "budget never forced a bin split")
+    // walking bins in order never sees perplexity decrease
+    val byBin = rows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (b, rs) => (b, rs.map(_._2).min, rs.map(_._2).max) }
+    byBin.sliding(2).foreach {
+      case Seq((_, _, hiPrev), (_, loNext, _)) =>
+        assert(hiPrev <= loNext, s"curriculum order violated: $byBin")
+      case _ => ()
+    }
+  }
+
   test("perplexityBuckets: equal terciles, ties share a bucket, head = cleanest") {
     import spark.implicits._
     // three planted quality tiers of two docs each: common-word docs
