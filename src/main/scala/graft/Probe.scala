@@ -315,6 +315,37 @@ object Probe {
             f"pairs<=3: $pairs in $t%.1fs")
         }
 
+      // BIT-IDENTICAL prints at adversarial scale (true silence / flat
+      // frames): before the exact-print collapse, n identical prints
+      // rode the level-2 re-block into ONE sub-bucket — O(n^2)
+      // candidates x16 sub-key copies through a distinct. After the
+      // collapse the candidate join sees ONE distinct print (0 rep
+      // candidates) and the n(n-1)/2 true pairs come from a single
+      // output-sized equi-join on the packed print.
+      case "identprints" =>
+        val sizes = if (args.length > 1) args.drop(1).map(_.toInt).toSeq
+                    else Seq(10000, 50000)
+        for (n <- sizes) {
+          val f = spark.range(n.toLong)
+            .selectExpr("id",
+              "array(CAST(7 AS BIGINT), CAST(11 AS BIGINT), " +
+                "CAST(13 AS BIGINT), CAST(17 AS BIGINT)) AS sh")
+            .localCheckpoint()
+          val reps = f
+            .select(col("id"), col("sh"),
+              Dedup.packPrint(col("sh")).as("pk"))
+            .groupBy("pk")
+            .agg(org.apache.spark.sql.functions.min(col("id")).as("id"),
+              org.apache.spark.sql.functions.first(col("sh")).as("sh"))
+          val repCand = Dedup.pigeonholeRepPairs(reps, 3, approxRecall = false,
+            Dedup.HotBucketThreshold).count()
+          val (pairs, t) = timed(
+            Dedup.quarterNearDupPairs(f, maxHamming = 3).count())
+          println(f"[identprints] n=$n%,d: rep-level candidates=$repCand%,d " +
+            f"(collapse to ${reps.count()}%,d distinct prints), " +
+            f"output pairs: $pairs%,d in $t%.1fs")
+        }
+
       // strict batching on NATURAL text (the testdata documents corpus):
       // Zipfian pair counts separate cleanly, so provably-exact batches
       // actually fill — the round-reduction a real tokenizer fit gets

@@ -830,28 +830,52 @@ object Dedup {
     }: _*)
   }
 
-  /** The pigeonhole blocking join over ANY quartered 64-bit fingerprint
-    * frame (id, sh: array of four 16-bit blocks) — SimHash text prints
-    * and perceptual image dHashes ([[Multimodal.dHashQuarters]]) share
-    * it: a pair within hamming distance 3 must agree on at least one
-    * quarter, so candidates come from a quarter equi-join and the true
-    * distance is verified on the candidate set only.
+  /** One 64-bit packed print from the four 16-bit quarters (q0 high).
+    * Quarters are in [0, 65535], so the pack is exact and bijective --
+    * the single-long group/join key of the exact-print collapse. */
+  private[graft] def packPrint(sh: Column): Column =
+    (1 to 4).map(i => shiftleft(element_at(sh, i).cast("long"), 16 * (4 - i)))
+      .reduce(_ + _)
+
+  /** EXACT-PRINT COLLAPSE + pigeonhole blocking join over ANY quartered
+    * 64-bit fingerprint frame (id, sh: array of four 16-bit blocks) --
+    * SimHash text prints and perceptual image dHashes
+    * ([[Multimodal.dHashQuarters]]) share it: a pair within hamming
+    * distance 3 must agree on at least one quarter, so candidates come
+    * from a quarter equi-join and the true distance is verified on the
+    * candidate set only.
     *
-    * HOT-BUCKET ESCALATION: a degenerate print key (the all-zero
-    * quarter of flat images, silence audio, boilerplate text) puts
-    * unboundedly many ids in one (q, key) bucket, and the bucket join
-    * is O(|bucket|^2) BEFORE the hamming filter — AQE skew-split can
+    * Bit-IDENTICAL prints (true silence, flat/black frames -- guaranteed
+    * degenerates of any crawl) are collapsed FIRST: rows group by the
+    * packed 64-bit print, the pigeonhole candidate join runs over the
+    * DISTINCT prints only (min-id representative), and group membership
+    * fans back out afterwards. The pair SET is unchanged -- members of
+    * one print group pair with each other at hamming 0 (<= any radius,
+    * so blocking cannot drop them), and a member inherits its
+    * representative's cross-print matches verbatim because hamming
+    * depends only on the print bits. What changes is the COST: the
+    * candidate join's input shrinks from rows to distinct prints, so a
+    * 10M-copy silence print contributes ONE candidate row instead of an
+    * O(10M^2) bucket join, and the only quadratic work left is
+    * output-sized (an identical group's true pair set is itself
+    * quadratic -- emitted by a plain equi-join on the packed print,
+    * never re-verified, never distinct-shuffled).
+    *
+    * HOT-BUCKET ESCALATION (over distinct prints, maxHamming <= 3 only):
+    * a degenerate shared QUARTER (the all-zero quarter of flat images,
+    * silence audio, boilerplate text) still puts unboundedly many
+    * distinct prints in one (q, key) bucket, and the bucket join is
+    * O(|bucket|^2) BEFORE the hamming filter -- AQE skew-split can
     * parallelize that work but cannot shrink it. Buckets past
     * `hotThreshold` members therefore re-block on the four 12-bit
-    * sub-blocks of their remaining 48 bits ([[subKeys]]): within such
-    * a bucket a <=3-error pair still agrees on a sub-block
-    * (pigeonhole, level 2), so for maxHamming <= 3 the escalated
-    * result is IDENTICAL to the plain join — diverse-but-for-one-
-    * quarter buckets shrink quadratically, and only prints close to
-    * bit-identical (whose true pair set is inherently quadratic) stay
-    * together. Under `approxRecall` radii > 3 the escalation can drop
-    * further recall inside hot buckets — the blocking-limited contract
-    * the caller already accepted. */
+    * sub-blocks of their remaining 48 bits ([[subKeys]]): within such a
+    * bucket a <=3-error pair still agrees on a sub-block (pigeonhole,
+    * level 2), so the escalated result is IDENTICAL to the plain join.
+    * An `approxRecall` radius above 3 runs the PLAIN level-1 join
+    * instead -- level-2 escalation is only provably exact for <= 3
+    * errors, and the blocking-limited contract such callers accept (an
+    * oracle replaying level-1 blocking) must not have its recall
+    * silently changed inside hot buckets. */
   def quarterNearDupPairs(f: DataFrame, maxHamming: Int = 3,
                           approxRecall: Boolean = false,
                           hotThreshold: Int = HotBucketThreshold): DataFrame = {
@@ -864,48 +888,94 @@ object Dedup {
     require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
       s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
-    val withQ = f.select(col("id"), col("sh"), posexplode(col("sh")))
-      .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
-    // Only the HOT keys are materialized and broadcast: at most
-    // 4n/hotThreshold keys can exceed the threshold (pigeonhole on the
-    // exploded row count), so the set is small BY CONSTRUCTION at any
-    // corpus size — tagging is then a map-side broadcast join, and the
-    // cold path's cost over the unguarded join is one partial-collapsed
-    // count aggregate, not a corpus-wide shuffle join of sizes.
-    val hotKeys = broadcast(
-      withQ.groupBy("q", "key").agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") > hotThreshold)
-        .select(col("q"), col("key"), lit(true).as("__hot")))
-    val tagged = withQ.join(hotKeys, Seq("q", "key"), "left")
-    val cold = tagged.filter(col("__hot").isNull).drop("__hot")
-    val coldPairs = cold.as("a").join(cold.as("b"),
-        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+    val m = f.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+    // identical-print pairs: output-sized equi-join on the packed print,
+    // hamming 0 by construction (included at every radius >= 0)
+    val samePairs = m.as("a").join(m.as("b"),
+        col("a.pk") === col("b.pk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
-    val hot = tagged.filter(col("__hot").isNotNull)
-      .select(col("id"), col("sh"), col("q"), col("key"),
-        posexplode(subKeys(col("sh"), col("q"))))
-      .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
-    val hotPairs = hot.as("a").join(hot.as("b"),
-        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
-          col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
-    coldPairs.union(hotPairs)
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+        lit(0).as("hamming"))
+    val reps = m.groupBy("pk")
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+    val repPairs = pigeonholeRepPairs(reps, maxHamming, approxRecall,
+      hotThreshold)
+    // fan group membership back out: every member inherits its
+    // representative print's matches (hamming is a print property)
+    val crossPairs = repPairs
+      .join(m.select(col("pk").as("pkA"), col("id").as("ia")), "pkA")
+      .join(m.select(col("pk").as("pkB"), col("id").as("ib")), "pkB")
+      .select(least(col("ia"), col("ib")).as("idA"),
+        greatest(col("ia"), col("ib")).as("idB"), col("hamming"))
+    samePairs.union(crossPairs)
   }
 
-  /** INCREMENTAL sibling of [[quarterNearDupPairs]] — the
+  /** Candidate generation over a DISTINCT-print frame (pk, id, sh) with
+    * unique pk and unique id: level-1 quarter pigeonhole; for
+    * maxHamming <= 3, buckets past `hotThreshold` escalate to the
+    * level-2 12-bit sub-block re-block (provably exact there -- see
+    * [[quarterNearDupPairs]]). Returns (pkA, pkB, hamming) with hamming
+    * in [1, maxHamming], each unordered distinct-print pair once. */
+  private[graft] def pigeonholeRepPairs(reps: DataFrame, maxHamming: Int,
+                                 approxRecall: Boolean,
+                                 hotThreshold: Int): DataFrame = {
+    val withQ = reps.select(col("pk"), col("id"), col("sh"),
+        posexplode(col("sh")))
+      .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
+    val raw =
+      if (maxHamming > 3) {
+        // approxRecall contract: replay EXACTLY level-1 blocking
+        withQ.as("a").join(withQ.as("b"),
+            col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
+            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+      } else {
+        // Only the HOT keys are materialized and broadcast: at most
+        // 4n/hotThreshold keys can exceed the threshold (pigeonhole on
+        // the exploded row count), so the set is small BY CONSTRUCTION
+        // at any corpus size -- tagging is then a map-side broadcast
+        // join, and the cold path's cost over the unguarded join is one
+        // partial-collapsed count aggregate, not a corpus-wide shuffle
+        // join of sizes.
+        val hotKeys = broadcast(
+          withQ.groupBy("q", "key").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > hotThreshold)
+            .select(col("q"), col("key"), lit(true).as("__hot")))
+        val tagged = withQ.join(hotKeys, Seq("q", "key"), "left")
+        val cold = tagged.filter(col("__hot").isNull).drop("__hot")
+        val coldPairs = cold.as("a").join(cold.as("b"),
+            col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
+            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+        val hot = tagged.filter(col("__hot").isNotNull)
+          .select(col("pk"), col("id"), col("sh"), col("q"), col("key"),
+            posexplode(subKeys(col("sh"), col("q"))))
+          .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
+        val hotPairs = hot.as("a").join(hot.as("b"),
+            col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+              col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
+            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+        coldPairs.union(hotPairs)
+      }
+    raw.distinct().filter(col("hamming") <= maxHamming)
+  }
+
+  /** INCREMENTAL sibling of [[quarterNearDupPairs]] -- the
     * fingerprint-index convention every dedup family here carries
     * (exact, minhash, span, embedding): history participates as its
-    * persisted (id, sh) quartered prints only — payloads are never
-    * re-decoded or re-read — and each incoming batch row pairs against
+    * persisted (id, sh) quartered prints only -- payloads are never
+    * re-decoded or re-read -- and each incoming batch row pairs against
     * any history print within `maxHamming` via the same quarter
-    * pigeonhole equi-join. Within-batch duplication composes with the
-    * batch operator, the established dedupAgainstIndex convention. */
+    * pigeonhole equi-join. Both sides ride the same exact-print
+    * collapse: a batch print identical to an index print pairs with
+    * every such index member through the output-sized packed-print
+    * equi-join (hamming 0), and distinct-print candidates come from the
+    * pigeonhole join over the two rep frames. Within-batch duplication
+    * composes with the batch operator, the established
+    * dedupAgainstIndex convention. */
   def quarterNearDupAgainstIndex(batch: DataFrame, index: DataFrame,
                                  maxHamming: Int = 3,
                                  approxRecall: Boolean = false,
@@ -913,39 +983,64 @@ object Dedup {
     require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
       s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
+    val mb = batch.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+    val mi = index.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+    val samePairs = mb.as("a").join(mi.as("b"), col("a.pk") === col("b.pk"))
+      .select(col("a.id").as("idA"), col("b.id").as("idB"),
+        lit(0).as("hamming"))
+    val rb = mb.groupBy("pk")
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+    val ri = mi.groupBy("pk")
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
     def exploded(f: DataFrame) =
-      f.select(col("id"), col("sh"), posexplode(col("sh")))
+      f.select(col("pk"), col("id"), col("sh"), posexplode(col("sh")))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
-    val eb = exploded(batch)
-    val ei = exploded(index)
-    // hotness is a property of the COMBINED bucket (batch x index pairs
-    // are what explode), so both sides tag against the same broadcast
-    // hot-key set — small by construction (<= 4(n_batch+n_index)/
-    // hotThreshold keys can exceed the threshold)
-    val hotKeys = broadcast(
-      eb.select("q", "key").union(ei.select("q", "key"))
-        .groupBy("q", "key").agg(count(lit(1)).as("__bn"))
-        .filter(col("__bn") > hotThreshold)
-        .select(col("q"), col("key"), lit(true).as("__hot")))
-    def tag(f: DataFrame) = f.join(hotKeys, Seq("q", "key"), "left")
-    val tb = tag(eb); val ti = tag(ei)
-    def subbed(f: DataFrame) = f
-      .select(col("id"), col("sh"), col("q"), col("key"),
-        posexplode(subKeys(col("sh"), col("q"))))
-      .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
-    val coldPairs = tb.filter(col("__hot").isNull).drop("__hot").as("a")
-      .join(ti.filter(col("__hot").isNull).drop("__hot").as("b"),
-        col("a.q") === col("b.q") && col("a.key") === col("b.key"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
-    val hotPairs = subbed(tb.filter(col("__hot").isNotNull).drop("__hot")).as("a")
-      .join(subbed(ti.filter(col("__hot").isNotNull).drop("__hot")).as("b"),
-        col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
-          col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey"))
-      .select(col("a.id").as("idA"), col("b.id").as("idB"),
-        hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
-    coldPairs.union(hotPairs)
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val eb = exploded(rb)
+    val ei = exploded(ri)
+    val raw =
+      if (maxHamming > 3) {
+        eb.as("a").join(ei.as("b"),
+            col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+              col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
+            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+      } else {
+        // hotness is a property of the COMBINED bucket (batch x index
+        // pairs are what explode), so both sides tag against the same
+        // broadcast hot-key set -- small by construction
+        // (<= 4(n_batch + n_index)/hotThreshold keys can exceed the
+        // threshold)
+        val hotKeys = broadcast(
+          eb.select("q", "key").union(ei.select("q", "key"))
+            .groupBy("q", "key").agg(count(lit(1)).as("__bn"))
+            .filter(col("__bn") > hotThreshold)
+            .select(col("q"), col("key"), lit(true).as("__hot")))
+        def tag(f: DataFrame) = f.join(hotKeys, Seq("q", "key"), "left")
+        val tb = tag(eb); val ti = tag(ei)
+        def subbed(f: DataFrame) = f
+          .select(col("pk"), col("id"), col("sh"), col("q"), col("key"),
+            posexplode(subKeys(col("sh"), col("q"))))
+          .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
+        val coldPairs = tb.filter(col("__hot").isNull).drop("__hot").as("a")
+          .join(ti.filter(col("__hot").isNull).drop("__hot").as("b"),
+            col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+              col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
+            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+        val hotPairs = subbed(tb.filter(col("__hot").isNotNull).drop("__hot")).as("a")
+          .join(subbed(ti.filter(col("__hot").isNotNull).drop("__hot")).as("b"),
+            col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
+              col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey") &&
+              col("a.pk") =!= col("b.pk"))
+          .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
+            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+        coldPairs.union(hotPairs)
+      }
+    val repPairs = raw.distinct().filter(col("hamming") <= maxHamming)
+    val crossPairs = repPairs
+      .join(mb.select(col("pk").as("pkA"), col("id").as("ia")), "pkA")
+      .join(mi.select(col("pk").as("pkB"), col("id").as("ib")), "pkB")
+      .select(col("ia").as("idA"), col("ib").as("idB"), col("hamming"))
+    samePairs.union(crossPairs)
   }
 }

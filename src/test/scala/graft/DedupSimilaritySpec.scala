@@ -366,6 +366,93 @@ class DedupSimilaritySpec extends SparkSuite {
       .columns.sameElements(Array("idA", "idB", "hamming")))
   }
 
+  test("exact-print collapse: identical prints give 0 rep candidates, full pair set") {
+    // 300 bit-identical prints (true silence / flat frames): before the
+    // collapse these rode the hot path into ONE level-2 sub-bucket
+    // (O(n^2) candidates, x16 sub-key copies through the distinct);
+    // after it the candidate join sees ONE distinct print and the true
+    // pairs come from the output-sized packed-print equi-join.
+    val ident = spark.range(300).selectExpr("id",
+      "array(CAST(7 AS BIGINT), CAST(11 AS BIGINT), " +
+        "CAST(13 AS BIGINT), CAST(17 AS BIGINT)) AS sh")
+    val reps = ident
+      .select(col("id"), col("sh"), Dedup.packPrint(col("sh")).as("pk"))
+      .groupBy("pk")
+      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+    assert(reps.count() == 1L)
+    assert(Dedup.pigeonholeRepPairs(reps, 3, approxRecall = false, 8)
+      .count() == 0L)
+    val pairs = Dedup.quarterNearDupPairs(ident.toDF(), maxHamming = 3,
+        hotThreshold = 8)
+      .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+    assert(pairs.length == 300 * 299 / 2)
+    assert(pairs.forall(p => p._1 < p._2 && p._3 == 0))
+  }
+
+  test("exact-print collapse preserves the pair set: mixed fixture == brute force") {
+    // degenerate near-pairs PLUS a 40-member identical-print family:
+    // the operator output must equal blocking-independent brute-force
+    // hamming <= 3, with no duplicate rows from the membership fan-out
+    val f = degeneratePrints(120)
+      .union(spark.range(1000, 1040).selectExpr("id",
+        "array(CAST(0 AS BIGINT), CAST(1 AS BIGINT), " +
+          "CAST(2 AS BIGINT), CAST(3 AS BIGINT)) AS sh"))
+      .cache()
+    try {
+      val brute = f.select(col("id").as("ia"), col("sh").as("sha"))
+        .crossJoin(f.select(col("id").as("ib"), col("sh").as("shb")))
+        .filter(col("ia") < col("ib"))
+        .select(col("ia"), col("ib"),
+          Dedup.hammingQuarters(col("sha"), col("shb")).as("h"))
+        .filter(col("h") <= 3)
+        .as[(Long, Long, Int)].collect().toSet
+      val got = Dedup.quarterNearDupPairs(f, maxHamming = 3,
+          hotThreshold = 8)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+      assert(got.length == got.toSet.size, "fan-out emitted duplicate pairs")
+      assert(got.toSet == brute)
+      val batch = f.filter(col("id") % 2 === 1)
+      val index = f.filter(col("id") % 2 === 0)
+      val bruteIdx = batch.select(col("id").as("ia"), col("sh").as("sha"))
+        .crossJoin(index.select(col("id").as("ib"), col("sh").as("shb")))
+        .select(col("ia"), col("ib"),
+          Dedup.hammingQuarters(col("sha"), col("shb")).as("h"))
+        .filter(col("h") <= 3)
+        .as[(Long, Long, Int)].collect().toSet
+      val gotIdx = Dedup.quarterNearDupAgainstIndex(batch, index,
+          maxHamming = 3, hotThreshold = 8)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect()
+      assert(gotIdx.length == gotIdx.toSet.size)
+      assert(gotIdx.toSet == bruteIdx)
+    } finally { f.unpersist(); () }
+  }
+
+  test("approxRecall radius > 3 replays plain level-1 blocking (no escalation)") {
+    // the blocking-limited contract (oracle replays level-1 blocking)
+    // must not have its recall changed by hot buckets: with radius > 3
+    // the escalation is skipped, so an aggressive hotThreshold changes
+    // nothing
+    val f = degeneratePrints(200).cache()
+    try {
+      val ref = Dedup.quarterNearDupPairs(f, maxHamming = 6,
+          approxRecall = true, hotThreshold = Int.MaxValue)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+      val hot = Dedup.quarterNearDupPairs(f, maxHamming = 6,
+          approxRecall = true, hotThreshold = 2)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(ref.nonEmpty && hot == ref)
+      val batch = f.filter(col("id") % 2 === 1)
+      val index = f.filter(col("id") % 2 === 0)
+      val refIdx = Dedup.quarterNearDupAgainstIndex(batch, index,
+          maxHamming = 6, approxRecall = true, hotThreshold = Int.MaxValue)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+      val hotIdx = Dedup.quarterNearDupAgainstIndex(batch, index,
+          maxHamming = 6, approxRecall = true, hotThreshold = 2)
+        .select("idA", "idB", "hamming").as[(Long, Long, Int)].collect().toSet
+      assert(refIdx.nonEmpty && hotIdx == refIdx)
+    } finally { f.unpersist(); () }
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f)),   // close to 0
