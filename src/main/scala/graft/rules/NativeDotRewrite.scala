@@ -36,10 +36,16 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
       // Add must reference BOTH of the lambda's own two arguments, each
       // exactly once — (acc, e) -> e + e is a doubling fold, not a sum,
       // and rewriting it would change results
+      // ... and the multiply's variables must BE the zip lambda's own
+      // two arguments (not merely distinct): a nested HOF capturing an
+      // OUTER lambda's variable — transform(ws, t -> aggregate(
+      // zip_with(a, b, (x, y) -> x * t), ...)) — is a scaled fold of
+      // one array, not a dot product, and must be left untouched
       case ArrayAggregate(
             ZipWith(l, r,
               LambdaFunction(Multiply(m1: NamedLambdaVariable,
-                m2: NamedLambdaVariable, _), _, _)),
+                m2: NamedLambdaVariable, _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(0.0, DoubleType),
             LambdaFunction(Add(a1: NamedLambdaVariable,
               a2: NamedLambdaVariable, _),
@@ -47,6 +53,7 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
             LambdaFunction(fin: NamedLambdaVariable, Seq(finArg), _))
           if isDoubleArray(l) && isDoubleArray(r) &&
             m1.exprId != m2.exprId &&
+            Set(m1.exprId, m2.exprId) == Set(zx.exprId, zy.exprId) &&
             a1.exprId != a2.exprId &&
             Set(a1.exprId, a2.exprId) == Set(acc.exprId, el.exprId) &&
             fin.exprId == finArg.exprId =>
@@ -56,12 +63,16 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
       // pair — the SAME pair on both sides of the multiply, and x, y
       // DISTINCT variables ((x - x) * (x - x) is constant zero, not a
       // squared distance)
+      // — and, as above, the (x, y) pair must BE the zip lambda's own
+      // two arguments, so an outer-lambda capture ((x - t) * (x - t))
+      // can never be rewritten into a squared distance
       case ArrayAggregate(
             ZipWith(l, r,
               LambdaFunction(Multiply(
                 Subtract(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _),
                 Subtract(x2: NamedLambdaVariable, y2: NamedLambdaVariable, _),
-                _), _, _)),
+                _),
+                Seq(zx: NamedLambdaVariable, zy: NamedLambdaVariable), _)),
             Literal(0.0, DoubleType),
             LambdaFunction(Add(a1: NamedLambdaVariable,
               a2: NamedLambdaVariable, _),
@@ -70,6 +81,7 @@ object NativeDotRewrite extends Rule[LogicalPlan] {
           if isDoubleArray(l) && isDoubleArray(r) &&
             x1.exprId == x2.exprId && y1.exprId == y2.exprId &&
             x1.exprId != y1.exprId &&
+            Set(x1.exprId, y1.exprId) == Set(zx.exprId, zy.exprId) &&
             a1.exprId != a2.exprId &&
             Set(a1.exprId, a2.exprId) == Set(acc.exprId, el.exprId) &&
             fin.exprId == finArg.exprId =>

@@ -632,6 +632,52 @@ class DedupSimilaritySpec extends SparkSuite {
       .forall(_.getDouble(1) == 0.0))
   }
 
+  test("NativeDotRewrite: nested-HOF outer-lambda capture is NOT rewritten") {
+    // the rule is session-injected and rewrites USER expressions too: a
+    // zip lambda multiplying by an OUTER transform lambda's variable —
+    // transform(ws, t -> aggregate(zip_with(a, b, (x, y) -> x * t), ...))
+    // — is a scaled fold of ONE array, not a dot product; its variables
+    // are distinct but are not the zip lambda's own argument pair, so
+    // the exprId-set pin must reject it
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = Similarity.asDouble(col("embedding"))
+    val shifted = transform(v, x => x + lit(1.5))
+    val scaled = emb.select(col("vec_id"),
+      transform(array(lit(2.0), lit(3.0)),
+        t => aggregate(zip_with(v, shifted, (x, _) => x * t), lit(0.0),
+          (acc, e) => acc + e)).as("o"))
+    val scaledPlan = scaled.queryExecution.optimizedPlan.toString
+    assert(!scaledPlan.contains("dot_product") &&
+      !scaledPlan.contains("sq_dist"),
+      s"outer-capture x*t lambda was miscompiled:\n$scaledPlan")
+    // same shape against the SqDist arm: (x - t) * (x - t) is a squared
+    // shift of one array, not a pairwise squared distance
+    val shiftSq = emb.select(col("vec_id"),
+      transform(array(lit(2.0)),
+        t => aggregate(zip_with(v, shifted, (x, _) => (x - t) * (x - t)),
+          lit(0.0), (acc, e) => acc + e)).as("o"))
+    val shiftSqPlan = shiftSq.queryExecution.optimizedPlan.toString
+    assert(!shiftSqPlan.contains("sq_dist") &&
+      !shiftSqPlan.contains("dot_product"),
+      s"outer-capture (x-t)*(x-t) lambda was miscompiled:\n$shiftSqPlan")
+    // untouched semantics: o = [sum(x*2), sum(x*3)] per row
+    val ids = emb.limit(2).collect().map(_.getLong(0))
+    val expect = emb.filter(col("vec_id").isin(ids: _*)).collect().map { r =>
+      val xs = r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble)
+      r.getLong(0) -> Seq(2.0, 3.0).map { t =>
+        var s = 0.0; xs.foreach(x => s += x * t); s
+      }
+    }.toMap
+    val gotScaled = scaled.filter(col("vec_id").isin(ids: _*)).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(ids.forall(k => gotScaled(k) == expect(k)),
+      s"outer-capture values drifted: $gotScaled vs $expect")
+    // and the POSITIVE case still fires with the pins in place: the
+    // plain Similarity.dot idiom (zip lambda's own argument pair)
+    val pos = emb.select(Similarity.dot(v, shifted).as("d"))
+    assert(pos.queryExecution.optimizedPlan.toString.contains("dot_product"))
+  }
+
   test("sampling: deterministic, stratified caps respected, split exhaustive") {
     import graft.ops.Sampling
     val docs = (1L to 100L).map(i => (i, if (i % 2 == 0) "en" else "es"))
