@@ -1796,10 +1796,15 @@ object SparkEntry {
         StructField("n_chars", LongType)))
       val src = s.readStream.schema(docSchema)
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
+      // partials keyed by batchId (the repo's batch_id-fence
+      // convention): a foreachBatch retry after a mid-append failure
+      // OVERWRITES its batch's slot instead of double-counting it —
+      // replay-idempotent like the Complete-mode sibling and the
+      // ingest* paths
       val partials =
-        scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long)]
+        scala.collection.mutable.Map.empty[Long, Seq[(String, Long, Long)]]
       val q = src.writeStream
-        .foreachBatch { (batch: DataFrame, _: Long) =>
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
           val enc = Bpe.encodedLengths(batch, "doc_id", "text", ms)
           val rows = batch.select(col("doc_id"), col("source"))
             .join(enc, "doc_id")
@@ -1807,7 +1812,7 @@ object SparkEntry {
             .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("sum_bpe"))
             .collect()
           partials.synchronized {
-            partials ++= rows.map(r =>
+            partials(batchId) = rows.toSeq.map(r =>
               (r.getString(0), r.getLong(1), r.getLong(2)))
           }
           ()
@@ -1816,7 +1821,7 @@ object SparkEntry {
         .start()
       q.awaitTermination()
       import s.implicits._
-      partials.toSeq.toDF("source", "n_docs", "sum_bpe")
+      partials.values.toSeq.flatten.toDF("source", "n_docs", "sum_bpe")
         .groupBy("source")
         .agg(sum("n_docs").as("n_docs"), sum("sum_bpe").as("sum_bpe"))
         .orderBy("source")

@@ -68,6 +68,31 @@ if os.path.exists(dst_path):
                      f"shared queries is {median_ratio}x "
                      f"(> {MEDIAN_MAX_RATIO}x) — box-wide slowness; "
                      f"re-run the bench on a quiet box (--force to override)")
+# Ratchet + drop-warning (r19 ADVICE): floors were previously replaced
+# wholesale with the candidate's queries_min, so (a) a query missing
+# from the candidate (renamed, errored, sentinel-filtered) silently
+# lost its floor, and (b) a per-query regression that slipped past the
+# box-wide gates became the new, slower floor. Accepted rounds can now
+# only TIGHTEN floors they share with the old file — min(old, new) —
+# unless --force (a deliberate re-base, e.g. after a sustained host
+# slowdown is adjudicated as the new reality) takes the candidate
+# verbatim. Dropped keys always warn; they are never silent.
+if os.path.exists(dst_path):
+    old = json.load(open(dst_path)).get("queries_min", {})
+    dropped = sorted(q for q in old if q not in qm)
+    if dropped:
+        print(f"WARNING: {len(dropped)} floor key(s) absent from the "
+              f"candidate record (renamed/errored/sentinel?): "
+              f"{', '.join(dropped)}")
+    if not force:
+        loosened = sorted(q for q in qm if q in old and qm[q] > old[q])
+        if loosened:
+            print(f"ratcheting {len(loosened)} floor(s) the candidate "
+                  f"read slower than (kept old min): "
+                  f"{', '.join(loosened[:10])}"
+                  f"{'...' if len(loosened) > 10 else ''}")
+        qm = {q: (min(v, old[q]) if q in old else v) for q, v in qm.items()}
+
 out = {
     "accepted_round": rnd,
     "source": f"{os.path.basename(src)} (round {rnd}, cache-isolated)",
