@@ -1145,6 +1145,31 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // INCREMENTAL SemDeDup — the last dedup family's index triad
+    // closer: the quantizer is fitted ONCE on the even-id history and
+    // round-tripped through the persisted centroid table
+    // (centroidsDF/fromDF — bit-identical, no refit); history
+    // participates as its (id, cluster, cent_sim, vec) member index
+    // only. The odd-id batch assigns map-side against the persisted
+    // centroids and pairs within-cluster against index members + the
+    // batch itself; index rows are never dropped. With the index
+    // covering all prior rows, batch survivors equal the full-corpus
+    // sweep restricted to the batch (spec-pinned). Oracle replays the
+    // even-half fit, the full assignment, the centroid-cosines, and
+    // the batch-side pair sweep.
+    "dedup_semantic_incremental" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val hist = emb.filter(col("vec_id") % 2 === 0)
+      val cents0 = KMeans.fit(hist, "vec_id", "embedding", k = 8, iters = 2)
+      val cents = KMeans.fromDF(KMeans.centroidsDF(s, cents0))
+      val index = KMeans.semIndex(hist, "vec_id", "embedding", cents)
+      KMeans.semDedupAgainstIndex(emb.filter(col("vec_id") % 2 === 1),
+          index, "vec_id", "embedding", cents, threshold = 0.3)
+        .select(col("vec_id"), col("cluster"),
+          round(col("cent_sim"), 6).as("cent_sim"))
+        .orderBy("vec_id")
+    }),
+
     // JL-style random projection to 8 dims with the portable regenerable
     // plane family — no projection matrix to store or broadcast; the
     // whole reduction lives inside the scan stage (zero shuffle).
@@ -3776,6 +3801,24 @@ object SparkEntry {
       |u2c AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM u2
       |  GROUP BY cluster)""".stripMargin
 
+  /** kmeansCtes' even-id-history sibling: replays
+    * KMeans.fit(k=8, iters=2) over the vec_id % 2 = 0 half only,
+    * ending at `eu2c` (cluster, c list) — the persisted quantizer the
+    * dedup_semantic_incremental oracle assigns against. */
+  private val kmeansCtesEven: String =
+    s"""ve AS (SELECT vec_id AS id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings WHERE vec_id % 2 = 0),
+      |${duckKmeansSeeds(8, "e", "ve")},
+      |ea1 AS (${duckKmeansAssign("ve", "eseed", 1)}),
+      |eu1 AS (${duckKmeansUpdate("ea1")}),
+      |eu1c AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM eu1
+      |  GROUP BY cluster),
+      |ea2 AS (${duckKmeansAssign("ve", "eu1c", 1)}),
+      |eu2 AS (${duckKmeansUpdate("ea2")}),
+      |eu2c AS (SELECT cluster, list(comp ORDER BY pos) AS c FROM eu2
+      |  GROUP BY cluster)""".stripMargin
+
   /** DuckDB cosine between two list columns, same fold order as
     * Similarity.dot/l2Norm (ascending index, double accumulation). */
   private def duckCosine(a: String, b: String): String =
@@ -4490,6 +4533,28 @@ object SparkEntry {
         |  AND (b.cs < a.cs OR (b.cs = a.cs AND b.id < a.id)))
         |SELECT id AS vec_id, cluster, round(cs, 6) AS cent_sim FROM cs
         |WHERE id NOT IN (SELECT id FROM drp) ORDER BY vec_id""".stripMargin,
+
+    // Incremental sweep against the persisted even-half quantizer: the
+    // same assignment/cos/pair machinery, but the fit CTEs see only
+    // history rows, drop candidates are batch (odd) rows only, and
+    // partners range over history + batch — exactly the index-union
+    // the Spark operator joins.
+    "dedup_semantic_incremental" ->
+      s"""WITH $kmeansCtesEven,
+        |vall AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a3 AS (${duckKmeansAssign("vall", "eu2c", 1)}),
+        |cs AS (SELECT a3.id, a3.v, a3.cluster,
+        |    ${duckCosine("a3.v", "eu2c.c")} AS cs
+        |  FROM a3 JOIN eu2c USING (cluster)),
+        |drp AS (SELECT DISTINCT a.id FROM cs a JOIN cs b
+        |  ON a.cluster = b.cluster AND a.id <> b.id AND a.id % 2 = 1
+        |  AND ${duckCosine("a.v", "b.v")} >= 0.3
+        |  AND (b.cs < a.cs OR (b.cs = a.cs AND b.id < a.id)))
+        |SELECT id AS vec_id, cluster, round(cs, 6) AS cent_sim FROM cs
+        |WHERE id % 2 = 1 AND id NOT IN (SELECT id FROM drp)
+        |ORDER BY vec_id""".stripMargin,
 
     // Multi-probe re-derived: query side also visits the 3 Hamming-1
     // low-bit-flip buckets (xor with 1<<(probe-1)); DISTINCT dedups pairs

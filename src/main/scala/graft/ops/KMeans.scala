@@ -500,6 +500,69 @@ object KMeans {
     } else out
   }
 
+  /** Persisted member index for INCREMENTAL SemDeDup — the
+    * fingerprint-index convention the other dedup families carry
+    * (exact, minhash, embedding, phash): one row per ACCEPTED item,
+    * (id, cluster, cent_sim, vec), all derived map-side against the
+    * PERSISTED centroid literals. The vec column is what pairwise
+    * cosine needs at match time; cluster + cent_sim are the per-id
+    * scalars the drop rule reads. History is never re-embedded and the
+    * quantizer is never re-fit — a later batch consumes this table and
+    * [[centroidsDF]]/[[fromDF]] alone. */
+  def semIndex(df: DataFrame, idCol: String, vecCol: String,
+               cents: Seq[Centroid]): DataFrame =
+    vecs(df, idCol, vecCol)
+      .withColumn("__cluster", assignExpr(col("__v"), cents))
+      .withColumn("__cs", centroidCosExpr(col("__v"), col("__cluster"), cents))
+      .select(col("__id").as(idCol), col("__cluster").as("cluster"),
+        col("__cs").as("cent_sim"), col("__v").as("vec"))
+
+  /** INCREMENTAL SemDeDup: dedup an incoming batch against a persisted
+    * [[semIndex]] WITHOUT refitting the quantizer or re-reading
+    * history payloads. The batch assigns map-side against the same
+    * persisted centroids the index was built with; candidate partners
+    * are, per cluster, the index members PLUS the batch itself
+    * (within-batch duplication composes, the dedupAgainstIndex
+    * convention); the greedy drop rule is [[semDedup]]'s verbatim — a
+    * batch row is DROPPED iff some same-cluster partner within
+    * `threshold` cosine is strictly less typical (lower cent_sim), or
+    * equally typical with a lower id. Index rows are never dropped
+    * (history is already accepted). With an index covering all prior
+    * rows and the same centroids, the surviving batch rows equal the
+    * full-corpus [[semDedup]] restricted to the batch (spec-pinned on
+    * an even/odd split).
+    *
+    * 100 TB posture: the only data-scale shuffle is the within-cluster
+    * equi-join of batch rows against partners — Σ|cluster|-bounded per
+    * batch row, never all-pairs; centroids stay driver-held literals;
+    * history participates as the model-sized centroid table plus its
+    * per-id index rows. */
+  def semDedupAgainstIndex(batch: DataFrame, index: DataFrame,
+                           idCol: String, vecCol: String,
+                           cents: Seq[Centroid],
+                           threshold: Double): DataFrame = {
+    val b = vecs(batch, idCol, vecCol)
+      .withColumn("__cluster", assignExpr(col("__v"), cents))
+      .withColumn("__cs", centroidCosExpr(col("__v"), col("__cluster"), cents))
+    val fromIndex = index.select(col("cluster").as("__cluster"),
+      col(idCol).as("__idB"), col("vec").as("__vb"),
+      col("cent_sim").as("__csB"))
+    val fromBatch = b.select(col("__cluster"), col("__id").as("__idB"),
+      col("__v").as("__vb"), col("__cs").as("__csB"))
+    val partners = fromIndex.unionByName(fromBatch)
+    val dropped = b.select(col("__cluster"), col("__id").as("__idA"),
+        col("__v").as("__va"), col("__cs").as("__csA"))
+      .join(partners, Seq("__cluster"))
+      .filter(col("__idA") =!= col("__idB"))
+      .filter(Similarity.cosine(col("__va"), col("__vb")) >= threshold)
+      .filter(col("__csB") < col("__csA") ||
+        (col("__csB") === col("__csA") && col("__idB") < col("__idA")))
+      .select(col("__idA").as("__dropped")).distinct()
+    b.join(dropped, b("__id") === dropped("__dropped"), "left_anti")
+      .select(col("__id").as(idCol), col("__cluster").as("cluster"),
+        col("__cs").as("cent_sim"))
+  }
+
   // -------------------------------------------------------------------- PQ
 
   /** Product-quantization codebooks (Jégou, Douze, Schmid 2011 — the

@@ -1033,6 +1033,37 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(all(0L) < all(1L) && all(2L) < all(3L) && all(10L) == all(11L))
   }
 
+  test("semDedup incremental == batch restricted to the batch (even/odd split)") {
+    import graft.ops.KMeans
+    // history = even vec_ids: fit once there, round-trip the model
+    // through the persisted centroid table, build the member index;
+    // the odd batch against (index + itself) must equal the
+    // full-corpus sweep (same centroids) restricted to odd ids —
+    // the drop rule is one greedy pass over the pair relation, so a
+    // partner's own dropped status never matters
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val hist = emb.filter(col("vec_id") % 2 === 0)
+    val cents0 = KMeans.fit(hist, "vec_id", "embedding", k = 4, iters = 2)
+    val cents = KMeans.fromDF(KMeans.centroidsDF(spark, cents0))
+    assert(cents == cents0, "centroid table round-trip drifted")
+    val index = KMeans.semIndex(hist, "vec_id", "embedding", cents)
+    val inc = KMeans.semDedupAgainstIndex(
+        emb.filter(col("vec_id") % 2 === 1), index,
+        "vec_id", "embedding", cents, threshold = 0.3)
+      .select("vec_id", "cluster", "cent_sim")
+      .as[(Long, Int, Double)].collect().toSet
+    val full = KMeans.semDedup(emb, "vec_id", "embedding", cents,
+        threshold = 0.3)
+      .filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "cluster", "cent_sim")
+      .as[(Long, Int, Double)].collect().toSet
+    assert(inc.nonEmpty && inc == full)
+    // and the fixture is not vacuous: the sweep actually drops some
+    // odd rows (planted near-dups exist at sf0.001)
+    val nBatch = emb.filter(col("vec_id") % 2 === 1).count()
+    assert(inc.size < nBatch, s"no drops at all ($nBatch rows survived)")
+  }
+
   test("PQ: twin shares all codes and minimal ADC; codes deterministic") {
     import graft.ops.{KMeans, Similarity}
     val base = (0L until 60L).map { i =>
