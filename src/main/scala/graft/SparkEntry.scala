@@ -2858,6 +2858,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // BPE byte fallback (GPT-2 / SentencePiece byte_fallback): the
+    // same '¤'-augmented corpus against the learned merge list plus
+    // the fit-time character ALPHABET. The OOV character rides its
+    // UTF-8 bytes as <0xHH> base tokens — lossless, no character ever
+    // dropped (the mirror of unigram_encode_oov's visible-but-lossy
+    // <unk>) — while in-alphabet text segments identically around it.
+    // The oracle replays the alphabet, the byte decomposition, and
+    // every merge fold.
+    "bpe_encode_oov" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ms = Bpe.fitLocal(docs, "text", rounds = 6)
+      val alpha = Bpe.alphabet(docs, "text")
+      val aug = docs.select(col("doc_id"),
+        concat(col("text"), lit(" q¤q")).as("text"))
+      Bpe.encodeFallbackDigest(aug, "doc_id", "text", ms, alpha)
+        .orderBy("doc_id")
+    }),
+
     // Tokenizer SELECTION, the evaluation a pipeline actually runs
     // before committing a vocabulary: all three subword tokenizers
     // trained on the corpus and compared per source by fertility
@@ -3339,6 +3357,35 @@ object SparkEntry {
         |        AND x[1] = m.r
         |      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END)[2:] AS s
         |  FROM $prev, m$r m)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** Byte-fallback re-encode chain for bpe_encode_oov: `alpha` is the
+    * fit corpus's character alphabet (from duckBpeCtes' `wc`), `b0`
+    * symbolizes a caller-provided `bdist` distinct-word relation with
+    * the fallback rule (in-alphabet character stays itself; an OOV
+    * character becomes its UTF-8 bytes as '<0xHH>' tokens — same
+    * hex-pair decomposition as Bpe.symbolizeFallback), then b1..bN
+    * fold the learned merges m1..mN with the identical sentinel-seeded
+    * list_reduce as duckBpeCtes' s-chain. */
+  private def duckBpeFallbackEncodeCtes(rounds: Int): String = {
+    val sb = new StringBuilder(
+      """alpha AS (SELECT list(DISTINCT c) AS cs FROM
+        |  (SELECT unnest(regexp_extract_all(w, '.')) AS c FROM wc)),
+        |b0 AS (SELECT w, flatten(list_transform(regexp_extract_all(w, '.'),
+        |    c -> CASE WHEN list_contains(alpha.cs, c) THEN [c]
+        |      ELSE list_transform(regexp_extract_all(hex(c), '[0-9A-F]{2}'),
+        |        b -> '<0x' || b || '>') END)) || ['</w>'] AS s
+        |  FROM bdist, alpha)""".stripMargin)
+    for (r <- 1 to rounds) {
+      sb ++= s""",
+        |b$r AS (SELECT w, list_reduce(
+        |    list_prepend([' '], list_transform(s, x -> [x])),
+        |    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = m.l
+        |        AND x[1] = m.r
+        |      THEN acc[:-2] || [m.l || m.r] ELSE acc || x END)[2:] AS s
+        |  FROM b${r - 1}, m$r m)""".stripMargin
     }
     sb.toString
   }
@@ -6077,6 +6124,28 @@ object SparkEntry {
         |  md5(string_agg(array_to_string(ts, ' '), ' ' ORDER BY pos))
         |    AS uni_md5
         |FROM udwp d JOIN uenc USING (w)
+        |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
+
+    // byte-fallback encode: the BPE training CTEs (merges m1..m6 +
+    // fit-corpus word table wc), the fit alphabet, the '¤'-augmented
+    // corpus re-symbolized with the UTF-8 byte decomposition for OOV
+    // characters, and all six merge folds replayed
+    "bpe_encode_oov" ->
+      s"""WITH ${duckBpeCtes(6)},
+        |bdwp AS (SELECT doc_id,
+        |    unnest(regexp_extract_all(lower(text || ' q¤q'), '\\S+')) AS w,
+        |    generate_subscripts(
+        |      regexp_extract_all(lower(text || ' q¤q'), '\\S+'), 1) AS pos
+        |  FROM documents),
+        |bdist AS (SELECT DISTINCT w FROM bdwp),
+        |${duckBpeFallbackEncodeCtes(6)},
+        |benc AS (SELECT w, CAST(len(s) AS BIGINT) AS k,
+        |    CAST(len(list_filter(s, t -> t[1:3] = '<0x')) AS BIGINT) AS kb,
+        |    array_to_string(s, ' ') AS ss FROM b6)
+        |SELECT d.doc_id, CAST(SUM(k) AS BIGINT) AS n_bpe,
+        |  CAST(SUM(kb) AS BIGINT) AS n_byte,
+        |  md5(string_agg(ss, ' ' ORDER BY pos)) AS bpe_md5
+        |FROM bdwp d JOIN benc USING (w)
         |GROUP BY d.doc_id ORDER BY doc_id""".stripMargin,
 
     // all three tokenizer replays side by side over one shared word

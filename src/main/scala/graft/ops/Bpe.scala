@@ -620,4 +620,68 @@ object Bpe {
     corpus.select(col(idCol)).join(counts, Seq(idCol), "left")
       .select(col(idCol), coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
   }
+
+  /** The fit-time character alphabet: every distinct character of the
+    * corpus's `\S+` words. Model-sized (distinct Unicode characters,
+    * not words) — the companion artifact a byte-fallback encoder
+    * persists next to the merge list, so encode-anywhere can tell a
+    * fit-time base symbol from an out-of-alphabet character. */
+  def alphabet(corpus: DataFrame, textCol: String): Seq[String] =
+    corpus.select(explode(TextAnalysis.tokens(col(textCol))).as("w"))
+      .select(explode(split(col("w"), "")).as("c"))
+      .distinct().orderBy("c").collect().map(_.getString(0)).toSeq
+
+  /** GPT-2 / SentencePiece-style BYTE-FALLBACK symbolization: a
+    * character in the fit alphabet stays a character symbol; an
+    * out-of-alphabet character decomposes into its UTF-8 bytes as
+    * `<0xHH>` pseudo-tokens. Encode-anywhere therefore never drops
+    * input — the lossless mirror of Unigram's explicit `<unk>` arm
+    * (which is visible but lossy). Byte tokens can never merge:
+    * learned merges are over fit-time symbols only, and `<0x..>`
+    * strings contain characters outside every merge's symbols by
+    * construction of the fit corpus. */
+  def symbolizeFallback(word: Column, alpha: Seq[String]): Column =
+    concat(flatten(transform(split(word, ""), c =>
+      when(c.isin(alpha: _*), array(c))
+        .otherwise(transform(
+          regexp_extract_all(hex(encode(c, "UTF-8")),
+            lit("[0-9A-F]{2}"), lit(0)),
+          b => concat(lit("<0x"), b, lit(">")))))),
+      array(lit(EndOfWord)))
+
+  /** Byte-fallback encode at corpus scale, digest form: the
+    * [[encodedLengths]] vocabulary-join shape (merges fold once per
+    * DISTINCT word, occurrences equi-join back on the word key), with
+    * [[symbolizeFallback]] as the base symbolization and three outputs
+    * per doc — token count, byte-fallback token count (how much of the
+    * stream rode the fallback), and the md5 digest of the ordered
+    * token stream. Callers pass the fit corpus's [[alphabet]]; docs
+    * are expected non-empty of words (the OOV probes append one). */
+  def encodeFallbackDigest(corpus: DataFrame, idCol: String,
+                           textCol: String, merges: Seq[Merge],
+                           alpha: Seq[String]): DataFrame = {
+    val docWords = corpus.select(col(idCol),
+      posexplode(TextAnalysis.tokens(col(textCol))))
+      .withColumnRenamed("col", "w")
+    val batches = merges.sortBy(_.rank).grouped(EncodeBatchSize).toSeq
+    var vocabSyms = docWords.select("w").distinct()
+      .select(col("w"), symbolizeFallback(col("w"), alpha).as("__s"))
+    for ((batch, idx) <- batches.zipWithIndex) {
+      vocabSyms = vocabSyms.select(col("w"),
+        batch.foldLeft(col("__s")) { (s, m) =>
+          applyMergeExpr(s, m.left, m.right)
+        }.as("__s"))
+      if (idx < batches.size - 1) vocabSyms = vocabSyms.localCheckpoint()
+    }
+    val wenc = vocabSyms.select(col("w"),
+      size(col("__s")).cast("long").as("__k"),
+      size(filter(col("__s"), t => t.startsWith("<0x")))
+        .cast("long").as("__kb"),
+      array_join(col("__s"), " ").as("__ss"))
+    docWords.join(wenc, "w").groupBy(idCol)
+      .agg(sum("__k").as("n_bpe"), sum("__kb").as("n_byte"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("__ss")))),
+          x => x.getField("__ss")), " ")).as("bpe_md5"))
+  }
 }

@@ -416,6 +416,42 @@ class OpsSpec extends SparkSuite {
     assert(Bpe.fromDF(store.read("merges")) == ms)
   }
 
+  test("bpe: byte fallback — OOV chars ride UTF-8 bytes, in-alphabet text unchanged") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val docs = Seq((1L, text)).toDF("id", "text")
+    val ms = Bpe.fit(docs, "text", rounds = 5)
+    val alpha = Bpe.alphabet(docs, "text")
+    assert(alpha.toSet == "lowernstdi".map(_.toString).toSet)
+    // '¤' (UTF-8 C2 A4) and 'z' (7A) are fit-corpus-DISJOINT characters:
+    // they decompose to byte tokens while the surrounding in-alphabet
+    // text still merges identically (est</w>, low)
+    val enc = Seq("low¤est").toDF("w")
+      .select(ms.sortBy(_.rank)
+        .foldLeft(Bpe.symbolizeFallback(col("w"), alpha)) { (s, m) =>
+          Bpe.applyMergeExpr(s, m.left, m.right)
+        }.as("s"))
+      .collect().head.getSeq[String](0)
+    assert(enc == Seq("low", "<0xC2>", "<0xA4>", "est</w>"),
+      s"wrong fallback encoding: $enc")
+    // corpus-scale digest path: low¤est (4 toks, 2 byte) + ¤ (3, 2) +
+    // zz (3, 2); the pure in-alphabet doc carries zero byte tokens and
+    // agrees with the fallback-free count path
+    val out = Bpe.encodeFallbackDigest(
+        Seq((1L, "low¤est ¤ zz"), (2L, "lowest newest")).toDF("id", "text"),
+        "id", "text", ms, alpha)
+      .orderBy("id").collect()
+    assert(out(0).getLong(1) == 10L && out(0).getLong(2) == 6L,
+      s"byte-fallback counts wrong: ${out.toSeq}")
+    assert(out(1).getLong(1) == 6L && out(1).getLong(2) == 0L)
+    val plain = Bpe.encodedLengths(
+        Seq((2L, "lowest newest")).toDF("id", "text"), "id", "text", ms)
+      .collect().head.getLong(1)
+    assert(plain == 6L)
+  }
+
   test("bpe: batched fit — batch 1 frozen, disjoint batch exact, fewer rounds") {
     import graft.ops.Bpe
     import spark.implicits._
