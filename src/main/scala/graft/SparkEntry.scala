@@ -778,7 +778,11 @@ object SparkEntry {
         .orderBy("id", "matched_id")
     }),
 
-    // LLM dedup: n-gram Jaccard on adjacent-id pairs (verify kernel)
+    // LLM dedup: n-gram Jaccard on adjacent-id pairs — a VERIFY KERNEL
+    // demo (exact Jaccard over an externally-given pair list), NOT a
+    // candidate generator: at scale the pair list comes from the banded
+    // families (minhash LSH / simhash quarters), never from id
+    // adjacency
     "dedup_ngram" -> ((s, dir) => {
       val d = t(s, dir, "documents")
         .select(col("doc_id"), Dedup.wordShingles(col("text"), 3).as("sh"))
@@ -1119,6 +1123,16 @@ object SparkEntry {
       def hits(d: DataFrame, name: String) = d.select("qid", "nid")
         .join(exact.select("qid", "nid"), Seq("qid", "nid"))
         .groupBy("qid").agg(count(lit(1)).as(name))
+      // two QUALITY CLAIMS pinned TRUE by the oracle, so a quantizer
+      // regression FAILS the driver check instead of just reading
+      // lower: (a) per query, refined recall >= quantized-only recall
+      // — provable, both pick from the same 50-shortlist and a ground
+      // -truth member of the shortlist always survives the exact
+      // re-rank; (b) the corpus-level mean refined recall holds a 0.15
+      // floor (measured 0.366 at sf0.01 / 0.224 at sf0.1 on these
+      // unclustered synthetic embeddings, where 2-of-8 probes bound
+      // recall — the floor catches a broken codebook, the planted-
+      // cluster spec in QuerySemanticsSpec holds the tight 0.90 bar)
       qq.select("qid")
         .join(hits(approx, "h0"), Seq("qid"), "left")
         .join(hits(refined, "h1"), Seq("qid"), "left")
@@ -1127,6 +1141,11 @@ object SparkEntry {
             .as("recall_at_10"),
           (coalesce(col("h1"), lit(0L)).cast("double") / 10.0)
             .as("recall_refined_at_10"))
+        .withColumn("refined_ge_approx",
+          col("recall_refined_at_10") >= col("recall_at_10"))
+        .withColumn("refined_floor_ok",
+          avg(col("recall_refined_at_10")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy()) >= 0.15)
         .orderBy("qid")
     }),
 
@@ -4564,7 +4583,8 @@ object SparkEntry {
         |  GROUP BY 1)
         |SELECT qv.id AS qid,
         |  CAST(COALESCE(h0.n, 0) AS DOUBLE) / 10.0 AS recall_at_10,
-        |  CAST(COALESCE(h1.n, 0) AS DOUBLE) / 10.0 AS recall_refined_at_10
+        |  CAST(COALESCE(h1.n, 0) AS DOUBLE) / 10.0 AS recall_refined_at_10,
+        |  TRUE AS refined_ge_approx, TRUE AS refined_floor_ok
         |FROM qv LEFT JOIN h0 ON h0.qid = qv.id
         |LEFT JOIN h1 ON h1.qid = qv.id ORDER BY qid""".stripMargin,
 

@@ -247,6 +247,10 @@ object Unigram {
         val costs = current.map { case (p, c) =>
           p -> costMb(c, total, v) }.toMap
         val em = viterbiCounts(words, costs)
+        // 3/4 is Kudo's published shrinking factor (SentencePiece's
+        // --shrinking_factor default 0.75, integer-floored here so the
+        // oracle replays the schedule exactly): each intermediate round
+        // keeps 75% of the cap, the last round cuts to the target
         kCap = if (r == rounds) targetMulti
                else math.max(targetMulti, (kCap * 3) / 4)
         charCounts = charCounts.map { case (p, _) =>
