@@ -2362,6 +2362,48 @@ object SparkEntry {
         .orderBy("batch_id")
     }),
 
+    // SELF-MAINTAINING streaming SemDeDup — the semantic family's triad
+    // closer (batch dedup_semantic / incremental dedup_semantic_
+    // incremental / this): the quantizer is fit ONCE on the day-1
+    // (even-id) history and held as driver literals; day 1 streams the
+    // evens through the gate (empty index — only the within-batch
+    // keep-the-outlier sweep fires), day 2 streams the odds, which
+    // first drop against day 1's persisted (id, cluster, cent_sim,
+    // vec) index rows (any same-cluster cosine >= 0.3 evicts the
+    // newcomer — history cannot be retracted) and then sweep among
+    // themselves. The oracle replays the even-half fit, both days'
+    // assignments, the index gate, and both within-batch sweeps.
+    "stream_semantic_index" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val emb = t(s, dir, "embeddings")
+      val cents = KMeans.fit(emb.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", k = 8, iters = 2)
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-ssi").toString
+      val store = new graft.store.TableStore(s, s"$tmp/store")
+      val in = s"$tmp/in"
+      val embSchema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      def run(): Unit = {
+        val src = s.readStream.schema(embSchema).parquet(in)
+        graft.streaming.StreamIngest.ingestSemanticIndexed(src, store,
+          "sem_index", "clean_vecs", cents, "vec_id", "embedding",
+          threshold = 0.3, s"$tmp/_ckpt").awaitTermination()
+      }
+      emb.filter(col("vec_id") % 2 === 0).coalesce(1)
+        .write.mode("overwrite").parquet(in)
+      run() // day 1: survivors' semantic index rows persist
+      emb.filter(col("vec_id") % 2 === 1).coalesce(1)
+        .write.mode("append").parquet(in)
+      run() // day 2: only the new file replays; gates against day 1
+      store.read("sem_index").dropDuplicates("vec_id")
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_kept"), sum("vec_id").as("sum_id"))
+        .orderBy("batch_id")
+    }),
+
     // COMPOSED MEDIA CURATION FUNNEL — the multimodal sibling of
     // curate_corpus: corrupt-decode gate (decodeFeaturesSafe: planted
     // lying-header payloads at id%25==0 must die per-row, not per-task)
@@ -5641,6 +5683,46 @@ object SparkEntry {
         |UNION ALL
         |SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
         |  CAST(SUM(id) AS BIGINT) FROM s2
+        |ORDER BY batch_id""".stripMargin,
+
+    // streaming SemDeDup replay: even-half fit, both days' assignments
+    // against the persisted centroids, day-1 within-batch sweep, the
+    // day-2 index gate (any same-cluster cosine >= 0.3 against day-1
+    // SURVIVORS evicts), and the day-2 within-batch sweep
+    "stream_semantic_index" ->
+      s"""WITH $kmeansCtesEven,
+        |vall AS (SELECT vec_id AS id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |a3 AS (${duckKmeansAssign("vall", "eu2c", 1)}),
+        |scs AS (SELECT a3.id, a3.v, a3.cluster,
+        |    ${duckCosine("a3.v", "eu2c.c")} AS cs
+        |  FROM a3 JOIN eu2c USING (cluster)),
+        |sd1 AS (SELECT * FROM scs WHERE id % 2 = 0),
+        |sdrp1 AS (SELECT DISTINCT a.id FROM sd1 a JOIN sd1 b
+        |  ON a.cluster = b.cluster AND a.id <> b.id
+        |  AND ${duckCosine("a.v", "b.v")} >= 0.3
+        |  AND (b.cs < a.cs OR (b.cs = a.cs AND b.id < a.id))),
+        |sk1 AS (SELECT * FROM sd1
+        |  WHERE id NOT IN (SELECT id FROM sdrp1)),
+        |sd2 AS (SELECT * FROM scs WHERE id % 2 = 1),
+        |shit2 AS (SELECT DISTINCT a.id FROM sd2 a JOIN sk1 b
+        |  ON a.cluster = b.cluster
+        |  AND ${duckCosine("a.v", "b.v")} >= 0.3),
+        |sf2 AS (SELECT * FROM sd2
+        |  WHERE id NOT IN (SELECT id FROM shit2)),
+        |sdrp2 AS (SELECT DISTINCT a.id FROM sf2 a JOIN sf2 b
+        |  ON a.cluster = b.cluster AND a.id <> b.id
+        |  AND ${duckCosine("a.v", "b.v")} >= 0.3
+        |  AND (b.cs < a.cs OR (b.cs = a.cs AND b.id < a.id))),
+        |sk2 AS (SELECT * FROM sf2
+        |  WHERE id NOT IN (SELECT id FROM sdrp2))
+        |SELECT CAST(0 AS BIGINT) AS batch_id,
+        |  CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |  CAST(SUM(id) AS BIGINT) AS sum_id FROM sk1
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+        |  CAST(SUM(id) AS BIGINT) FROM sk2
         |ORDER BY batch_id""".stripMargin,
 
     // phash pairs -> recursive components -> rep-keyed md5 split

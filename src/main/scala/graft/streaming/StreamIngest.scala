@@ -352,6 +352,72 @@ object StreamIngest {
       }
       .start()
 
+  /** Self-maintaining streaming SEMANTIC near-dup gate — the SemDeDup
+    * sibling of [[ingestPrintIndexed]], completing the batch /
+    * incremental / streaming triad for the semantic family. The
+    * quantizer (`cents`) is pre-trained and driver-held (fit once on
+    * history, persisted via KMeans.centroidsDF — never refit inside
+    * the stream); each micro-batch assigns map-side, drops rows whose
+    * cosine to ANY same-cluster member of the PERSISTED index reaches
+    * `threshold` (history is already accepted and cannot be retracted,
+    * so an index match always evicts the newcomer — the arrival-order
+    * discipline every streaming gate here shares), then sweeps
+    * within-batch duplication with the batch operator's own
+    * keep-the-outlier rule (lower cent_sim survives, ties by id), and
+    * appends the survivors' (id, cluster, cent_sim, vec) index rows
+    * back, batch_id-fenced for replay idempotence. History thus
+    * participates as the model-sized centroid literals plus per-id
+    * index rows — embeddings are never re-fit, payloads never reread;
+    * the only data-scale join is within-cluster. */
+  def ingestSemanticIndexed(stream: DataFrame, store: TableStore,
+                            indexTable: String, cleanTable: String,
+                            cents: Seq[graft.ops.KMeans.Centroid],
+                            idCol: String, vecCol: String,
+                            threshold: Double,
+                            checkpointDir: String,
+                            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    stream.writeStream
+      .outputMode(OutputMode.Append)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val b = graft.ops.KMeans.semIndex(batch, idCol, vecCol, cents)
+          val idxLike = b.withColumn("batch_id", lit(batchId))
+          val index = store.readOrEmpty(indexTable, idxLike)
+            .filter(col("batch_id") < batchId)
+          val hitIdx = b.as("a").join(index.as("b"),
+              col("a.cluster") === col("b.cluster") &&
+                graft.ops.Similarity.cosine(col("a.vec"), col("b.vec"))
+                  >= threshold)
+            .select(col(s"a.$idCol").as(idCol)).distinct()
+          val fresh = b.join(hitIdx, Seq(idCol), "left_anti")
+            .persist() // feeds the within-batch pair join AND the keep set
+          try {
+            val dropWithin = fresh.as("a").join(fresh.as("b"),
+                col("a.cluster") === col("b.cluster") &&
+                  col(s"a.$idCol") =!= col(s"b.$idCol") &&
+                  graft.ops.Similarity.cosine(col("a.vec"), col("b.vec"))
+                    >= threshold &&
+                  (col("b.cent_sim") < col("a.cent_sim") ||
+                    (col("b.cent_sim") === col("a.cent_sim") &&
+                      col(s"b.$idCol") < col(s"a.$idCol"))))
+              .select(col(s"a.$idCol").as(idCol)).distinct()
+            val keep = fresh.join(dropWithin, Seq(idCol), "left_anti")
+              .persist() // feeds both appends
+            try {
+              store.append(indexTable,
+                keep.withColumn("batch_id", lit(batchId)), maxFiles = 1)
+              store.append(cleanTable,
+                batch.join(keep.select(idCol), Seq(idCol), "left_semi")
+                  .withColumn("batch_id", lit(batchId)), maxFiles = 1)
+            } finally { keep.unpersist(); () }
+          } finally { fresh.unpersist(); () }
+        }
+        ()
+      }
+      .start()
+
   /** Bounded-state streaming exact-dedup: dedup state per key is kept only
     * while the key's event time is within the watermark, then EVICTED —
     * the form an unbounded event stream needs (plain `dropDuplicates`

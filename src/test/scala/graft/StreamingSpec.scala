@@ -365,6 +365,65 @@ class StreamingSpec extends SparkSuite {
     assert(survivors(store.read("print_index")) == Seq())
   }
 
+  test("streaming semantic gate: index match evicts, within-batch keeps the outlier") {
+    implicit val sq = spark.sqlContext
+    import graft.ops.KMeans
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssi-spec").toString
+    val store = new graft.store.TableStore(spark, s"$dir/store")
+    // quantizer pre-trained on the day-1 population (blob + far blob)
+    val hist = Seq(
+      (0L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (10L, Array(10.0f, 10.0f))).toDF("vec_id", "embedding")
+    val cents = KMeans.fit(hist, "vec_id", "embedding", k = 2, iters = 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamIngest.ingestSemanticIndexed(
+      mem.toDF().toDF("vec_id", "embedding"), store,
+      "sem_index", "clean_vecs", cents, "vec_id", "embedding",
+      threshold = 0.95, s"$dir/_ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    // batch 0 = the history population: cos(0, 2) = 0.6 < 0.95 and the
+    // far blob is its own cluster — everything is kept
+    mem.addData((0L, Array(1.0f, 0.0f)), (2L, Array(0.6f, 0.8f)),
+      (10L, Array(10.0f, 10.0f)))
+    q.processAllAvailable()
+    assert(store.read("clean_vecs").select("vec_id").collect()
+      .map(_.getLong(0)).sorted.toSeq == Seq(0L, 2L, 10L))
+    // batch 1: 1 ~ 0 (cos ~.98) and 11 == 10 are evicted by the INDEX
+    // (history cannot be retracted, typicality does not matter there);
+    // 5 and 7 near-dup EACH OTHER only, so the within-batch
+    // keep-the-outlier sweep fires and exactly one survives
+    mem.addData((1L, Array(0.98f, 0.2f)), (11L, Array(10.0f, 10.0f)),
+      (5L, Array(-1.0f, -0.1f)), (7L, Array(-1.0f, -0.12f)))
+    q.processAllAvailable()
+    q.stop()
+    val day2 = store.read("clean_vecs").filter(col("batch_id") === 1L)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(day2.length == 1 && (day2.head == 5L || day2.head == 7L),
+      s"day-2 survivors: $day2")
+    // the survivor is the LESS typical of the pair (lower cent_sim,
+    // ties by lower id) — the batch operator's own rule
+    val sims = KMeans.semIndex(
+        Seq((5L, Array(-1.0f, -0.1f)), (7L, Array(-1.0f, -0.12f)))
+          .toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("cent_sim"))
+      .toMap
+    val expectSurvivor =
+      if (sims(5L) < sims(7L)) 5L
+      else if (sims(7L) < sims(5L)) 7L
+      else 5L
+    assert(day2.head == expectSurvivor)
+    // the index holds exactly the survivors' rows, batch-stamped, and
+    // the replay fence sees only prior batches
+    val idx = store.read("sem_index").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("batch_id")))
+    assert(idx.map(_._1).sorted.toSeq ==
+      (Seq(0L, 2L, 10L) :+ expectSurvivor).sorted)
+    assert(store.read("sem_index").filter(col("batch_id") < 1L)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(0L, 2L, 10L))
+  }
+
   test("watermarked windowed counts over an event stream") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
