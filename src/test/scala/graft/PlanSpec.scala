@@ -119,6 +119,17 @@ class PlanSpec extends SparkSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"semDedup degenerated to an all-pairs join:\n$p")
+    // the incremental form: batch x (index + itself) rides the same
+    // cluster equi-join — the cosine threshold is a join FILTER on the
+    // cluster key, never a join condition that degenerates to all-pairs
+    val idx = KMeans.semIndex(vecs.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cents)
+    val pInc = planOf(KMeans.semDedupAgainstIndex(
+      vecs.filter($"vec_id" % 2 === 1), idx, "vec_id", "embedding",
+      cents, threshold = 0.9))
+    assert(!pInc.contains("CartesianProduct") &&
+      !pInc.contains("BroadcastNestedLoopJoin"),
+      s"incremental semDedup degenerated to an all-pairs join:\n$pInc")
   }
 
   test("mixCorpus/weightedSample join their tiny stats by broadcast, never SMJ") {
