@@ -844,6 +844,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // QUALITY-AWARE near-dup survivor selection — the policy a real
+    // curation pipeline wants instead of keep-min-id: connected
+    // components over the MinHash-LSH pair graph (the dedup_cluster
+    // machinery), and within each component the member passing the
+    // MOST quality rules survives (integer rule count 0..3 — the
+    // qualityScore numerator, division-free so the argmax order is
+    // exact in any engine; ties by lowest doc_id). Docs in no near-dup
+    // pair survive untouched. The per-component window runs over the
+    // CLUSTERED members only (edge-list-bounded, never the corpus);
+    // singletons come from one corpus-scale left-anti join. Oracle
+    // replays pairs -> recursive components -> rule counts -> argmax.
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+        shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
+        materialize = true)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val clusters =
+        try Dedup.clusterPairs(pairs)
+        finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          pairs.unpersist(false)
+        }
+      val nq = docs.select(col("doc_id"),
+        TextAnalysis.qualityRuleCount(col("text")).as("nq"))
+      val member = clusters.select(col("id").as("doc_id"), col("rep"))
+        .join(nq, "doc_id")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("rep").orderBy(col("nq").desc, col("doc_id").asc)
+      val bestClustered = member
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "rep", "nq")
+      val singles = nq
+        .join(clusters.select(col("id").as("doc_id")),
+          Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("rep"), col("nq"))
+      bestClustered.unionByName(singles).orderBy("doc_id")
+    }),
+
     // Test-set DECONTAMINATION: docs with doc_id % 50 == 0 stand in for a
     // benchmark suite; every other doc is flagged if it shares any word
     // 3-gram with the benchmark (shared-shingle count included). The
@@ -4903,6 +4944,46 @@ object SparkEntry {
         |  FROM reach JOIN edges e ON reach.node = e.a)
         |SELECT node AS doc_id, MIN(r) AS rep
         |FROM reach GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the same recursive components, then the quality-rule argmax per
+    // component (integer rule count, ties by id) plus untouched
+    // singletons
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+        |pairs AS (SELECT idA, idB FROM v WHERE j >= 0.7),
+        |nodes AS (SELECT idA AS id FROM pairs UNION SELECT idB FROM pairs),
+        |edges AS (SELECT idA AS a, idB AS b FROM pairs
+        |  UNION SELECT idB AS a, idA AS b FROM pairs),
+        |reach AS (
+        |  SELECT id AS node, id AS r FROM nodes
+        |  UNION
+        |  SELECT e.b AS node, reach.r AS r
+        |  FROM reach JOIN edges e ON reach.node = e.a),
+        |comp AS (SELECT node AS doc_id, MIN(r) AS rep
+        |  FROM reach GROUP BY 1),
+        |nqt AS (SELECT doc_id,
+        |    CAST((CASE WHEN length(text) BETWEEN 20 AND 20000
+        |        THEN 1 ELSE 0 END) +
+        |      (CASE WHEN CAST(len(regexp_extract_all(text, '[[:punct:]]'))
+        |          AS DOUBLE) / greatest(length(text), 1) < 0.2
+        |        THEN 1 ELSE 0 END) +
+        |      (CASE WHEN CAST(length(regexp_replace(text, '\\s+', '', 'g'))
+        |          AS DOUBLE) /
+        |          greatest(len(regexp_extract_all(lower(text), '\\S+')), 1)
+        |          BETWEEN 2.0 AND 14.0
+        |        THEN 1 ELSE 0 END) AS INT) AS nq
+        |  FROM documents),
+        |m AS (SELECT c.doc_id, c.rep, q.nq FROM comp c
+        |  JOIN nqt q USING (doc_id)),
+        |best AS (SELECT doc_id, rep, nq FROM (
+        |    SELECT m.*, row_number() OVER (
+        |      PARTITION BY rep ORDER BY nq DESC, doc_id) AS rk FROM m)
+        |  WHERE rk = 1),
+        |single AS (SELECT q.doc_id, q.doc_id AS rep, q.nq FROM nqt q
+        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM comp))
+        |SELECT doc_id, rep, nq FROM best
+        |UNION ALL SELECT doc_id, rep, nq FROM single
+        |ORDER BY doc_id""".stripMargin,
 
     // Decontamination re-derived: same distinct word-3-gram shingles, same
     // benchmark split by id arithmetic, COUNT(DISTINCT shared shingle).

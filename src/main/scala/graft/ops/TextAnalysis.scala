@@ -87,6 +87,15 @@ object TextAnalysis {
     (lenOk + punctOk + wordOk) / 3.0
   }
 
+  /** The integer numerator of [[qualityScore]] — how many of the three
+    * rules pass (0..3). Survivor selection keys on THIS form: the
+    * order is integer-exact in any engine (no division in the sort
+    * key), so a cross-engine oracle replays argmax ties digit-free. */
+  def qualityRuleCount(text: Column): Column =
+    when(length(text).between(20, 20000), 1).otherwise(0) +
+      when(punctRatio(text) < 0.2, 1).otherwise(0) +
+      when(meanWordLength(text).between(2.0, 14.0), 1).otherwise(0)
+
   /** The eight words Gopher's rule 7 requires at least two of. */
   val GopherRequiredWords =
     Seq("the", "be", "to", "of", "and", "that", "have", "with")

@@ -253,6 +253,17 @@ class QuerySemanticsSpec extends SparkSuite {
       ("B", "x", 1L, 4.0)))
   }
 
+  test("qualityRuleCount is the integer numerator of qualityScore") {
+    import graft.ops.TextAnalysis
+    val df = Seq("short", ("word " * 50).trim, "!!!???;;;,,,...",
+      "a perfectly ordinary sentence with enough length to pass the band")
+      .toDF("text")
+    val out = df.select(TextAnalysis.qualityRuleCount(col("text")).as("nq"),
+      (TextAnalysis.qualityScore(col("text")) * 3).as("q3")).collect()
+    assert(out.forall(r => r.getInt(0) == math.round(r.getDouble(1)).toInt))
+    assert(out.map(_.getInt(0)).distinct.length > 1) // fixture not vacuous
+  }
+
   test("IVF-PQ refined search holds a recall@10 floor on a planted-cluster space") {
     // QUALITY floor, not a hash pin: pq_recall's oracle replays whatever
     // the quantizer fit produces, so a codebook-training regression that
