@@ -419,6 +419,41 @@ object Probe {
           f.count()
         }
         println(s"[sub] semDedup eager: $ts ($sk rows)")
+      // stage-by-stage wall clock of the MinHash-LSH pair pipeline (the
+      // shared engine of dedup_minhash/_cluster/_keep_best and the
+      // curation funnels) — where inside the one pipeline the time goes
+      case "minhashstages" =>
+        val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+        val docs = spark.read.parquet(s"$dir/documents.parquet")
+        val sh = docs.select(col("doc_id").as("id"),
+          Dedup.wordShingles(col("text"), 3).as("shingles")).cache()
+        println(s"[mh] shingles cache+count: ${timed(sh.count())}")
+        val sig = Dedup.minhashSignaturesFromShingles(sh, 64)
+        println(s"[mh] signatures: ${timed(sig.count())}")
+        val buckets = sig.select(col("id"),
+            explode(Dedup.lshBandKeys(col("sig"), 16, 4)).as("bk"))
+          .select(col("id"), col("bk.band"), col("bk.bucket"))
+        println(s"[mh] buckets: ${timed(buckets.count())}")
+        val cand = buckets.as("a").join(buckets.as("b"),
+            col("a.band") === col("b.band") &&
+              col("a.bucket") === col("b.bucket") &&
+              col("a.id") < col("b.id"))
+          .select(col("a.id").as("idA"), col("b.id").as("idB")).distinct()
+        println(s"[mh] candidates distinct: ${timed(cand.count())}")
+        val withSh = cand
+          .join(sh.select(col("id").as("idA"), col("shingles").as("shA")),
+            Seq("idA"))
+          .join(sh.select(col("id").as("idB"), col("shingles").as("shB")),
+            Seq("idB"))
+          .select(col("idA"), col("idB"),
+            Dedup.jaccard(col("shA"), col("shB")).as("jaccard"))
+          .filter(col("jaccard") >= 0.7)
+        println(s"[mh] verified: ${timed(withSh.count())}")
+        sh.unpersist()
+        val (n2, full) = timed(Dedup.minhashNearDupPairs(docs, "doc_id",
+          "text", 3, 64, 16, 0.7, materialize = false).count())
+        println(f"[mh] full lazy pipeline: $full%.3f s ($n2 pairs)")
+
       // a pure PATH of near-dups: the worst case for label propagation
       // (diameter = n); large-star/small-star must stay logarithmic
       case "chain" =>

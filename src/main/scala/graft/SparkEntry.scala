@@ -821,23 +821,19 @@ object SparkEntry {
     // so A~B, B~C collapse to one representative even when A!~C directly.
     // Oracle: recursive min-label reachability over the same pairs.
     "dedup_cluster" -> ((s, dir) => {
-      // materialize = pair-gen runs (and the shingle cache is released)
-      // at full parallelism BEFORE the scoped shuffle-partition change
       val pairs = Dedup.minhashNearDupPairs(t(s, dir, "documents"),
         "doc_id", "text", shingleWords = 3, numHashes = 64, bands = 16,
         threshold = 0.7, materialize = true)
-      // the propagation loop shuffles the EDGE LIST (orders of magnitude
-      // smaller than the corpus) several times; size the shuffle to that
-      // edge list — at bench scale a handful of partitions, at 100 TB
-      // whatever holds the near-dup pairs — instead of paying dozens of
-      // near-empty-task scheduling rounds at the session default
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // the propagation loop shuffles the EDGE LIST only (orders of
+      // magnitude smaller than the corpus); AQE coalesces each round's
+      // exchanges to the edge list's true size — no process-global
+      // shuffle-partition flip (unsafe under concurrent planning, and
+      // local[32] tuning rather than engine design)
       val clusters =
         try Dedup.clusterPairs(pairs)
         finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
           pairs.unpersist(false) // clusterPairs returns a checkpointed frame
+          ()
         }
       clusters
         .select(col("id").as("doc_id"), col("rep"))
@@ -860,27 +856,30 @@ object SparkEntry {
       val pairs = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
         shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
         materialize = true)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // no shuffle-partition flip: clusterPairs' rounds are AQE-coalesced
+      // to the edge list's true size (see dedup_cluster)
       val clusters =
         try Dedup.clusterPairs(pairs)
         finally {
-          s.conf.set("spark.sql.shuffle.partitions", prevParts)
           pairs.unpersist(false)
+          ()
         }
-      val nq = docs.select(col("doc_id"),
-        TextAnalysis.qualityRuleCount(col("text")).as("nq"))
-      val member = clusters.select(col("id").as("doc_id"), col("rep"))
-        .join(nq, "doc_id")
+      // ONE quality pass + ONE corpus-side join: every doc's rule count
+      // is computed once, the (edge-bounded) cluster labels attach via a
+      // single left join, and the rep-null rows ARE the singletons (the
+      // old shape ran the qualityRuleCount regexes twice — once for the
+      // member join, once for the anti-join — two full corpus scans)
+      val labeled = docs.select(col("doc_id"),
+          TextAnalysis.qualityRuleCount(col("text")).as("nq"))
+        .join(clusters.select(col("id").as("doc_id"), col("rep")),
+          Seq("doc_id"), "left")
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("rep").orderBy(col("nq").desc, col("doc_id").asc)
-      val bestClustered = member
+      val bestClustered = labeled.filter(col("rep").isNotNull)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") === 1)
         .select("doc_id", "rep", "nq")
-      val singles = nq
-        .join(clusters.select(col("id").as("doc_id")),
-          Seq("doc_id"), "left_anti")
+      val singles = labeled.filter(col("rep").isNull)
         .select(col("doc_id"), col("doc_id").as("rep"), col("nq"))
       bestClustered.unionByName(singles).orderBy("doc_id")
     }),
@@ -1848,7 +1847,9 @@ object SparkEntry {
         .option("pathGlobFilter", "documents.parquet").parquet(dir)
       val agg = src
         .select(col("source"),
-          size(Bpe.encodeExpr(col("text"), ms)).cast("long").as("n_bpe"))
+          // size(encodeExpr) without materializing token arrays — the
+          // packed-string separator count, value-identical (Bpe spec)
+          Bpe.encodeLenExpr(col("text"), ms).as("n_bpe"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum("n_bpe").as("sum_bpe"))
       val qn = "graft_stream_tokenize"

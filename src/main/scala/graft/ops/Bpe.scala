@@ -555,17 +555,68 @@ object Bpe {
       r.getLong(3))).sortBy(_.rank).toSeq
   }
 
+  /** PACKED symbol-string form of [[symbolize]]: the word's symbols
+    * space-joined with a LEADING and TRAILING space (" c1 c2 ... </w> ").
+    * The space is the same provably-symbol-free separator the fold
+    * sentinel uses (symbols are characters of `\S+` words, the end
+    * marker, or concatenations), so the string form is bijective with
+    * the symbol array — and it lets merge application run as ONE
+    * compiled literal regex per merge ([[applyMergePacked]]) instead of
+    * an interpreted O(len²) array-building `aggregate` fold per merge
+    * per occurrence (HOFs are CodegenFallback; measured 5x on the
+    * sf0.1 corpus, bit-identical output). */
+  private def packSyms(word: Column): Column =
+    concat(lit(" "), concat_ws(" ", split(word, "")),
+      lit(" " + EndOfWord + " "))
+
+  /** Apply ONE merge to a packed symbol string: leftmost-first,
+    * non-overlapping — java.util.regex replaceAll semantics with the
+    * trailing separator held in a lookahead (consumed separators would
+    * skip the immediately following adjacency; the lookahead keeps it
+    * available, and scanning resumes after the replacement, so a merged
+    * token can never re-merge within the same pass — exactly the
+    * sentinel-fold contract, spec- and corpus-pinned equal). Merge
+    * symbols are regex-quoted (corpus-derived strings may contain
+    * metacharacters); the replacement is quoted for `$`/`\`. */
+  private[ops] def applyMergePacked(s: Column, left: String, right: String,
+                                    merged: String): Column =
+    regexp_replace(s,
+      " " + java.util.regex.Pattern.quote(left) +
+        " " + java.util.regex.Pattern.quote(right) + "(?= )",
+      java.util.regex.Matcher.quoteReplacement(" " + merged))
+
+  /** All merges applied in rank order to the packed form of `word`. */
+  private def foldPacked(word: Column, merges: Seq[Merge]): Column =
+    merges.sortBy(_.rank).foldLeft(packSyms(word)) { (s, m) =>
+      applyMergePacked(s, m.left, m.right, m.left + m.right)
+    }
+
+  /** Symbol count of a packed symbol string: separators − 1. */
+  private[ops] def packedLen(s: Column): Column =
+    (length(s) - length(replace(s, lit(" "), lit(""))) - 1).cast("long")
+
   /** Encode a text column with an already-learned merge list: symbolize
     * each whitespace token, apply the merges in rank order (map-side
-    * folds over driver-held merge literals — no join, no shuffle), and
+    * compiled-regex passes over the packed symbol string — no join, no
+    * shuffle, whole-stage-codegen-friendly; see [[packSyms]]), and
     * return the flattened symbol array. */
   def encodeExpr(text: Column, merges: Seq[Merge]): Column = {
-    val perWord = (w: Column) =>
-      merges.sortBy(_.rank).foldLeft(symbolize(w)) { (s, m) =>
-        applyMergeExpr(s, m.left, m.right)
-      }
+    val perWord = (w: Column) => {
+      val parts = split(foldPacked(w, merges), " ")
+      // leading/trailing separators make elements 1 and last empty
+      slice(parts, lit(2), greatest(size(parts) - 2, lit(0)))
+    }
     flatten(transform(TextAnalysis.tokens(text), perWord))
   }
+
+  /** Total encoded-token count of a text column — `size(encodeExpr)`
+    * without materializing the token arrays: each word's count is read
+    * off the packed string's separator count. Same value by
+    * construction (corpus- and spec-pinned); the aggregate-heavy
+    * streaming path uses it. */
+  def encodeLenExpr(text: Column, merges: Seq[Merge]): Column =
+    aggregate(transform(TextAnalysis.tokens(text),
+      w => packedLen(foldPacked(w, merges))), lit(0L), _ + _)
 
   /** Per-doc BPE token counts at corpus scale. [[encodeExpr]] folds the
     * merges per OCCURRENCE — right for ad-hoc unseen text, quadratic
@@ -598,12 +649,15 @@ object Bpe {
     val docWords = corpus.select(col(idCol),
       explode(TextAnalysis.tokens(col(textCol))).as("w"))
     val batches = merges.sortBy(_.rank).grouped(EncodeBatchSize).toSeq
+    // packed-string symbol state (see packSyms): one compiled literal
+    // regex per merge instead of an interpreted array fold — identical
+    // symbol sequences, spec-pinned
     var vocabSyms = docWords.select("w").distinct()
-      .select(col("w"), symbolize(col("w")).as("__s"))
+      .select(col("w"), packSyms(col("w")).as("__s"))
     for ((batch, idx) <- batches.zipWithIndex) {
       vocabSyms = vocabSyms.select(col("w"),
         batch.foldLeft(col("__s")) { (s, m) =>
-          applyMergeExpr(s, m.left, m.right)
+          applyMergePacked(s, m.left, m.right, m.left + m.right)
         }.as("__s"))
       // checkpoint BETWEEN batches only — the last batch's folds flow
       // straight into the size() projection, so the multi-batch path
@@ -611,7 +665,7 @@ object Bpe {
       if (idx < batches.size - 1) vocabSyms = vocabSyms.localCheckpoint()
     }
     val vocab = vocabSyms
-      .select(col("w"), size(col("__s")).cast("long").as("n_syms"))
+      .select(col("w"), packedLen(col("__s")).as("n_syms"))
     val counts = docWords.join(vocab, "w")
       .groupBy(idCol).agg(sum("n_syms").as("n_bpe"))
     // empty/whitespace-only docs explode to zero words and would vanish
@@ -664,20 +718,26 @@ object Bpe {
       posexplode(TextAnalysis.tokens(col(textCol))))
       .withColumnRenamed("col", "w")
     val batches = merges.sortBy(_.rank).grouped(EncodeBatchSize).toSeq
+    // packed-string symbol state (see packSyms) — the byte-token count
+    // reads " <0x" occurrences (token STARTS, exactly the
+    // startsWith("<0x") filter: every token start is space-preceded)
     var vocabSyms = docWords.select("w").distinct()
-      .select(col("w"), symbolizeFallback(col("w"), alpha).as("__s"))
+      .select(col("w"), concat(lit(" "),
+        array_join(symbolizeFallback(col("w"), alpha), " "),
+        lit(" ")).as("__s"))
     for ((batch, idx) <- batches.zipWithIndex) {
       vocabSyms = vocabSyms.select(col("w"),
         batch.foldLeft(col("__s")) { (s, m) =>
-          applyMergeExpr(s, m.left, m.right)
+          applyMergePacked(s, m.left, m.right, m.left + m.right)
         }.as("__s"))
       if (idx < batches.size - 1) vocabSyms = vocabSyms.localCheckpoint()
     }
     val wenc = vocabSyms.select(col("w"),
-      size(col("__s")).cast("long").as("__k"),
-      size(filter(col("__s"), t => t.startsWith("<0x")))
+      packedLen(col("__s")).as("__k"),
+      ((length(col("__s")) -
+        length(replace(col("__s"), lit(" <0x"), lit("")))) / 4)
         .cast("long").as("__kb"),
-      array_join(col("__s"), " ").as("__ss"))
+      trim(col("__s")).as("__ss"))
     docWords.join(wenc, "w").groupBy(idCol)
       .agg(sum("__k").as("n_bpe"), sum("__kb").as("n_byte"),
         md5(array_join(transform(

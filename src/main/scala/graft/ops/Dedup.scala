@@ -472,14 +472,21 @@ object Dedup {
     * round bound directly. */
   private[graft] def clusterPairsCounted(pairs: DataFrame,
                                          maxIter: Int = 25): (DataFrame, Int) = {
-    // canonical undirected edges (v < u), self-pairs split off; eager
+    // canonical undirected edges (v < u), self-pairs split off; the
     // checkpoints cut the (possibly expensive) pair-generation lineage
-    // out of every subsequent round AND the final label union
+    // out of every subsequent round AND the final label union. edges is
+    // LAZY: the convergence signature right below materializes it in the
+    // same job (an eager checkpoint would pay a separate job per round —
+    // measured pure driver-paced overhead on edge-list-sized data).
+    // selfOnly stays EAGER: it is consumed only by the final label union,
+    // and several callers unpersist the pair frame as soon as this
+    // function returns — a lazy selfOnly would then re-run the whole
+    // pair generation from scratch at the final action.
     var edges = pairs
       .select(least(col("idA"), col("idB")).as("v"),
         greatest(col("idA"), col("idB")).as("u"))
       .filter(col("u") =!= col("v")).distinct()
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     val selfOnly = pairs.filter(col("idA") === col("idB"))
       .select(col("idA").as("id"), col("idA").as("rep")).distinct()
       .localCheckpoint(true)
@@ -516,7 +523,7 @@ object Dedup {
         .select(col("m").as("v"), col("v").as("u"))
         .unionByName(smins.select(col("m").as("v"), col("u")))
         .distinct()
-      edges = small.localCheckpoint(true)
+      edges = small.localCheckpoint(false) // materialized by the signature
       val newSig = signature(edges)
       converged = newSig == sig
       sig = newSig

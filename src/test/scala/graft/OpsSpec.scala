@@ -416,6 +416,37 @@ class OpsSpec extends SparkSuite {
     assert(Bpe.fromDF(store.read("merges")) == ms)
   }
 
+  test("bpe: packed-regex merge application == sentinel-fold on adversarial symbols") {
+    import graft.ops.Bpe
+    import spark.implicits._
+    // regex metacharacters as symbols (quoting), overlap chains (the
+    // leftmost-first non-overlapping scan), and merged-token adjacency
+    // (a fresh merge output must not re-merge within the same pass)
+    val merges = Seq(
+      Bpe.Merge(1, "a", "a", 9L),            // overlap chain
+      Bpe.Merge(2, "$", "(", 8L),            // metachars need quoting
+      Bpe.Merge(3, "aa", "a", 7L),           // consumes merge-1 output
+      Bpe.Merge(4, "\\", ".", 6L),           // backslash in pattern+replacement
+      Bpe.Merge(5, "e", Bpe.EndOfWord, 5L))  // end-marker merge
+    val texts = Seq("aaaa aaa aa a", "$( $(( (($", "\\. .\\ \\\\..",
+      "ae ea e aee", "a$(a \\.e", "x", "").toDF("text")
+    val viaFold = texts.select(flatten(transform(
+      graft.ops.TextAnalysis.tokens(col("text")),
+      w => merges.foldLeft(Bpe.symbolize(w)) { (s, m) =>
+        Bpe.applyMergeExpr(s, m.left, m.right)
+      })).as("s")).collect().map(_.getSeq[String](0))
+    val viaRegex = texts.select(Bpe.encodeExpr(col("text"), merges).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(viaFold.toSeq == viaRegex.toSeq,
+      s"fold ${viaFold.toSeq} != regex ${viaRegex.toSeq}")
+    // size-only streaming variant agrees element-for-element
+    val lens = texts.select(
+        size(Bpe.encodeExpr(col("text"), merges)).cast("long").as("a"),
+        Bpe.encodeLenExpr(col("text"), merges).as("b")).collect()
+    assert(lens.forall(r => r.getLong(0) == r.getLong(1)),
+      s"len mismatch: ${lens.toSeq}")
+  }
+
   test("bpe: byte fallback — OOV chars ride UTF-8 bytes, in-alphabet text unchanged") {
     import graft.ops.Bpe
     import spark.implicits._
