@@ -25,8 +25,13 @@ object Corpus {
     * document has fewer than `n` tokens (guards Spark's `sequence`, which
     * would otherwise count DOWN for start > stop). */
   def ngrams(toks: Column, n: Int): Column = {
-    val grams = transform(sequence(lit(1), size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j)): _*))
+    // the token array is bound as a lambda variable: an index-driven HOF
+    // lambda re-evaluates invariant subtrees per element, so a caller
+    // passing a computed `toks` expression would re-run it once per
+    // n-gram (the Dedup.wordShingles lesson)
+    val grams = element_at(transform(array(toks), ts =>
+      transform(sequence(lit(1), size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + j)): _*))), 1)
     when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
   }
 

@@ -65,25 +65,37 @@ object Dedup {
   // ------------------------------------------------------------- shingles
 
   /** Distinct word n-gram shingles of `text` (lowercased, whitespace
-    * tokenized), as an array column — no explode, no shuffle. */
-  def wordShingles(text: Column, n: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
-    val idx = sequence(lit(0), greatest(size(toks) - n, lit(0)))
-    array_distinct(filter(
-      transform(idx, i => concat_ws(" ", slice(toks, i + 1, lit(n)))),
-      s => length(s) > 0))
-  }
+    * tokenized), as an array column — no explode, no shuffle.
+    *
+    * The token array is BOUND as a lambda variable (the single-element
+    * array wrap): an index-driven HOF lambda re-evaluates every
+    * invariant subtree per element in Spark's interpreted HOF path, so
+    * referencing `tokens(text)` directly inside the per-shingle lambda
+    * re-ran the full-text regex tokenization once PER SHINGLE (~50x per
+    * document — measured 5.5 s of the 7.2 s sf0.1 MinHash pipeline).
+    * Binding it evaluates the tokenization once per row; the value is
+    * identical by construction. */
+  def wordShingles(text: Column, n: Int): Column =
+    array_distinct(element_at(
+      transform(array(TextAnalysis.tokens(text)), ts =>
+        filter(
+          transform(sequence(lit(0), greatest(size(ts) - n, lit(0))),
+            i => concat_ws(" ", slice(ts, i + 1, lit(n)))),
+          s => length(s) > 0)), 1))
 
   /** Distinct character k-shingles (whitespace-normalized, lowercased).
     * Empty/short texts must NOT contribute the empty string as a shingle —
     * two unrelated empty docs would otherwise score Jaccard 1.0 (the same
-    * guard wordShingles applies). */
-  def charShingles(text: Column, k: Int): Column = {
-    val t = regexp_replace(lower(text), "\\s+", " ")
-    val idx = sequence(lit(0), greatest(length(t) - k, lit(0)))
-    array_distinct(filter(transform(idx, i => t.substr(i + 1, lit(k))),
-      s => length(s) > 0))
-  }
+    * guard wordShingles applies). The normalized string is bound as a
+    * lambda variable for the same per-element re-evaluation reason as
+    * [[wordShingles]]. */
+  def charShingles(text: Column, k: Int): Column =
+    array_distinct(element_at(
+      transform(array(regexp_replace(lower(text), "\\s+", " ")), tt =>
+        filter(
+          transform(sequence(lit(0), greatest(length(tt) - k, lit(0))),
+            i => tt.substr(i + 1, lit(k))),
+          s => length(s) > 0)), 1))
 
   /** Test-set decontamination: flag every training doc that shares at
     * least one word n-gram with the benchmark set, with the shared-shingle
@@ -599,12 +611,14 @@ object Dedup {
     * (idCol, seg_idx, seg) — per-row array ops, no shuffle. */
   private def docSegments(df: DataFrame, idCol: String, textCol: String,
                           segWords: Int): DataFrame = {
-    val words = split(col(textCol), " ")
-    val nSegs = ceil(size(words) / lit(segWords.toDouble)).cast("int")
-    df.select(col(idCol),
-      posexplode(transform(sequence(lit(0), nSegs - 1),
-        i => concat_ws(" ", slice(words, i * segWords + 1, lit(segWords)))))
-        .as(Seq("seg_idx", "seg")))
+    // word array bound as a lambda variable (the wordShingles lesson):
+    // the per-segment lambda would otherwise re-split the text per segment
+    val segs = element_at(transform(array(split(col(textCol), " ")), ws =>
+      transform(
+        sequence(lit(0),
+          ceil(size(ws) / lit(segWords.toDouble)).cast("int") - 1),
+        i => concat_ws(" ", slice(ws, i * segWords + 1, lit(segWords))))), 1)
+    df.select(col(idCol), posexplode(segs).as(Seq("seg_idx", "seg")))
   }
 
   /** Rebuild (id, n_segs, n_kept, clean_text) from surviving segments —
