@@ -1143,9 +1143,13 @@ object SparkEntry {
       val books = KMeans.pqFit(res, "vec_id", "res", m = 4, k = 16,
         iters = 1)
       // ONE ADC pipeline: the quantized-only answer is the rank<=10
-      // prefix of the same 50-shortlist the refine stage re-ranks
+      // prefix of the same 50-shortlist the refine stage re-ranks —
+      // CHECKPOINTED (lazily) so the ADC candidate join + window
+      // genuinely run once; two lazy consumers (approx prefix, exact
+      // re-rank) would otherwise each re-execute the whole pipeline.
+      // The frame is queries x 50 rows — output-sized.
       val short = KMeans.ivfPqTopK(emb, q, "vec_id", "embedding",
-        kNN = 50, coarse, books, probes = 2)
+        kNN = 50, coarse, books, probes = 2).localCheckpoint(false)
       val approx = short.filter(col("rank") <= 10)
       val refined = KMeans.refineExact(short, emb, q, "vec_id",
         "embedding", kNN = 10)
@@ -1156,12 +1160,19 @@ object SparkEntry {
         Similarity.asDouble(col("embedding")).as("qv"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("qid").orderBy(col("d2"), col("nid"))
+      // the ground truth feeds BOTH hit joins — checkpoint the
+      // (queries x 10)-row result so the corpus-wide distance scan +
+      // window run once, not once per consumer
       val exact = c.join(broadcast(qq), col("nid") =!= col("qid"))
         .select(col("qid"), col("nid"),
           Similarity.sqDist(col("qv"), col("cv")).as("d2"))
         .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+        .localCheckpoint(false)
+      // explicit broadcasts: the checkpointed frames carry no size stats
+      // (a LogicalRDD defaults to "huge"), so without the hint these
+      // queries x 10-row joins planned as sort-merge after the lineage cut
       def hits(d: DataFrame, name: String) = d.select("qid", "nid")
-        .join(exact.select("qid", "nid"), Seq("qid", "nid"))
+        .join(broadcast(exact.select("qid", "nid")), Seq("qid", "nid"))
         .groupBy("qid").agg(count(lit(1)).as(name))
       // two QUALITY CLAIMS pinned TRUE by the oracle, so a quantizer
       // regression FAILS the driver check instead of just reading
@@ -1174,8 +1185,8 @@ object SparkEntry {
       // recall — the floor catches a broken codebook, the planted-
       // cluster spec in QuerySemanticsSpec holds the tight 0.90 bar)
       qq.select("qid")
-        .join(hits(approx, "h0"), Seq("qid"), "left")
-        .join(hits(refined, "h1"), Seq("qid"), "left")
+        .join(broadcast(hits(approx, "h0")), Seq("qid"), "left")
+        .join(broadcast(hits(refined, "h1")), Seq("qid"), "left")
         .select(col("qid"),
           (coalesce(col("h0"), lit(0L)).cast("double") / 10.0)
             .as("recall_at_10"),
@@ -2248,9 +2259,9 @@ object SparkEntry {
           // md5-derived base pixels (the engine's portable-hash idiom):
           // cross-group dHash collisions become coin-flip improbable,
           // so near-dup pairs stay group-confined by construction
+          val md = java.security.MessageDigest.getInstance("MD5")
           Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
-            val b = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val b = md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
             val shift =
               if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
             (b + shift) % 256
@@ -2274,9 +2285,9 @@ object SparkEntry {
         .map { id =>
           val g = id % 256
           val v = id / 256
+          val md = java.security.MessageDigest.getInstance("MD5")
           val samples = Array.tabulate(128) { i =>
-            val b = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"a:$g:$i".getBytes("UTF-8"))(0) & 0xFF
+            val b = md.digest(s"a:$g:$i".getBytes("UTF-8"))(0) & 0xFF
             val pop = if (v > 0 && i == ((v * 7) % 128)) 500 else 0
             (b - 128 + pop).toShort
           }
@@ -2299,9 +2310,9 @@ object SparkEntry {
         .map { id =>
           val g = id % 255
           val v = id / 255
+          val md = java.security.MessageDigest.getInstance("MD5")
           val samples = Array.tabulate(128) { i =>
-            val b = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"a:$g:$i".getBytes("UTF-8"))(0) & 0xFF
+            val b = md.digest(s"a:$g:$i".getBytes("UTF-8"))(0) & 0xFF
             val pop = if (v > 0 && i == ((v * 7) % 128)) 500 else 0
             (b - 128 + pop).toShort
           }
@@ -2334,9 +2345,9 @@ object SparkEntry {
           // and the incremental query vacuously empty)
           val g = id % 255
           val v = id / 255
+          val md = java.security.MessageDigest.getInstance("MD5")
           Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
-            val b = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val b = md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
             val shift =
               if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
             (b + shift) % 256
@@ -2370,9 +2381,9 @@ object SparkEntry {
         .map { id =>
           val g = id % 255
           val v = id / 255
+          val md = java.security.MessageDigest.getInstance("MD5")
           Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
-            val b = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val b = md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
             val shift =
               if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
             (b + shift) % 256
@@ -2461,9 +2472,9 @@ object SparkEntry {
       val media = t(s, dir, "documents")
         .select(col("doc_id").cast("long").as("id")).as[Long]
         .map { id =>
+          val md = java.security.MessageDigest.getInstance("MD5")
           def px(seed: String)(x: Int, y: Int): Int =
-            java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$seed:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            md.digest(s"$seed:$x:$y".getBytes("UTF-8"))(0) & 0xFF
           if (id % 25 == 0)
             Multimodal.MediaRow(id, Array[Byte]('B', 'M', 1, 2, 3))
           else if (id % 10 == 5)
@@ -2524,9 +2535,9 @@ object SparkEntry {
         .map { id =>
           val g = id % 256
           val v = id / 256
+          val md = java.security.MessageDigest.getInstance("MD5")
           Multimodal.MediaRow(id, Multimodal.encodeBmp(9, 8, (x, y) => {
-            val b = java.security.MessageDigest.getInstance("MD5")
-              .digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
+            val b = md.digest(s"$g:$x:$y".getBytes("UTF-8"))(0) & 0xFF
             val shift =
               if (v > 0 && x == (v % 9) && y == ((v * 3) % 8)) 128 else 0
             (b + shift) % 256

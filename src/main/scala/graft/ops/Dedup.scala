@@ -858,6 +858,25 @@ object Dedup {
     (1 to 4).map(i => shiftleft(element_at(sh, i).cast("long"), 16 * (4 - i)))
       .reduce(_ + _)
 
+  /** Hamming distance between two PACKED prints: the quarters occupy
+    * disjoint bit ranges of pk (the pack is bijective), so
+    * popcount(pkA XOR pkB) equals the quarter-wise [[hammingQuarters]]
+    * sum exactly — one codegen bit_count per candidate pair instead of
+    * the interpreted zip_with/aggregate fold, and join branches that use
+    * it stop carrying the sh array through the shuffle. */
+  private[graft] def hammingPk(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** Inverse of [[packPrint]]: the four 16-bit quarters back out of the
+    * packed long (masking makes the shift's sign handling irrelevant).
+    * Lets the rep aggregate carry only (pk, min(id)) — a HASH aggregate
+    * with map-side partials — where an agg buffer holding the sh array
+    * (`first(sh)`) forces a Sort + SortAggregate over every print per
+    * consuming branch. */
+  private[graft] def unpackPrint(pk: Column): Column =
+    array((1 to 4).map(i =>
+      shiftrightunsigned(pk, 16 * (4 - i)).bitwiseAND(lit(0xffffL))): _*)
+
   /** EXACT-PRINT COLLAPSE + pigeonhole blocking join over ANY quartered
     * 64-bit fingerprint frame (id, sh: array of four 16-bit blocks) --
     * SimHash text prints and perceptual image dHashes
@@ -896,7 +915,12 @@ object Dedup {
     * instead -- level-2 escalation is only provably exact for <= 3
     * errors, and the blocking-limited contract such callers accept (an
     * oracle replaying level-1 blocking) must not have its recall
-    * silently changed inside hot buckets. */
+    * silently changed inside hot buckets. COST EXPOSURE of that >3
+    * path: without escalation, a degenerate shared quarter across many
+    * DISTINCT prints re-opens the unguarded O(|bucket|^2) candidate
+    * join that hotThreshold bounds at radius <= 3 -- approx callers on
+    * adversarial corpora (boilerplate simhash quarters) own that risk;
+    * prefer radius <= 3, or pre-split hot quarters upstream. */
   def quarterNearDupPairs(f: DataFrame, maxHamming: Int = 3,
                           approxRecall: Boolean = false,
                           hotThreshold: Int = HotBucketThreshold): DataFrame = {
@@ -909,15 +933,31 @@ object Dedup {
     require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
       s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
+    // The (id, sh, pk) proxy frame feeds FIVE plan branches (both sides of
+    // the identical-print equi-join, the rep groupBy, both membership
+    // fan-out joins) — without a materialization boundary each branch
+    // re-evaluates the upstream print builder (media decode, the simhash
+    // token aggregate) from scratch. A LAZY localCheckpoint computes the
+    // ~20-byte-per-row proxy once at the first action and every branch
+    // reads the stored blocks — the guide's decide-on-small-rows shape
+    // (§8.4): payloads are decoded once, and only print-sized rows are
+    // ever re-read.
     val m = f.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+      .localCheckpoint(false)
     // identical-print pairs: output-sized equi-join on the packed print,
     // hamming 0 by construction (included at every radius >= 0)
     val samePairs = m.as("a").join(m.as("b"),
         col("a.pk") === col("b.pk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         lit(0).as("hamming"))
-    val reps = m.groupBy("pk")
-      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+    // the rep aggregate recurs in pigeonholeRepPairs' branches reading the
+    // checkpointed m (a second checkpoint here measured as pure overhead
+    // on sub-second inputs); it aggregates ONLY (pk, min(id)) — hash-
+    // aggregable with map-side partials — and reconstructs sh by
+    // unpacking pk (bijective), where `first(sh)` forced a Sort +
+    // SortAggregate over every print per consuming branch
+    val reps = m.groupBy("pk").agg(min(col("id")).as("id"))
+      .select(col("pk"), col("id"), unpackPrint(col("pk")).as("sh"))
     val repPairs = pigeonholeRepPairs(reps, maxHamming, approxRecall,
       hotThreshold)
     // fan group membership back out: every member inherits its
@@ -949,7 +989,7 @@ object Dedup {
             col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
               col("a.id") < col("b.id"))
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
-            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+            hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
       } else {
         // Only the HOT keys are materialized and broadcast: at most
         // 4n/hotThreshold keys can exceed the threshold (pigeonhole on
@@ -968,7 +1008,7 @@ object Dedup {
             col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
               col("a.id") < col("b.id"))
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
-            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+            hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
         val hot = tagged.filter(col("__hot").isNotNull)
           .select(col("pk"), col("id"), col("sh"), col("q"), col("key"),
             posexplode(subKeys(col("sh"), col("q"))))
@@ -978,7 +1018,7 @@ object Dedup {
               col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey") &&
               col("a.id") < col("b.id"))
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
-            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+            hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
         coldPairs.union(hotPairs)
       }
     raw.distinct().filter(col("hamming") <= maxHamming)
@@ -1004,15 +1044,21 @@ object Dedup {
     require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
       s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
+    // same materialization discipline as quarterNearDupPairs: each side's
+    // (id, sh, pk) proxy feeds three plan branches (identical-print join,
+    // rep groupBy, membership fan-out) — checkpoint once, decode once
     val mb = batch.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+      .localCheckpoint(false)
     val mi = index.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+      .localCheckpoint(false)
     val samePairs = mb.as("a").join(mi.as("b"), col("a.pk") === col("b.pk"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         lit(0).as("hamming"))
-    val rb = mb.groupBy("pk")
-      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
-    val ri = mi.groupBy("pk")
-      .agg(min(col("id")).as("id"), first(col("sh")).as("sh"))
+    // (pk, min(id)) hash aggregate + pk unpack, as in quarterNearDupPairs
+    val rb = mb.groupBy("pk").agg(min(col("id")).as("id"))
+      .select(col("pk"), col("id"), unpackPrint(col("pk")).as("sh"))
+    val ri = mi.groupBy("pk").agg(min(col("id")).as("id"))
+      .select(col("pk"), col("id"), unpackPrint(col("pk")).as("sh"))
     def exploded(f: DataFrame) =
       f.select(col("pk"), col("id"), col("sh"), posexplode(col("sh")))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
@@ -1024,7 +1070,7 @@ object Dedup {
             col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
               col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
-            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+            hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
       } else {
         // hotness is a property of the COMBINED bucket (batch x index
         // pairs are what explode), so both sides tag against the same
@@ -1047,14 +1093,14 @@ object Dedup {
             col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
               col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
-            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+            hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
         val hotPairs = subbed(tb.filter(col("__hot").isNotNull).drop("__hot")).as("a")
           .join(subbed(ti.filter(col("__hot").isNotNull).drop("__hot")).as("b"),
             col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
               col("a.sq") === col("b.sq") && col("a.skey") === col("b.skey") &&
               col("a.pk") =!= col("b.pk"))
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
-            hammingQuarters(col("a.sh"), col("b.sh")).as("hamming"))
+            hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
         coldPairs.union(hotPairs)
       }
     val repPairs = raw.distinct().filter(col("hamming") <= maxHamming)

@@ -502,13 +502,20 @@ object KMeans {
 
   /** Persisted member index for INCREMENTAL SemDeDup — the
     * fingerprint-index convention the other dedup families carry
-    * (exact, minhash, embedding, phash): one row per ACCEPTED item,
-    * (id, cluster, cent_sim, vec), all derived map-side against the
-    * PERSISTED centroid literals. The vec column is what pairwise
-    * cosine needs at match time; cluster + cent_sim are the per-id
-    * scalars the drop rule reads. History is never re-embedded and the
-    * quantizer is never re-fit — a later batch consumes this table and
-    * [[centroidsDF]]/[[fromDF]] alone. */
+    * (exact, minhash, embedding, phash): one (id, cluster, cent_sim,
+    * vec) row per indexed item, all derived map-side against the
+    * PERSISTED centroid literals. THE CALLER CHOOSES THE MEMBERSHIP:
+    * index ALL history rows (dropped partners included) to get the
+    * spec-pinned batch == full-corpus-sweep equivalence of
+    * [[semDedupAgainstIndex]] (semDedup's greedy pass consults dropped
+    * partners too), or index SURVIVORS ONLY for the streaming gate's
+    * arrival-order semantics — the two memberships yield different
+    * drop sets, so don't persist survivors and expect the equivalence.
+    * The vec column is what pairwise cosine needs at match time;
+    * cluster + cent_sim are the per-id scalars the drop rule reads.
+    * History is never re-embedded and the quantizer is never re-fit —
+    * a later batch consumes this table and [[centroidsDF]]/[[fromDF]]
+    * alone. */
   def semIndex(df: DataFrame, idCol: String, vecCol: String,
                cents: Seq[Centroid]): DataFrame =
     vecs(df, idCol, vecCol)
@@ -541,9 +548,13 @@ object KMeans {
                            idCol: String, vecCol: String,
                            cents: Seq[Centroid],
                            threshold: Double): DataFrame = {
+    // the assigned batch frame feeds three plan branches (drop-join A
+    // side, partner union, final anti-join) — checkpoint lazily so the
+    // k-branch assignment/typicality expressions run once per row
     val b = vecs(batch, idCol, vecCol)
       .withColumn("__cluster", assignExpr(col("__v"), cents))
       .withColumn("__cs", centroidCosExpr(col("__v"), col("__cluster"), cents))
+      .localCheckpoint(false)
     val fromIndex = index.select(col("cluster").as("__cluster"),
       col(idCol).as("__idB"), col("vec").as("__vb"),
       col("cent_sim").as("__csB"))
@@ -581,29 +592,34 @@ object KMeans {
     * touching the deterministic per-subspace result. */
   def pqFit(df: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             iters: Int): Seq[Seq[Centroid]] = {
-    // uniform-dimension check is LOUD, not sampled: slice() silently
-    // clamps short arrays, so a ragged corpus would otherwise train
-    // wrong codebooks with no error (and a sampled row is
-    // nondeterministic across runs)
-    val mm = df.agg(min(size(col(vecCol))).as("lo"),
-      max(size(col(vecCol))).as("hi")).collect().head
-    require(!mm.isNullAt(0), "pqFit: empty input")
-    require(mm.getInt(0) == mm.getInt(1),
-      s"pqFit: ragged embedding dims [${mm.getInt(0)}, ${mm.getInt(1)}]")
-    val dim = mm.getInt(0)
-    require(dim % m == 0, s"pqFit: dim $dim not divisible into $m subspaces")
-    val sub = dim / m
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // The input is evaluated by the dims check AND by each of the m
+    // subspace fits' own cache fills — when it is an expression chain
+    // (the IVF-PQ residuals re-derive a coarse assignment per row) that
+    // lineage would otherwise run m+1 times. Persist the (id, vec)
+    // projection once for the duration of the fit; everything that reads
+    // it is collected eagerly inside this call.
+    val base = df.select(col(idCol), col(vecCol)).persist()
     try {
-      Await.result(Future.sequence((0 until m).map { s =>
-        Future(fit(df.select(col(idCol),
-            slice(col(vecCol), s * sub + 1, sub).as("__sub")),
-          idCol, "__sub", k, iters))
-      }), Duration.Inf)
-    } finally { pool.shutdown(); () }
+      val mm = base.agg(min(size(col(vecCol))).as("lo"),
+        max(size(col(vecCol))).as("hi")).collect().head
+      require(!mm.isNullAt(0), "pqFit: empty input")
+      require(mm.getInt(0) == mm.getInt(1),
+        s"pqFit: ragged embedding dims [${mm.getInt(0)}, ${mm.getInt(1)}]")
+      val dim = mm.getInt(0)
+      require(dim % m == 0, s"pqFit: dim $dim not divisible into $m subspaces")
+      val sub = dim / m
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(m)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        Await.result(Future.sequence((0 until m).map { s =>
+          Future(fit(base.select(col(idCol),
+              slice(col(vecCol), s * sub + 1, sub).as("__sub")),
+            idCol, "__sub", k, iters))
+        }), Duration.Inf)
+      } finally { pool.shutdown(); () }
+    } finally { base.unpersist(); () }
   }
 
   /** PQ code assignment as a map-side expression: the code array is one
@@ -641,12 +657,18 @@ object KMeans {
   }
 
   /** ADC = the m table lookups summed in ascending-subspace order (a
-    * deterministic fold — never an unordered SUM, which would
-    * reassociate doubles differently per engine). */
+    * deterministic left-associated sum — never an unordered SUM, which
+    * would reassociate doubles differently per engine). Emitted as a
+    * static `t1 + t2 + ... + tm` expression tree (m is a plan-time
+    * constant): codegen-native, where the equivalent `aggregate` fold
+    * runs interpreted per candidate row. Association is identical to the
+    * fold's `(((0 + t1) + t2) + ...)` because every lookup is a
+    * non-negative squared distance, and `0.0 + x == x` exactly for
+    * non-negative IEEE doubles. */
   private def adcExpr(dt: Column, codes: Column, m: Int): Column =
-    aggregate(sequence(lit(1), lit(m)), lit(0.0),
-      (acc, s) => acc + element_at(element_at(dt, s),
-        element_at(codes, s) + 1))
+    (1 to m).map { s =>
+      element_at(element_at(dt, s), element_at(codes, s) + 1)
+    }.reduce(_ + _)
 
   /** Asymmetric-distance top-k over PQ codes: each query precomputes its
     * m x k table of exact subspace distances ||q_s - c_j||^2 (map-side,

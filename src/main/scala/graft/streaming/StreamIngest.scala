@@ -323,7 +323,11 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val prints = printsOf(batch)
+          // the batch's prints feed the against-index join AND the
+          // survivor anti-join — persist so the payload decode runs once
+          // per micro-batch (batch-sized, released below)
+          val prints = printsOf(batch).persist()
+          try {
           val idxLike = prints.withColumn("batch_id", lit(batchId))
           val index = store.readOrEmpty(indexTable, idxLike)
             .filter(col("batch_id") < batchId)
@@ -347,6 +351,7 @@ object StreamIngest {
                   .withColumn("batch_id", lit(batchId)), maxFiles = 1)
             } finally { keep.unpersist(); () }
           } finally { fresh.unpersist(); () }
+          } finally { prints.unpersist(); () }
         }
         ()
       }
@@ -382,6 +387,10 @@ object StreamIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // NOT persisted: the frame feeds two consumers (index-gate join,
+          // survivor anti-join) but each evaluation is one map-side pass
+          // over the micro-batch — measured, the per-batch materialization
+          // churn cost more than the second pass saved
           val b = graft.ops.KMeans.semIndex(batch, idCol, vecCol, cents)
           val idxLike = b.withColumn("batch_id", lit(batchId))
           val index = store.readOrEmpty(indexTable, idxLike)

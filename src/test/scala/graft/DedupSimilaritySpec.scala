@@ -293,6 +293,29 @@ class DedupSimilaritySpec extends SparkSuite {
           "ELSE q3r END AS q3")
       .selectExpr("id", "array(q0, q1, q2, q3) AS sh")
 
+  test("packed-print popcount hamming equals the quarter-wise fold") {
+    // hammingPk (one bit_count over XOR of the bijective 64-bit packs —
+    // the codegen form the candidate joins use) must agree with the
+    // quarter-wise hammingQuarters fold on every print pair, including
+    // the 0 / 0xFFFF quarter extremes
+    val f = degeneratePrints(200)
+      .union(spark.range(2).selectExpr("id + 5000 AS id",
+        "array(CAST(0 AS BIGINT), CAST(65535 AS BIGINT), " +
+          "CAST(0 AS BIGINT), CAST(65535 AS BIGINT)) AS sh"))
+      .union(spark.range(2).selectExpr("id + 6000 AS id",
+        "array(CAST(65535 AS BIGINT), CAST(0 AS BIGINT), " +
+          "CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) AS sh"))
+    val m = f.select(col("id"), col("sh"), Dedup.packPrint(col("sh")).as("pk"))
+    val diff = m.select(col("id").as("ia"), col("sh").as("sha"),
+        col("pk").as("pka"))
+      .crossJoin(m.select(col("id").as("ib"), col("sh").as("shb"),
+        col("pk").as("pkb")))
+      .filter(col("ia") < col("ib"))
+      .filter(Dedup.hammingQuarters(col("sha"), col("shb")) =!=
+        Dedup.hammingPk(col("pka"), col("pkb")))
+    assert(diff.count() == 0L)
+  }
+
   test("hot-bucket escalation is exact at maxHamming <= 3: escalated == plain") {
     val f = degeneratePrints(400).cache()
     try {
