@@ -316,19 +316,29 @@ object KMeans {
     seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, 0L) }.toSeq
   }
 
-  /** Ordered ids of the `probes` nearest centroids as a MAP-SIDE column
-    * expression over a double-array column: the centroid table is inlined
-    * as literals, each distance is a native [[graft.expressions.DotProduct]]
-    * after the optimizer rewrite, and the argmin is an array_sort over k
-    * structs — no join, no shuffle, whole corpus streams through. */
-  def nearestExpr(v: Column, cents: Seq[Centroid], probes: Int): Column = {
-    require(cents.nonEmpty, "no centroids")
-    val scored = array(cents.map { c =>
+  /** The k (shifted-distance, cluster) score structs over inlined
+    * centroid literals — each distance a native
+    * [[graft.expressions.DotProduct]] after the optimizer rewrite. */
+  private def scoredStructs(v: Column, cents: Seq[Centroid]): Seq[Column] =
+    cents.map { c =>
       val cArr = array(c.comps.map(lit): _*)
       val cn2 = c.comps.map(x => x * x).sum // ascending-dim fold, like dot
       struct((lit(cn2) - lit(2.0) * Similarity.dot(v, cArr)).as("s"),
         lit(c.cluster).as("cluster"))
-    }: _*)
+    }
+
+  /** Ordered ids of the `probes` nearest centroids as a MAP-SIDE column
+    * expression over a double-array column: the centroid table is inlined
+    * as literals, each distance is a native [[graft.expressions.DotProduct]]
+    * after the optimizer rewrite, and the argmin is an array_sort over k
+    * structs — no join, no shuffle, whole corpus streams through.
+    * (A `least`-over-structs codegen argmin was tried and REVERTED: it
+    * measured 1.3–5x SLOWER than the array_sort form across every
+    * consumer — the k score structs are one array-backed buffer for the
+    * sort, but k independent struct allocations per row for least.) */
+  def nearestExpr(v: Column, cents: Seq[Centroid], probes: Int): Column = {
+    require(cents.nonEmpty, "no centroids")
+    val scored = array(scoredStructs(v, cents): _*)
     transform(slice(array_sort(scored), 1, probes), s => s("cluster"))
   }
 
@@ -696,7 +706,13 @@ object KMeans {
   }
 
   /** Residual to the row's assigned coarse centroid — the vector IVF-PQ
-    * actually quantizes — as a map-side k-branch CASE. */
+    * actually quantizes — as a map-side k-branch CASE. Deliberately a
+    * zip_with lambda: a static per-dimension unroll
+    * (element_at(v, i) - literal) was tried and REVERTED — when `v` is
+    * itself an expression tree (the IVF-PQ residual feeding pqCodesExpr)
+    * every element_at reference DUPLICATES that tree, and the composed
+    * plan blew up ~5x in wall time (ann_ivf_pq 7.5 -> 40 s). The
+    * interpreted lambda evaluates its input once per row. */
   def residualExpr(v: Column, cluster: Column,
                    cents: Seq[Centroid]): Column =
     coalesce(cents.map { c =>
