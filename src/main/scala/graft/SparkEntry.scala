@@ -771,8 +771,12 @@ object SparkEntry {
     "dedup_minhash_incremental" -> ((s, dir) => {
       val d = t(s, dir, "documents")
       val seen = Seq("src0", "src1", "src2", "src3", "src4")
+      // the index is derived IN-PLAN here (production scans it from the
+      // store): checkpoint it lazily so the history signature build runs
+      // once — the operator consumes the index in two branches
       val index = Dedup.minhashIndex(
         d.filter(col("source").isin(seen: _*)), "doc_id", "text")
+        .localCheckpoint(false)
       val incoming = d.filter(!col("source").isin(seen: _*))
       Dedup.nearDupAgainstIndex(incoming, index, "doc_id", "text")
         .orderBy("id", "matched_id")
@@ -3152,9 +3156,13 @@ object SparkEntry {
         .filter(col("n_flagged") * 5 < col("n_sh"))
         .select("doc_id")
       // stage 5: incremental minhash near-dup vs the persisted history
-      // index (per-doc independent, so probed from mapGate's scan branch)
+      // index (per-doc independent, so probed from mapGate's scan branch).
+      // The index is derived in-plan here (production scans the store):
+      // lazily checkpointed so the history signature build runs once
+      // across the operator's two index-consuming branches
       val index = Dedup.minhashIndex(
         docs.filter(col("source").isin(hist: _*)), "doc_id", "text")
+        .localCheckpoint(false)
       val ndDrop = Dedup.nearDupAgainstIndex(mapGate, index, "doc_id", "text")
         .select(col("id").as("doc_id")).distinct()
       // LINEAGE CUT, not just a cache: g3's subtree carries the whole

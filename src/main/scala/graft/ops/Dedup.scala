@@ -415,29 +415,37 @@ object Dedup {
                           threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide evenly into bands")
     // ONE signature build for the incoming side, used for both the band
-    // buckets and the final agreement join — its per-doc aggregate is
-    // already unique per id, so no dedup is needed, and the shared
-    // subtree is exchange-reusable. (An earlier shape derived buckets and
-    // signatures from two independent minhashIndex() calls plus a
-    // dropDuplicates: four full signature builds in the plan.)
+    // buckets and the final agreement join — BATCH-sized (the incoming
+    // side is today's data, never history), so it is lazily
+    // localCheckpointed: the shingle+signature aggregate runs once
+    // instead of once per consuming branch. (An earlier shape derived
+    // buckets and signatures from two independent minhashIndex() calls
+    // plus a dropDuplicates: four full signature builds in the plan.)
     val sig = minhashSignatures(incoming, idCol, textCol, shingleWords,
-      numHashes)
+      numHashes).localCheckpoint(false)
     val buckets = sig.select(col("id"),
         explode(lshBandKeys(col("sig"), bands, numHashes / bands)).as("bk"))
       .select(col("id"), col("bk.band").as("band"),
         col("bk.bucket").as("bucket"))
+    // the pair list is CANDIDATE-bounded (true bucket collisions) at any
+    // corpus size — checkpointing it means the bucket join runs once,
+    // where the two lazy consumers below previously re-executed the
+    // whole pair subtree (the ~13% recompute the earlier shape paid)
     val pairs = buckets
       .join(index.select(col("id").as("matched_id"), col("band"),
         col("bucket")), Seq("band", "bucket"))
       .select(col("id"), col("matched_id")).distinct()
+      .localCheckpoint(false)
     // the index duplicates each doc's sig across its band rows; restrict
     // to the CANDIDATE ids first (left-semi against the pair list), then
     // collapse to one row per id — so the wide signature shuffle is
-    // bounded by true candidates, never by the size of history. (This
-    // buys the 10^10-doc case at the cost of evaluating the pair subtree
-    // twice when the index is DERIVED in-plan rather than scanned — the
-    // benchmark's recompute-from-text shape pays ~13% at sf0.1; a real
-    // deployment's index is a parquet scan and pays nothing.)
+    // bounded by true candidates, never by the size of history. The
+    // index side itself is deliberately NOT checkpointed: in production
+    // it is a column-pruned parquet scan, and materializing a 10^10-doc
+    // index would be the scale bug. No broadcast hint on the semi probe:
+    // the checkpointed pair list carries no stats, and while it is
+    // usually tiny, an adversarial corpus can push it past broadcast
+    // limits — AQE promotes the join from the runtime sizes instead.
     val idxSig = index.select(col("id").as("matched_id"),
         col("sig").as("hsig"))
       .join(pairs.select("matched_id").distinct(), Seq("matched_id"),
