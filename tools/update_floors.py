@@ -84,6 +84,15 @@ if os.path.exists(dst_path):
         print(f"WARNING: {len(dropped)} floor key(s) absent from the "
               f"candidate record (renamed/errored/sentinel?): "
               f"{', '.join(dropped)}")
+        if not force:
+            # r20 ADVICE: a transiently-errored query must KEEP its
+            # regression baseline — dropped keys carry their old floors
+            # forward by default; only --force (a deliberate re-base /
+            # genuine rename cleanup) actually removes them.
+            for q in dropped:
+                qm[q] = old[q]
+            print(f"carried {len(dropped)} dropped floor(s) forward "
+                  f"(--force removes them)")
     if not force:
         loosened = sorted(q for q in qm if q in old and qm[q] > old[q])
         if loosened:
