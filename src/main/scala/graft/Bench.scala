@@ -61,6 +61,9 @@ object Bench {
       // resurfaced in focused SPARK_GRAFT_ONLY subsets that exclude the
       // queries whose own unpersist coincidentally evicted the entry
       spark.catalog.clearCache()
+      // guide §1.5: label the jobs so a UI / event-log reading of the
+      // bench maps every stage back to its query (no timing effect)
+      spark.sparkContext.setJobDescription(s"bench: $name")
       val t0 = System.nanoTime()
       try {
         fn(spark, sfDir).count()
@@ -69,7 +72,7 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           if (!errors.contains(name)) errors ::= name
-      }
+      } finally spark.sparkContext.setJobDescription(null)
     }
     val results = list.map { case (name, _) =>
       val ts = samples(name).sorted
