@@ -31,6 +31,73 @@ object Probe {
     }
 
     args(0) match {
+      // per-JOB attribution of one declared query (guide §1.1 empirical
+      // loop without a UI): a SparkListener records every job's start
+      // time, duration and description; the printout shows job count,
+      // summed job time vs wall (the difference is pure driver-side
+      // work), and the driver GAP before each job — how a driver-paced
+      // fit chain (k seeding picks, Lloyd collects, micro-batch setup)
+      // is distinguished from genuinely slow stages.
+      case "jobs" =>
+        val name = args(1)
+        val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.1"
+        val fn = SparkEntry.queries(name)
+        val recs =
+          new java.util.concurrent.ConcurrentLinkedQueue[(Int, String, Long, Long)]()
+        val starts =
+          new java.util.concurrent.ConcurrentHashMap[Integer, (String, Long)]()
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(js.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description")))
+              .getOrElse("")
+            starts.put(js.jobId, (desc, js.time)); ()
+          }
+          override def onJobEnd(
+              je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val s = starts.remove(je.jobId)
+            if (s != null) recs.add((je.jobId, s._1, s._2, je.time - s._2))
+            ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val (n, t) = timed(fn(spark, dir).count())
+        Thread.sleep(2000) // let the listener bus drain
+        spark.sparkContext.removeSparkListener(listener)
+        import scala.jdk.CollectionConverters._
+        val rs = recs.asScala.toSeq.sortBy(_._1)
+        val jobSum = rs.map(_._4).sum / 1000.0
+        println(f"[jobs] $name%s rows=$n%d wall=$t%.3f s jobs=${rs.size}%d " +
+          f"jobTimeSum=$jobSum%.3f s driverGapSum=${t - jobSum}%.3f s")
+        var prevEnd = 0L
+        rs.foreach { case (id, d, st, ms) =>
+          val gap = if (prevEnd == 0) 0L else st - prevEnd
+          prevEnd = st + ms
+          println(f"[jobs]   #$id%4d dur=$ms%6d ms gap=$gap%6d ms  $d%s")
+        }
+
+      // EXECUTED (post-AQE) plan telemetry of one declared query: the
+      // initial explain cannot show runtime exchange/stage reuse, so
+      // claims like "the scan runs once" are checked here against the
+      // final adaptive plan (scan / exchange / reuse node counts plus
+      // the full tree on request).
+      case "execplan" =>
+        val name = args(1)
+        val dir = if (args.length > 2) args(2) else "/root/testdata/sf0.01"
+        val df = SparkEntry.queries(name)(spark, dir)
+        // drive THIS queryExecution to completion (df.count() would plan
+        // a separate execution and leave this one isFinalPlan=false)
+        df.queryExecution.executedPlan.executeCollect()
+        val plan = df.queryExecution.executedPlan.toString
+        def n(pat: String) = pat.r.findAllIn(plan).length
+        println(s"[execplan] $name: scans=${n("Scan parquet")} " +
+          s"exchanges=${n("Exchange (hash|range|single|rebalance)")} " +
+          s"reusedExchange=${n("ReusedExchange")} " +
+          s"reusedStage=${n("ReusedQueryStage|StageReuse")} " +
+          s"hofAggregate=${n("aggregate\\(")} bytes=${plan.length}")
+        if (args.contains("--full")) println(plan)
+
       // stage-by-stage wall clock of the curate_corpus_v2 funnel
       case "funnel" =>
         val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"

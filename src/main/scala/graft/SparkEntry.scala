@@ -981,7 +981,12 @@ object SparkEntry {
         .selectExpr("id", "array(q0, q1, q2, q3) AS sh")
       Dedup.quarterNearDupAgainstIndex(
           f.filter(col("id") % 2 === 1), f.filter(col("id") % 2 === 0),
-          maxHamming = 3, hotThreshold = 64)
+          maxHamming = 3, hotThreshold = 64,
+          // the "index" here is DERIVED IN-PLAN from the md5 fixture
+          // expressions (production scans the persisted print store):
+          // checkpoint it once at the operator so the derivation does
+          // not run once per consuming branch
+          checkpointIndex = true)
         .orderBy("idA", "idB")
     }),
 
@@ -3148,11 +3153,24 @@ object SparkEntry {
       // entire corpus at scale
       val bitmap = Dedup.bloomBuildAuto(docs.filter(col("doc_id") % 50 === 0),
         "text", shingleWords = 3, k = 3)
-      val nsh = mapGate.select(col("doc_id"),
-        size(Dedup.wordShingles(col("text"), 3)).cast("long").as("n_sh"))
-      val bloomOk = Dedup.decontaminateBloom(mapGate, "doc_id", "text",
-          shingleWords = 3, bitmap = bitmap, k = 3)
-        .join(nsh, "doc_id")
+      // n_sh and n_flagged from ONE shingle pass (guide §1.2: don't
+      // compute the same thing twice): the earlier shape tokenized the
+      // gated corpus twice — once for decontaminateBloom's flagged
+      // count, once for a separate size(wordShingles) frame — and paid
+      // a join to glue them. wordShingles is array_distinct per doc, so
+      // per-doc counts over the exploded frame need no DISTINCT
+      // aggregate: n_sh = count(*), n_flagged = count of bloom-positive
+      // shingles — pure hash aggregate with map-side partials.
+      // Survivor set identical: a doc with zero shingles had
+      // n_sh = 0 and failed `0*5 < 0` before; here it has no group row
+      // — excluded either way (oracle-pinned).
+      val bloomOk = mapGate
+        .select(col("doc_id"),
+          explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          count(when(Dedup.bloomMightContain(col("sh"), bitmap, 3), lit(1)))
+            .as("n_flagged"))
         .filter(col("n_flagged") * 5 < col("n_sh"))
         .select("doc_id")
       // stage 5: incremental minhash near-dup vs the persisted history

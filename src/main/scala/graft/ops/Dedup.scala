@@ -843,17 +843,44 @@ object Dedup {
   val HotBucketThreshold = 4096
 
   /** The 48 fingerprint bits OUTSIDE quarter `q`, packed high-to-low in
-    * quarter order — the key material for the level-2 re-block. */
+    * quarter order — the key material for the level-2 re-block. The
+    * fold form over the quarter ARRAY; kept as the spec reference for
+    * [[rem48Pk]], which the hot path uses (higher-order aggregate runs
+    * interpreted — it was the last interpreted expression in the print
+    * candidate path). */
   private[graft] def rem48(sh: Column, q: Column): Column =
     aggregate(filter(sequence(lit(0), lit(3)), j => j =!= q),
       lit(0L), (acc, j) => shiftleft(acc, 16) + element_at(sh, j + 1))
 
+  /** [[rem48]] as a codegen CASE over the PACKED print: the pack is
+    * bijective over disjoint 16-bit ranges (q0 high), so cutting
+    * quarter q out of pk by shift/mask arithmetic reproduces the fold's
+    * shift-accumulate over the three remaining quarters exactly
+    * (spec-pinned equal on random prints, all q). */
+  private[graft] def rem48Pk(pk: Column, q: Column): Column =
+    when(q === 0, pk.bitwiseAND(lit(0xFFFFFFFFFFFFL)))
+      .when(q === 1, shiftleft(shiftrightunsigned(pk, 48), 32) +
+        pk.bitwiseAND(lit(0xFFFFFFFFL)))
+      .when(q === 2, shiftleft(shiftrightunsigned(pk, 32), 16) +
+        pk.bitwiseAND(lit(0xFFFFL)))
+      .otherwise(shiftrightunsigned(pk, 16))
+
   /** The four 12-bit sub-blocks of [[rem48]]: a pair agreeing on
     * quarter `q` with <= 3 bit errors has those errors inside the
     * remaining 48 bits, so it agrees on at least one of four 12-bit
-    * blocks — the SAME pigeonhole argument as level 1, one level down. */
+    * blocks — the SAME pigeonhole argument as level 1, one level down.
+    * Array-fold form, spec reference for [[subKeysPk]]. */
   private[graft] def subKeys(sh: Column, q: Column): Column = {
     val rem = rem48(sh, q)
+    array((0 to 3).map { i =>
+      shiftright(rem, 36 - 12 * i).bitwiseAND(lit(0xfffL))
+    }: _*)
+  }
+
+  /** [[subKeys]] from the packed print — pure shift/mask codegen, no
+    * interpreted fold; what the hot-bucket level-2 joins key on. */
+  private[graft] def subKeysPk(pk: Column, q: Column): Column = {
+    val rem = rem48Pk(pk, q)
     array((0 to 3).map { i =>
       shiftright(rem, 36 - 12 * i).bitwiseAND(lit(0xfffL))
     }: _*)
@@ -941,16 +968,17 @@ object Dedup {
     require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
       s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
-    // The (id, sh, pk) proxy frame feeds FIVE plan branches (both sides of
+    // The (id, pk) proxy frame feeds FIVE plan branches (both sides of
     // the identical-print equi-join, the rep groupBy, both membership
     // fan-out joins) — without a materialization boundary each branch
     // re-evaluates the upstream print builder (media decode, the simhash
     // token aggregate) from scratch. A LAZY localCheckpoint computes the
-    // ~20-byte-per-row proxy once at the first action and every branch
+    // 16-byte-per-row proxy once at the first action and every branch
     // reads the stored blocks — the guide's decide-on-small-rows shape
     // (§8.4): payloads are decoded once, and only print-sized rows are
-    // ever re-read.
-    val m = f.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+    // ever re-read. The pack is bijective, so sh itself never needs to
+    // ride along (quarters unpack from pk wherever blocking needs them).
+    val m = f.select(col("id"), packPrint(col("sh")).as("pk"))
       .localCheckpoint(false)
     // identical-print pairs: output-sized equi-join on the packed print,
     // hamming 0 by construction (included at every radius >= 0)
@@ -961,11 +989,9 @@ object Dedup {
     // the rep aggregate recurs in pigeonholeRepPairs' branches reading the
     // checkpointed m (a second checkpoint here measured as pure overhead
     // on sub-second inputs); it aggregates ONLY (pk, min(id)) — hash-
-    // aggregable with map-side partials — and reconstructs sh by
-    // unpacking pk (bijective), where `first(sh)` forced a Sort +
-    // SortAggregate over every print per consuming branch
+    // aggregable with map-side partials — where `first(sh)` forced a
+    // Sort + SortAggregate over every print per consuming branch
     val reps = m.groupBy("pk").agg(min(col("id")).as("id"))
-      .select(col("pk"), col("id"), unpackPrint(col("pk")).as("sh"))
     val repPairs = pigeonholeRepPairs(reps, maxHamming, approxRecall,
       hotThreshold)
     // fan group membership back out: every member inherits its
@@ -978,17 +1004,21 @@ object Dedup {
     samePairs.union(crossPairs)
   }
 
-  /** Candidate generation over a DISTINCT-print frame (pk, id, sh) with
-    * unique pk and unique id: level-1 quarter pigeonhole; for
+  /** Candidate generation over a DISTINCT-print frame carrying (pk, id)
+    * with unique pk and unique id: level-1 quarter pigeonhole; for
     * maxHamming <= 3, buckets past `hotThreshold` escalate to the
     * level-2 12-bit sub-block re-block (provably exact there -- see
     * [[quarterNearDupPairs]]). Returns (pkA, pkB, hamming) with hamming
-    * in [1, maxHamming], each unordered distinct-print pair once. */
+    * in [1, maxHamming], each unordered distinct-print pair once.
+    * Quarters unpack from pk ([[unpackPrint]] is the bijective inverse)
+    * and every join projection carries only (pk, id, q, key) -- the sh
+    * array neither rides the shuffles nor feeds an interpreted fold
+    * (level-2 keys come from [[subKeysPk]], pure shift/mask codegen). */
   private[graft] def pigeonholeRepPairs(reps: DataFrame, maxHamming: Int,
                                  approxRecall: Boolean,
                                  hotThreshold: Int): DataFrame = {
-    val withQ = reps.select(col("pk"), col("id"), col("sh"),
-        posexplode(col("sh")))
+    val withQ = reps.select(col("pk"), col("id"),
+        posexplode(unpackPrint(col("pk"))))
       .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
     val raw =
       if (maxHamming > 3) {
@@ -1018,8 +1048,8 @@ object Dedup {
           .select(col("a.pk").as("pkA"), col("b.pk").as("pkB"),
             hammingPk(col("a.pk"), col("b.pk")).as("hamming"))
         val hot = tagged.filter(col("__hot").isNotNull)
-          .select(col("pk"), col("id"), col("sh"), col("q"), col("key"),
-            posexplode(subKeys(col("sh"), col("q"))))
+          .select(col("pk"), col("id"), col("q"), col("key"),
+            posexplode(subKeysPk(col("pk"), col("q"))))
           .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
         val hotPairs = hot.as("a").join(hot.as("b"),
             col("a.q") === col("b.q") && col("a.key") === col("b.key") &&
@@ -1048,27 +1078,35 @@ object Dedup {
   def quarterNearDupAgainstIndex(batch: DataFrame, index: DataFrame,
                                  maxHamming: Int = 3,
                                  approxRecall: Boolean = false,
-                                 hotThreshold: Int = HotBucketThreshold): DataFrame = {
+                                 hotThreshold: Int = HotBucketThreshold,
+                                 checkpointIndex: Boolean = false): DataFrame = {
     require(approxRecall || (maxHamming >= 0 && maxHamming <= 3),
       s"4-quarter pigeonhole blocking is complete only for maxHamming in [0,3], got $maxHamming; pass approxRecall=true to accept blocking-limited recall")
     require(hotThreshold >= 2, s"hotThreshold must be >= 2, got $hotThreshold")
-    // same materialization discipline as quarterNearDupPairs: each side's
-    // (id, sh, pk) proxy feeds three plan branches (identical-print join,
-    // rep groupBy, membership fan-out) — checkpoint once, decode once
-    val mb = batch.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
+    // same materialization discipline as quarterNearDupPairs: the BATCH
+    // side's (id, pk) proxy feeds three plan branches (identical-print
+    // join, rep groupBy, membership fan-out) — checkpoint once, decode
+    // once. The INDEX side is NOT checkpointed by default: in production
+    // (and in every incremental/streaming caller here) it is a
+    // column-pruned scan of the persisted print store, and materializing
+    // the whole growing history per call is the scale bug the minhash
+    // twin's doc names — its three consuming branches read three pruned
+    // (id, sh) scans instead. A caller whose index is DERIVED IN-PLAN
+    // from payloads (the bench's hotbucket fixture) opts into
+    // checkpointIndex = true so the derivation still runs once.
+    val mb = batch.select(col("id"), packPrint(col("sh")).as("pk"))
       .localCheckpoint(false)
-    val mi = index.select(col("id"), col("sh"), packPrint(col("sh")).as("pk"))
-      .localCheckpoint(false)
+    val miPlan = index.select(col("id"), packPrint(col("sh")).as("pk"))
+    val mi = if (checkpointIndex) miPlan.localCheckpoint(false) else miPlan
     val samePairs = mb.as("a").join(mi.as("b"), col("a.pk") === col("b.pk"))
       .select(col("a.id").as("idA"), col("b.id").as("idB"),
         lit(0).as("hamming"))
-    // (pk, min(id)) hash aggregate + pk unpack, as in quarterNearDupPairs
+    // (pk, min(id)) hash aggregate, as in quarterNearDupPairs; quarters
+    // unpack from pk wherever blocking needs them
     val rb = mb.groupBy("pk").agg(min(col("id")).as("id"))
-      .select(col("pk"), col("id"), unpackPrint(col("pk")).as("sh"))
     val ri = mi.groupBy("pk").agg(min(col("id")).as("id"))
-      .select(col("pk"), col("id"), unpackPrint(col("pk")).as("sh"))
     def exploded(f: DataFrame) =
-      f.select(col("pk"), col("id"), col("sh"), posexplode(col("sh")))
+      f.select(col("pk"), col("id"), posexplode(unpackPrint(col("pk"))))
         .withColumnRenamed("pos", "q").withColumnRenamed("col", "key")
     val eb = exploded(rb)
     val ei = exploded(ri)
@@ -1093,8 +1131,8 @@ object Dedup {
         def tag(f: DataFrame) = f.join(hotKeys, Seq("q", "key"), "left")
         val tb = tag(eb); val ti = tag(ei)
         def subbed(f: DataFrame) = f
-          .select(col("pk"), col("id"), col("sh"), col("q"), col("key"),
-            posexplode(subKeys(col("sh"), col("q"))))
+          .select(col("pk"), col("id"), col("q"), col("key"),
+            posexplode(subKeysPk(col("pk"), col("q"))))
           .withColumnRenamed("pos", "sq").withColumnRenamed("col", "skey")
         val coldPairs = tb.filter(col("__hot").isNull).drop("__hot").as("a")
           .join(ti.filter(col("__hot").isNull).drop("__hot").as("b"),

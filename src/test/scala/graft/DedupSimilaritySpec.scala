@@ -316,6 +316,30 @@ class DedupSimilaritySpec extends SparkSuite {
     assert(diff.count() == 0L)
   }
 
+  test("packed-print shift/mask rem48 and subKeys equal the array folds") {
+    // rem48Pk / subKeysPk (the codegen CASE forms the hot-bucket level-2
+    // join keys on) must agree with the interpreted array folds for
+    // every quarter index, including the 0 / 0xFFFF quarter extremes
+    val f = degeneratePrints(200)
+      .union(spark.range(2).selectExpr("id + 5000 AS id",
+        "array(CAST(0 AS BIGINT), CAST(65535 AS BIGINT), " +
+          "CAST(0 AS BIGINT), CAST(65535 AS BIGINT)) AS sh"))
+      .union(spark.range(2).selectExpr("id + 6000 AS id",
+        "array(CAST(65535 AS BIGINT), CAST(0 AS BIGINT), " +
+          "CAST(65535 AS BIGINT), CAST(0 AS BIGINT)) AS sh"))
+    val withQ = f.select(col("id"), col("sh"),
+        Dedup.packPrint(col("sh")).as("pk"))
+      .crossJoin(spark.range(4).select(col("id").cast("int").as("q")))
+    val diff = withQ.filter(
+      Dedup.rem48(col("sh"), col("q")) =!= Dedup.rem48Pk(col("pk"), col("q")) ||
+        Dedup.subKeys(col("sh"), col("q")) =!=
+          Dedup.subKeysPk(col("pk"), col("q")))
+    assert(diff.count() == 0L)
+    // and unpackPrint stays the exact inverse of packPrint on the same set
+    val inv = withQ.filter(Dedup.unpackPrint(col("pk")) =!= col("sh"))
+    assert(inv.count() == 0L)
+  }
+
   test("hot-bucket escalation is exact at maxHamming <= 3: escalated == plain") {
     val f = degeneratePrints(400).cache()
     try {
