@@ -61,6 +61,10 @@ object Probe {
             ()
           }
         }
+        // optional warm-up pass (JIT/page cache) so the recorded run
+        // reflects the bench's min-of-iterations shape, not cold-start
+        if (args.contains("--warm")) { fn(spark, dir).count(); () }
+        spark.catalog.clearCache()
         spark.sparkContext.addSparkListener(listener)
         val (n, t) = timed(fn(spark, dir).count())
         Thread.sleep(2000) // let the listener bus drain

@@ -714,22 +714,44 @@ object SparkEntry {
         val store = new TableStore(s, dir)
         val runner = new Runner(s, store,
           () => java.sql.Timestamp.valueOf("2025-06-01 00:00:00"))
-        val datasets = Registry.allConfigs.map { cfg =>
-          val path = s"$fx/${files(cfg.name)}"
-          cfg.kind match {
-            case Registry.Fred =>
-              val (canon, snake) = FredSource.canonicalize(FredSource.process(
-                FredSource.readObservations(s, path), cfg), cfg)
-              (cfg.tableName, canon, Seq(snake))
-            case Registry.NyuStern =>
-              (cfg.tableName, NyuSource.canonicalize(NyuSource.process(
-                NyuSource.readSheet(s, path))), Registry.nyuValueFields)
-            case _ =>
-              val grid = GridSource.readGrid(s, path, cfg.dataLocation)
-              val (canon, snake) = GridSource.canonicalize(
-                GridSource.processMonthly(grid, cfg), cfg)
-              (cfg.tableName, canon, Seq(snake))
-          }
+        // dataset CONSTRUCTION is parallelized like the ingest below
+        // (guide §2.6 overlap independent work): each arm does real
+        // driver/engine work before any merge runs — the 15 EDB
+        // workbooks parse on the driver (XLS/XLSX byte readers) and
+        // each FRED read.json runs a schema-inference job — and the 26
+        // are independent, so a sequential map serialized ~26 parse +
+        // inference steps that overlap cleanly (measured as the first
+        // ~4 s of tiny jobs in the `Probe jobs panel_all` profile).
+        // Future.sequence preserves list order, so downstream ordering
+        // (and the oracle) is untouched.
+        val datasets = {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            Runner.ingestParallelismFor(s.sparkContext.defaultParallelism))
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          try Await.result(Future.sequence(Registry.allConfigs.map { cfg =>
+            Future {
+              val path = s"$fx/${files(cfg.name)}"
+              cfg.kind match {
+                case Registry.Fred =>
+                  val (canon, snake) = FredSource.canonicalize(
+                    FredSource.process(
+                      FredSource.readObservations(s, path), cfg), cfg)
+                  (cfg.tableName, canon, Seq(snake))
+                case Registry.NyuStern =>
+                  (cfg.tableName, NyuSource.canonicalize(NyuSource.process(
+                    NyuSource.readSheet(s, path))), Registry.nyuValueFields)
+                case _ =>
+                  val grid = GridSource.readGrid(s, path, cfg.dataLocation)
+                  val (canon, snake) = GridSource.canonicalize(
+                    GridSource.processMonthly(grid, cfg), cfg)
+                  (cfg.tableName, canon, Seq(snake))
+              }
+            }
+          }), Duration.Inf)
+          finally pool.shutdown()
         }
         // fan-out derives from the session (Runner.defaultIngestParallelism:
         // defaultParallelism/4 = 8 on local[32], the round-10 measured
@@ -3113,6 +3135,17 @@ object SparkEntry {
     })
   )
 
+  /** Runs `f` with the thread-local job description set to `label`,
+    * restoring the caller's (e.g. the bench's) afterwards — guide §1.5:
+    * stage labels make the funnel's construct-phase jobs attributable
+    * in `Probe jobs` / event logs. No timing effect. */
+  private def labeled[A](s: SparkSession, label: String)(f: => A): A = {
+    val sc = s.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription(label)
+    try f finally sc.setJobDescription(prev)
+  }
+
   /** The curate_corpus_v2 funnel up to (and excluding) the JSONL
     * delivery — the frame the query writes and PlanSpec audits (never
     * cartesian; the corpus `text` column crosses at most one exchange). */
@@ -3151,30 +3184,9 @@ object SparkEntry {
       // showed the old fixed 1024 words saturating to fp~1, which
       // emptied this stage — the funnel would silently discard the
       // entire corpus at scale
-      val bitmap = Dedup.bloomBuildAuto(docs.filter(col("doc_id") % 50 === 0),
-        "text", shingleWords = 3, k = 3)
-      // n_sh and n_flagged from ONE shingle pass (guide §1.2: don't
-      // compute the same thing twice): the earlier shape tokenized the
-      // gated corpus twice — once for decontaminateBloom's flagged
-      // count, once for a separate size(wordShingles) frame — and paid
-      // a join to glue them. wordShingles is array_distinct per doc, so
-      // per-doc counts over the exploded frame need no DISTINCT
-      // aggregate: n_sh = count(*), n_flagged = count of bloom-positive
-      // shingles — pure hash aggregate with map-side partials.
-      // Survivor set identical: a doc with zero shingles had
-      // n_sh = 0 and failed `0*5 < 0` before; here it has no group row
-      // — excluded either way (oracle-pinned).
-      val bloomOk = mapGate
-        .select(col("doc_id"),
-          explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_sh"),
-          count(when(Dedup.bloomMightContain(col("sh"), bitmap, 3), lit(1)))
-            .as("n_flagged"))
-        .filter(col("n_flagged") * 5 < col("n_sh"))
-        .select("doc_id")
-      // stage 5: incremental minhash near-dup vs the persisted history
-      // index (per-doc independent, so probed from mapGate's scan branch).
+      // stage 5 frames (lazy here; materialized under g3's checkpoint):
+      // incremental minhash near-dup vs the persisted history index
+      // (per-doc independent, so probed from mapGate's scan branch).
       // The index is derived in-plan here (production scans the store):
       // lazily checkpointed so the history signature build runs once
       // across the operator's two index-consuming branches
@@ -3183,55 +3195,117 @@ object SparkEntry {
         .localCheckpoint(false)
       val ndDrop = Dedup.nearDupAgainstIndex(mapGate, index, "doc_id", "text")
         .select(col("id").as("doc_id")).distinct()
-      // LINEAGE CUT, not just a cache: g3's subtree carries the whole
-      // gate/signal chain (including the history-index signature build),
-      // and every downstream stage references it several times over —
-      // semdedup's base feeds both self-join sides AND the anti probe,
-      // mix references g4 twice (corpus + fraction agg), the DSIR chain
-      // references its token stream three times. A cache() leaves the
-      // ANALYZED plan exponentially duplicated (the ~4000-leaf tree cost
-      // ~25s of pure planning per action at sf0.1, 128s total); the
-      // eager localCheckpoint materializes the tiny id/source/chars
-      // spine once and replaces the subtree with a leaf. At cluster
-      // scale the same barrier is a reliable checkpoint() or a parquet
-      // handoff of the survivor spine.
-      val g3 = spine.join(repOk, "doc_id").join(bloomOk, "doc_id")
-        .join(ndDrop, Seq("doc_id"), "left_anti")
-        .localCheckpoint()
-      // stage 6: SemDeDup through the trained k=8 coarse quantizer.
-      // Drop-set semantics, NOT keep-set: a doc with no embedding row
-      // cannot be judged semantically and passes through (only a proven
-      // within-cluster near-dup drops) — the sf0.1 testdata exercises
-      // exactly this, covering only 2 of 5 docs with embeddings.
       val emb = t(s, dir, "embeddings")
-      val cents = KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      // The two eager construct chains are INDEPENDENT — the Bloom
+      // bitmap + g3 survivor spine read documents, the k=8 quantizer
+      // fit reads embeddings — so they run as two overlapped driver
+      // threads (guide §2.6: actions are only sequential because the
+      // driver calls them sequentially; the fit's driver-paced seeding
+      // picks back-fill the cores the g3 jobs leave idle). Job labels
+      // make the stages attributable in `Probe jobs` / event logs.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val g3F = Future(labeled(s, "funnelv2: bloom + g3 spine") {
+        val bitmap = Dedup.bloomBuildAuto(
+          docs.filter(col("doc_id") % 50 === 0), "text",
+          shingleWords = 3, k = 3)
+        // n_sh and n_flagged from ONE shingle pass (guide §1.2: don't
+        // compute the same thing twice): the earlier shape tokenized the
+        // gated corpus twice — once for decontaminateBloom's flagged
+        // count, once for a separate size(wordShingles) frame — and paid
+        // a join to glue them. wordShingles is array_distinct per doc,
+        // so per-doc counts over the exploded frame need no DISTINCT
+        // aggregate: n_sh = count(*), n_flagged = count of
+        // bloom-positive shingles — pure hash aggregate with map-side
+        // partials. Survivor set identical: a doc with zero shingles had
+        // n_sh = 0 and failed `0*5 < 0` before; here it has no group row
+        // — excluded either way (oracle-pinned).
+        val bloomOk = mapGate
+          .select(col("doc_id"),
+            explode(Dedup.wordShingles(col("text"), 3)).as("sh"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_sh"),
+            count(when(Dedup.bloomMightContain(col("sh"), bitmap, 3),
+              lit(1))).as("n_flagged"))
+          .filter(col("n_flagged") * 5 < col("n_sh"))
+          .select("doc_id")
+        // LINEAGE CUT, not just a cache: g3's subtree carries the whole
+        // gate/signal chain (including the history-index signature
+        // build), and every downstream stage references it several times
+        // over — semdedup's base feeds both self-join sides AND the anti
+        // probe, mix references g4 twice (corpus + fraction agg), the
+        // DSIR chain references its token stream three times. A cache()
+        // leaves the ANALYZED plan exponentially duplicated (the
+        // ~4000-leaf tree cost ~25s of pure planning per action at
+        // sf0.1, 128s total); the eager localCheckpoint materializes the
+        // tiny id/source/chars spine once and replaces the subtree with
+        // a leaf. At cluster scale the same barrier is a reliable
+        // checkpoint() or a parquet handoff of the survivor spine.
+        spine.join(repOk, "doc_id").join(bloomOk, "doc_id")
+          .join(ndDrop, Seq("doc_id"), "left_anti")
+          .localCheckpoint()
+      })
+      // stage 6 quantizer: SemDeDup through the trained k=8 coarse
+      // quantizer. Drop-set semantics, NOT keep-set: a doc with no
+      // embedding row cannot be judged semantically and passes through
+      // (only a proven within-cluster near-dup drops) — the sf0.1
+      // testdata exercises exactly this, covering only 2 of 5 docs with
+      // embeddings.
+      val centsF = Future(labeled(s, "funnelv2: kmeans fit") {
+        KMeans.fit(emb, "vec_id", "embedding", k = 8, iters = 2)
+      })
+      val (g3, cents) =
+        try (Await.result(g3F, Duration.Inf), Await.result(centsF, Duration.Inf))
+        finally pool.shutdown()
       val g3emb = emb.join(g3.select(col("doc_id").as("vec_id")), "vec_id")
-      val semKeep = KMeans.semDedup(g3emb, "vec_id", "embedding", cents,
+      val semKeep = labeled(s, "funnelv2: semdedup") {
+        KMeans.semDedup(g3emb, "vec_id", "embedding", cents,
           threshold = 0.3, materialize = true)
-        .select(col("vec_id").as("doc_id"))
+      }.select(col("vec_id").as("doc_id"))
       val semDropped = g3emb.select(col("vec_id").as("doc_id"))
         .join(semKeep, Seq("doc_id"), "left_anti")
+      // STAGE-BOUNDARY lazy checkpoints (g4, g5, scored): each of these
+      // survivor spines feeds TWO-plus lazy consumers (mix reads g4 for
+      // its fraction agg AND its filter join; g5 feeds the DSIR text
+      // attach AND the post-g6 shard join; weightedSample reads scored
+      // for the PPS total AND the inclusion filter), and Catalyst has no
+      // cross-branch subplan reuse — the g6 materialization ran ~86 AQE
+      // stage-jobs re-deriving them (measured via the labeled `Probe
+      // jobs` profile). Lazy localCheckpoints cost no extra job (the g6
+      // eager checkpoint materializes the chain in one action) and every
+      // frame is an id-keyed spine bounded by the survivor count, never
+      // the corpus. Join strategies on the now-stat-less frames are
+      // left to AQE's runtime sizes (the pq_recall lesson applies only
+      // where a hint must FORCE broadcast; here the joins are
+      // spine-sized on both sides).
       val g4 = g3.join(semDropped, Seq("doc_id"), "left_anti")
+        .localCheckpoint(false)
       // stage 7: mix to the target 15-source composition
       val shares = ((5 to 9).map(i => s"src$i" -> 0.1) ++
         (10 to 19).map(i => s"src$i" -> 0.05)).toMap
       val g5 = Sampling.mixCorpus(g4, "source", "doc_id", "n_chars",
-        shares, budget = 20000L)
+          shares, budget = 20000L)
+        .localCheckpoint(false)
       // stage 8: DSIR importance weights toward src5, Poisson-PPS
       // resample on the domain-separated 'rs:' key
       val g5text = mapGate.select("doc_id", "text")
         .join(g5.select("doc_id", "source"), "doc_id")
       val scored = Corpus.importanceWeights(g5text, "doc_id", "text",
-        col("source") === "src5")
+          col("source") === "src5")
+        .localCheckpoint(false)
       // second lineage cut: the resampled spine is the layout stages'
       // only input, and the DSIR chain above it is the other
       // multi-reference subtree (toks x3, scored x2 via the PPS total)
-      val g6 = Sampling.weightedSample(
-          scored.withColumn("rs_key",
-            concat(lit("rs:"), col("doc_id").cast("string"))),
-          "rs_key", "score_avg_ppm", expectedRows = 30L)
-        .select("doc_id", "n_toks")
-        .localCheckpoint()
+      val g6 = labeled(s, "funnelv2: dsir resample") {
+        Sampling.weightedSample(
+            scored.withColumn("rs_key",
+              concat(lit("rs:"), col("doc_id").cast("string"))),
+            "rs_key", "score_avg_ppm", expectedRows = 30L)
+          .select("doc_id", "n_toks")
+          .localCheckpoint()
+      }
       // stage 9: global shard shuffle + in-order sequence packing
       val sharded = Layout.assignShards(
         g5.select("doc_id", "source").join(g6, "doc_id"), "doc_id", 8)

@@ -482,23 +482,16 @@ object Corpus {
     * bound is generous: surprisal < 63 bits, so `bits` overflows only
     * past ~10^17 tokens in one document. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    // ONE tokenization pass: the corpus-wide token counts are derived
-    // FROM the per-(doc, token) aggregate (Σ over docs of per-doc counts
-    // — exact integers, identical values), so the (doc, tok) exchange is
-    // the only subtree that reads text, and its two consumers (the LM
-    // stats chain, the per-doc join) reuse one exchange instead of each
-    // re-running explode + tokenization (guide §1.2 / §2.4; the earlier
-    // shape tokenized the corpus twice).
-    val dt = df.select(col(idCol),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__cnt"))
-    val counts = dt.groupBy("tok").agg(sum("__cnt").as("__cnt"))
+    val toks = df.select(col(idCol),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("__cnt"))
     val totals = counts.agg(sum("__cnt").as("__n"), count(lit(1)).as("__v"))
     val surprisal = counts.crossJoin(broadcast(totals))
       .select(col("tok"),
         (length(bin(expr("(__n + __v) DIV (__cnt + 1)"))) - 1)
           .cast("long").as("__bits"))
-    dt.join(surprisal, "tok")
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__cnt"))
+      .join(surprisal, "tok")
       .groupBy(col(idCol))
       .agg(sum("__cnt").as("n_toks"),
         sum(col("__cnt") * col("__bits")).as("bits"))
@@ -533,23 +526,24 @@ object Corpus {
     * 1e6 * (N+V)^2-ish products stay under 2^63 — beyond that (corpora
     * past ~10^12 tokens) switch the weight computation to DECIMAL(38,0);
     * the per-doc sums remain int64-safe far longer.
+    *
+    * MEASURED DEAD END (round 22, do not re-try): deriving the (token)
+    * stats FROM the (doc, token) aggregate — one tokenization subtree
+    * instead of two — was 1.7-2x SLOWER end-to-end at bench scale on
+    * this operator and on [[unigramSurprisal]] (same-window ITERS=7
+    * mins, canary-flat): the extra two-level aggregate chain costs more
+    * than the tokenization it saves, AQE's cross-branch exchange reuse
+    * on the (doc, token) exchange proved run-dependent, and a lazy
+    * localCheckpoint of the vocab table on top demoted the weight join.
+    * The two-aggregate shape below is the measured optimum.
     */
   def importanceWeights(df: DataFrame, idCol: String, textCol: String,
                         targetPred: Column): DataFrame = {
-    // ONE tokenization pass (the unigramSurprisal restructure): corpus
-    // and target token counts derive FROM the per-(doc, token) aggregate
-    // — __is_t is constant per doc, so grouping by it alongside (id,
-    // tok) changes no group and Σ per-doc counts equals the occurrence
-    // counts exactly. The (id, __is_t, tok) exchange is the only subtree
-    // reading text; its two consumers reuse one exchange where the
-    // earlier shape re-ran explode + tokenization per branch.
-    val dt = df.select(col(idCol), targetPred.as("__is_t"),
-        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .groupBy(col(idCol), col("__is_t"), col("tok"))
-      .agg(count(lit(1)).as("__cnt"))
-    val stats = dt.groupBy("tok").agg(
-      sum("__cnt").as("__cnt_c"),
-      sum(when(col("__is_t"), col("__cnt")).otherwise(0L)).as("__cnt_t"))
+    val toks = df.select(col(idCol), targetPred.as("__is_t"),
+      explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+    val stats = toks.groupBy("tok").agg(
+      count(lit(1)).as("__cnt_c"),
+      sum(when(col("__is_t"), 1L).otherwise(0L)).as("__cnt_t"))
     val totals = stats.agg(
       sum("__cnt_c").as("__n_c"), sum("__cnt_t").as("__n_t"),
       count(lit(1)).as("__v"))
@@ -557,7 +551,8 @@ object Corpus {
       .select(col("tok"), expr(
         """(1000000L * (__cnt_t + 1) * (__n_c + __v))
           | DIV ((__cnt_c + 1) * (__n_t + __v))""".stripMargin).as("__w_ppm"))
-    dt.join(weights, "tok")
+    toks.groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("__cnt"))
+      .join(weights, "tok")
       .groupBy(col(idCol))
       .agg(sum("__cnt").as("n_toks"),
         sum(col("__cnt") * col("__w_ppm")).as("score_ppm"))

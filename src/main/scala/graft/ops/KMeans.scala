@@ -297,24 +297,67 @@ object KMeans {
       "KMeans.seedCentroids: no input rows — nothing to seed from")
     val first = firstRow.head.getSeq[Double](1)
     var seeds = Vector(first)
-    while (seeds.size < k) {
-      // true squared distance vn2 + (cn2 - 2 v.c), exactly the fold the
-      // oracle replays (the |v|^2 term matters here, unlike in assignment:
-      // the ARGMAX across rows compares different v)
-      val dists = seeds.map { c =>
-        val cArr = array(c.map(lit): _*)
-        val cn2 = c.map(x => x * x).sum
-        col("__vn2") + (lit(cn2) - lit(2.0) * Similarity.dot(col("__v"), cArr))
+    // true squared distance vn2 + (cn2 - 2 v.c), exactly the fold the
+    // oracle replays (the |v|^2 term matters here, unlike in assignment:
+    // the ARGMAX across rows compares different v)
+    def distTo(c: Seq[Double]): Column = {
+      val cArr = array(c.map(lit): _*)
+      val cn2 = c.map(x => x * x).sum
+      col("__vn2") + (lit(cn2) - lit(2.0) * Similarity.dot(col("__v"), cArr))
+    }
+    // RUNNING-MIN distance column instead of a per-round least() over
+    // every chosen seed: round r's pick previously inlined all r seed
+    // vectors as literals (O(k²·dims) literal growth across the
+    // traversal — re-planned every round, and every row re-computed r
+    // distances per scan). Here __d carries min-distance-to-chosen and
+    // each round computes ONE new distance, `least`-folded in —
+    // bit-identical (least chains associate exactly for non-NaN
+    // doubles) — with the frame lazily localCheckpointed per round so
+    // the pick's TakeOrdered materializes it in the SAME job (no extra
+    // job per round; constant-size plan per round). Residency: the
+    // checkpoint chain holds ≤ k ≤ LargeKSeedThreshold copies of the
+    // (id, v, vn2, d) frame until driver GC — bounded by the small-k
+    // contract of this path (large k dispatches to seedLargeK).
+    // CROSSOVER: below RunningMinSeedThreshold the checkpoint
+    // round-trip costs more than the few-literal chained-least plans it
+    // replaces (measured: k=8 coarse fits −5-8%, k=16 subspace fits
+    // +15% the other way), so small k keeps the in-plan chain — the
+    // distances per round are ≤ threshold and the plan stays small. The
+    // chained form computes the identical least() fold lazily, so the
+    // two paths are value-identical by construction.
+    if (k > 1 && k <= RunningMinSeedThreshold) {
+      while (seeds.size < k) {
+        val minD = seeds.map(distTo).reduce(least(_, _))
+        seeds :+= v
+          .select(transform(col("__v"), x => round(x, 6)).as("__c"),
+            minD.as("__d"), col("__id"))
+          .orderBy(col("__d").desc, col("__id"))
+          .limit(1).collect().head.getSeq[Double](0)
       }
-      val minD = if (dists.size == 1) dists.head else least(dists: _*)
-      seeds :+= v
-        .select(transform(col("__v"), x => round(x, 6)).as("__c"),
-          minD.as("__d"), col("__id"))
-        .orderBy(col("__d").desc, col("__id"))
-        .limit(1).collect().head.getSeq[Double](0)
+    } else if (k > 1) {
+      var cur = v.withColumn("__d", distTo(first)).localCheckpoint(false)
+      while (seeds.size < k) {
+        val next = cur
+          .select(transform(col("__v"), x => round(x, 6)).as("__c"),
+            col("__d"), col("__id"))
+          .orderBy(col("__d").desc, col("__id"))
+          .limit(1).collect().head.getSeq[Double](0)
+        seeds :+= next
+        if (seeds.size < k)
+          cur = cur.withColumn("__d", least(col("__d"), distTo(next)))
+            .localCheckpoint(false)
+      }
     }
     seeds.zipWithIndex.map { case (c, i) => Centroid(i, c, 0L) }.toSeq
   }
+
+  /** Seeding-scan crossover: at or below this k the farthest-first
+    * picks inline the chosen seeds as a chained least() (small plans,
+    * no materialization); above it each round folds one new distance
+    * into a checkpointed running-min column (constant plan size, O(1)
+    * distances/row/round). Both compute the identical min — the
+    * crossover is a cost choice, not a semantic one. */
+  val RunningMinSeedThreshold = 8
 
   /** The k (shifted-distance, cluster) score structs over inlined
     * centroid literals — each distance a native
