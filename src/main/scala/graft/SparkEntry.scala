@@ -3075,8 +3075,18 @@ object SparkEntry {
         txt, langOk.as("lang_ok"), (langOk && qOk).as("cand_ok"))
       val cand = flags.filter(col("cand_ok"))
         .select("doc_id", "source", "text")
-      val exact = Dedup.exactDedup(cand, "doc_id", "text")
-      val exKeep = exact.select("doc_id").withColumn("ex_ok", lit(true))
+      // ONE fingerprint pass: the exact-dedup survivor ids feed two
+      // consumers (the ex_ok stage counter and, through the semi-join,
+      // the minhash stage's input), and each previously re-ran the
+      // corpus scan + md5 fingerprint aggregate. The id spine is
+      // survivor-bounded — lazily checkpointed, both consumers read
+      // stored ids. exKeep ≡ the old exact.select("doc_id"):
+      // exactSurvivors picks min(doc_id) per fingerprint FROM cand, so
+      // its ids are exactly the semi-join's output (oracle-pinned).
+      val exKeepIds = Dedup.exactSurvivors(cand, "doc_id", "text")
+        .select("doc_id").localCheckpoint(false)
+      val exact = cand.join(exKeepIds, Seq("doc_id"), "left_semi")
+      val exKeep = exKeepIds.withColumn("ex_ok", lit(true))
       val ndDrop = Dedup.minhashNearDupPairs(exact, "doc_id", "text",
           shingleWords = 3, numHashes = 64, bands = 16, threshold = 0.7,
           materialize = true)
